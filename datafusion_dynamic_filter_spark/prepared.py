@@ -1,0 +1,142 @@
+"""PreparedStatement — the core capability of the reference, re-expressed
+Spark-first.
+
+Reference semantics reproduced (SURVEY.md §2 Tier A):
+
+- ``prepare(sql)`` validates once: placeholder scan, DDL rejection
+  (src/preparable_context.rs:18-28), and a typed-NULL pre-binding analysis
+  pass (the analog of src/physical.rs:94-140's placeholder pre-binding).
+- ``execute(params)`` binds per-execution; missing params raise
+  "Placeholder '$N' was not provided a value for execution"
+  (src/param_resolver.rs:90-93); a value matching no rows returns an empty
+  DataFrame, not an error (tests/preparable_context_basic_test.rs:221-241).
+- ``reset()`` clears per-statement cached state
+  (src/physical.rs:162-179 reset_state).
+
+Execution strategies (why, not a port of DynamicFilterExec):
+
+- ``dynamic`` (fast path): statements matching the reference's actual scope —
+  placeholders inside the WHERE predicate of a single-table SELECT
+  (src/rule.rs:32-49 matches only LogicalPlan::Filter) — compile at prepare
+  time to a DataFrame template (scan resolved once, projection pre-parsed).
+  Each execute binds literals into the filter only.  Bound literals reach the
+  Parquet scan through Catalyst's static predicate pushdown (row-group
+  pruning), which is the Spark-native counterpart of the reference pushing a
+  DynamicFilterPhysicalExpr into the scan (src/physical.rs:247-255).  Unlike
+  the reference we keep full partition parallelism — its partition-0-only
+  restriction (src/parameterized_statement.rs:86) is an artifact of shared
+  mutable filter state that params-as-literals does not have.
+- ``literal`` (general path): ``spark.sql(sql, args=params)`` per execute —
+  semantically exact for ANY Spark SQL statement; this is the twin of the
+  reference's precomputed-logical-plan baseline
+  (benches/dynamic_filter_benchmark.rs:146-183).
+- ``execute_batch(rows)``: N parameter sets in one call, bound as *data* and
+  broadcast-semi-joined against the scan — the scalable analog of the
+  README's 1000-key IN-clause benchmark (README.md:46-51).  On a cluster this
+  engages Spark's runtime Bloom-filter / DPP machinery instead of a mutable
+  scan expression.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .errors import cannot_prepare_ddl
+from .params import bind_text, canonicalize, normalize_params
+from .simple_parser import CompiledTemplate, parse_simple_select
+
+_DDL_RE = re.compile(
+    r"^\s*(CREATE|DROP|ALTER|TRUNCATE|REPLACE|INSERT|UPDATE|DELETE|MERGE|GRANT|REVOKE)\b",
+    re.IGNORECASE,
+)
+
+
+class PreparedStatement:
+    def __init__(self, spark, sql: str, *, mode: str = "auto", validate: bool = True):
+        self.spark = spark
+        self.sql = sql
+        m = _DDL_RE.match(sql)
+        if m:
+            raise cannot_prepare_ddl(m.group(1).upper())
+        self.canonical_sql, self.placeholders = canonicalize(sql)
+        self.param_names = []
+        seen = set()
+        for ph in self.placeholders:
+            if ph.canonical not in seen:
+                seen.add(ph.canonical)
+                self.param_names.append(ph.canonical)
+
+        self._template: CompiledTemplate | None = None
+        if mode in ("auto", "dynamic"):
+            parsed = parse_simple_select(self.canonical_sql)
+            if parsed is not None:
+                try:
+                    self._template = CompiledTemplate(spark, parsed)
+                except Exception:
+                    if mode == "dynamic":
+                        raise
+                    self._template = None
+            elif mode == "dynamic":
+                raise ValueError(
+                    "statement is outside the dynamic fast-path grammar; "
+                    "use mode='literal'"
+                )
+        self.mode = "dynamic" if self._template is not None else "literal"
+        self._plan_cache: dict[tuple, object] = {}
+        self.executions = 0
+        if validate and self._template is None:
+            # Typed-NULL pre-binding pass (reference src/physical.rs:94-140):
+            # analyze the full statement once with NULL-bound placeholders so
+            # prepare() surfaces analysis errors, not execute().
+            null_args = {name: None for name in self.param_names}
+            self.spark.sql(self.canonical_sql, args=null_args)
+
+    # -- execution ---------------------------------------------------------
+
+    def execute(self, params: dict | list | tuple | None = None):
+        """Bind parameters and return the result DataFrame (lazy)."""
+        bound = normalize_params(params, self.placeholders)
+        key = tuple(sorted(bound.items()))
+        cached = self._plan_cache.get(key)
+        if cached is not None:
+            self.executions += 1
+            return cached
+        if self._template is not None:
+            df = self._template.build(bound)
+        else:
+            df = self.spark.sql(self.canonical_sql, args=bound)
+        self._plan_cache[key] = df
+        self.executions += 1
+        return df
+
+    def execute_batch(self, rows: list[dict | list | tuple]):
+        """Execute one statement for N parameter sets at once (IN-list
+        analog, reference README.md:46-51).  Returns the union of per-row
+        results computed as a single broadcast semi-join job."""
+        bound_rows = [normalize_params(r, self.placeholders) for r in rows]
+        if self._template is not None:
+            return self._template.build_semi_join(bound_rows)
+        # General fallback: bind the statement per row and union. Correct for
+        # any statement, but O(rows) plan size — the fast path is preferred.
+        dfs = [self.spark.sql(self.canonical_sql, args=b) for b in bound_rows]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionAll(d)
+        return out
+
+    def bound_sql(self, params: dict | list | tuple | None = None) -> str:
+        """The statement with literals substituted (debug/explain aid)."""
+        bound = normalize_params(params, self.placeholders)
+        return bind_text(self.canonical_sql, self.placeholders, bound)
+
+    def reset(self) -> None:
+        """Drop cached per-execution state (reference reset_state,
+        src/physical.rs:162-179)."""
+        self._plan_cache.clear()
+        self.executions = 0
+
+    def explain(self, params=None, fmt: str = "formatted") -> str:
+        df = self.execute(params)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), fmt
+        )

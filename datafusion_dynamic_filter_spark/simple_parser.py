@@ -1,0 +1,343 @@
+"""Clause splitter for the plan-reuse ("dynamic") execution path.
+
+The reference's ``DynamicFilterRule`` only rewrites placeholders that occur
+inside a ``Filter`` predicate (src/rule.rs:32-49); anything fancier falls off
+the fast path.  We mirror that scope: statements of the shape
+
+    SELECT [DISTINCT] <items> FROM <table> [WHERE <pred>]
+    [GROUP BY <exprs>] [ORDER BY <items>] [LIMIT n]
+
+compile to a reusable DataFrame *template*: the scan DataFrame is resolved
+once at prepare time, and each ``execute`` only binds the WHERE predicate
+(literal substitution -> ``df.filter``) and re-applies the pre-parsed
+projection/aggregation.  No SQL statement parse happens per execution — the
+Spark analog of re-executing a cached physical plan with
+``DynamicFilterPhysicalExpr::update`` (reference src/physical.rs:247-255).
+Statements outside this grammar return ``None`` and the caller falls back to
+Spark parameterized SQL (the reference's own "logical plan" baseline,
+benches/dynamic_filter_benchmark.rs:146-183).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .params import Placeholder, bind_text, find_placeholders
+
+_CLAUSE_KEYWORDS = ["FROM", "WHERE", "GROUP BY", "ORDER BY", "LIMIT"]
+_UNSUPPORTED = re.compile(
+    r"\b(JOIN|UNION|INTERSECT|EXCEPT|HAVING|QUALIFY|WITH|LATERAL|PIVOT|UNPIVOT)\b",
+    re.IGNORECASE,
+)
+_IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*(\s+(AS\s+)?[A-Za-z_]\w*)?$", re.IGNORECASE)
+
+
+def _depth0_positions(sql: str, word: str) -> list[int]:
+    """Offsets where ``word`` appears at paren depth 0, outside strings."""
+    out = []
+    pat = re.compile(r"\b" + word.replace(" ", r"\s+") + r"\b", re.IGNORECASE)
+    depth = 0
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(sql, i)
+            if m:
+                out.append(i)
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def _split_depth0_commas(text: str) -> list[str]:
+    items, depth, cur = [], 0, []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'" and not (j + 1 < n and text[j + 1] == "'"):
+                    break
+                j += 1
+            cur.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    if cur:
+        items.append("".join(cur).strip())
+    return [it for it in items if it]
+
+
+@dataclass
+class OrderItem:
+    expr: str
+    descending: bool = False
+    nulls_first: bool | None = None
+
+
+@dataclass
+class SimpleSelect:
+    """Parsed representation of a fast-path statement."""
+
+    select_items: list[str]
+    distinct: bool
+    table: str
+    alias: str | None
+    where: str | None
+    where_placeholders: list[Placeholder] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+
+
+def parse_simple_select(sql: str) -> SimpleSelect | None:
+    """Parse the fast-path grammar; return None if out of scope."""
+    text = sql.strip().rstrip(";").strip()
+    if not re.match(r"^SELECT\b", text, re.IGNORECASE):
+        return None
+    if _UNSUPPORTED.search(text):
+        return None
+
+    # Clause boundaries at depth 0.
+    bounds: list[tuple[str, int]] = []
+    for kw in _CLAUSE_KEYWORDS:
+        pos = _depth0_positions(text, kw)
+        if len(pos) > 1:
+            return None
+        if pos:
+            bounds.append((kw, pos[0]))
+    bounds.sort(key=lambda t: t[1])
+    order = [kw for kw, _ in bounds]
+    if order != [kw for kw in _CLAUSE_KEYWORDS if kw in order]:
+        return None  # clauses out of canonical order
+    if "FROM" not in order:
+        return None
+
+    clause_text: dict[str, str] = {}
+    spans = bounds + [("<END>", len(text))]
+    # SELECT list runs from after SELECT to the first clause keyword.
+    sel_start = len("SELECT")
+    clause_text["SELECT"] = text[sel_start : spans[0][1]]
+    for (kw, start), (_, end) in zip(bounds, spans[1:]):
+        clause_text[kw] = text[start + len(kw) : end]
+
+    select_body = clause_text["SELECT"].strip()
+    distinct = False
+    m = re.match(r"^DISTINCT\b", select_body, re.IGNORECASE)
+    if m:
+        distinct = True
+        select_body = select_body[m.end() :].strip()
+    select_items = _split_depth0_commas(select_body)
+    if not select_items:
+        return None
+    # Placeholders allowed only in WHERE (reference scope, src/rule.rs:32-49).
+    if find_placeholders(select_body):
+        return None
+
+    from_body = clause_text["FROM"].strip()
+    if not _IDENT_RE.match(from_body):
+        return None
+    parts = re.split(r"\s+", from_body)
+    table = parts[0]
+    alias = None
+    if len(parts) > 1:
+        alias = parts[-1]
+
+    where_body = clause_text.get("WHERE")
+    where_placeholders: list[Placeholder] = []
+    if where_body is not None:
+        where_body = where_body.strip()
+        if re.search(r"\bSELECT\b", where_body, re.IGNORECASE):
+            return None  # subquery — expression parser can't bind it
+        where_placeholders = find_placeholders(where_body)
+
+    group_by = []
+    if "GROUP BY" in clause_text:
+        group_by = _split_depth0_commas(clause_text["GROUP BY"])
+        if find_placeholders(clause_text["GROUP BY"]):
+            return None
+        # Fast path requires SELECT list to lead with the grouping exprs so
+        # groupBy().agg() reproduces the output shape.
+        norm = [re.sub(r"\s+", " ", g).lower() for g in group_by]
+        lead = [re.sub(r"\s+", " ", s).lower() for s in select_items[: len(group_by)]]
+        if norm != lead:
+            return None
+
+    order_items: list[OrderItem] = []
+    if "ORDER BY" in clause_text:
+        if find_placeholders(clause_text["ORDER BY"]):
+            return None
+        for raw in _split_depth0_commas(clause_text["ORDER BY"]):
+            item = OrderItem(raw)
+            m = re.search(r"\bNULLS\s+(FIRST|LAST)\s*$", item.expr, re.IGNORECASE)
+            if m:
+                item.nulls_first = m.group(1).upper() == "FIRST"
+                item.expr = item.expr[: m.start()].strip()
+            m = re.search(r"\b(ASC|DESC)\s*$", item.expr, re.IGNORECASE)
+            if m:
+                item.descending = m.group(1).upper() == "DESC"
+                item.expr = item.expr[: m.start()].strip()
+            order_items.append(item)
+
+    limit = None
+    if "LIMIT" in clause_text:
+        lim_body = clause_text["LIMIT"].strip()
+        if not lim_body.isdigit():
+            return None  # parameterized/expr limit -> fall back
+        limit = int(lim_body)
+
+    return SimpleSelect(
+        select_items=select_items,
+        distinct=distinct,
+        table=table,
+        alias=alias,
+        where=where_body,
+        where_placeholders=where_placeholders,
+        group_by=group_by,
+        order_by=order_items,
+        limit=limit,
+    )
+
+
+class CompiledTemplate:
+    """A prepared fast-path statement: scan resolved once, projection
+    pre-parsed; per-execute work is one filter bind + plan composition."""
+
+    def __init__(self, spark, parsed: SimpleSelect):
+        from pyspark.sql import functions as F
+
+        self.spark = spark
+        self.parsed = parsed
+        df = spark.table(parsed.table)
+        if parsed.alias:
+            df = df.alias(parsed.alias)
+        self.scan_df = df
+        self._F = F
+        # Pre-parse static pieces once (prepare-time, not execute-time).
+        self.select_cols = [F.expr(item) for item in parsed.select_items]
+        self.group_cols = [F.expr(g) for g in parsed.group_by]
+        self.agg_cols = [F.expr(item) for item in parsed.select_items[len(parsed.group_by) :]]
+        self.order_cols = []
+        for o in parsed.order_by:
+            c = F.expr(o.expr)
+            if o.nulls_first is None:
+                c = c.desc() if o.descending else c.asc()
+            elif o.nulls_first:
+                c = c.desc_nulls_first() if o.descending else c.asc_nulls_first()
+            else:
+                c = c.desc_nulls_last() if o.descending else c.asc_nulls_last()
+            self.order_cols.append(c)
+        if parsed.where and not parsed.where_placeholders:
+            self.static_where = F.expr(parsed.where)
+        else:
+            self.static_where = None
+
+    def build(self, bound: dict):
+        """Compose the DataFrame for one execution with params bound."""
+        p = self.parsed
+        df = self.scan_df
+        if p.where:
+            if p.where_placeholders:
+                bound_where = bind_text(p.where, p.where_placeholders, bound)
+                df = df.filter(bound_where)
+            else:
+                df = df.filter(self.static_where)
+        if p.group_by:
+            df = df.groupBy(*self.group_cols).agg(*self.agg_cols)
+        else:
+            df = df.select(*self.select_cols)
+        if p.distinct:
+            df = df.distinct()
+        if self.order_cols:
+            df = df.orderBy(*self.order_cols)
+        if p.limit is not None:
+            df = df.limit(p.limit)
+        return df
+
+    def build_semi_join(self, key_rows: list[dict]):
+        """IN-list / multi-key analog (reference README.md:46-51): bind a
+        *batch* of parameter rows as data and broadcast-semi-join the scan
+        against them — Spark's native runtime-filter machinery then prunes
+        the scan, the faithful analog of a dynamic filter at scale."""
+        from pyspark.sql import functions as F
+
+        p = self.parsed
+        if not p.where or not p.where_placeholders:
+            raise ValueError("semi-join execution requires a parameterized WHERE")
+        conjuncts = _split_conjuncts(p.where)
+        eq_cols: list[tuple[str, str]] = []  # (column, canonical param)
+        for c in conjuncts:
+            m = re.match(
+                r"^\s*([A-Za-z_][\w.]*)\s*=\s*(?::([A-Za-z_]\w*)|\$(\d+))\s*$", c
+            )
+            if not m:
+                raise ValueError(f"semi-join execution requires equality conjuncts, got: {c}")
+            name = m.group(2) or ("p" + m.group(3))
+            eq_cols.append((m.group(1), name))
+        params_df = self.spark.createDataFrame(
+            [tuple(row[name] for _, name in eq_cols) for row in key_rows],
+            [name for _, name in eq_cols],
+        )
+        cond = None
+        for col, name in eq_cols:
+            piece = self.scan_df[col] == params_df[name]
+            cond = piece if cond is None else (cond & piece)
+        df = self.scan_df.join(F.broadcast(params_df), cond, "left_semi")
+        if p.group_by:
+            df = df.groupBy(*self.group_cols).agg(*self.agg_cols)
+        else:
+            df = df.select(*self.select_cols)
+        if p.distinct:
+            df = df.distinct()
+        if self.order_cols:
+            df = df.orderBy(*self.order_cols)
+        if p.limit is not None:
+            df = df.limit(p.limit)
+        return df
+
+
+def _split_conjuncts(where: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    i, n = 0, len(where)
+    while i < n:
+        c = where[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if depth == 0:
+            m = re.match(r"\bAND\b", where[i:], re.IGNORECASE)
+            if m and (i == 0 or not where[i - 1].isalnum()):
+                parts.append("".join(cur).strip())
+                cur = []
+                i += m.end()
+                continue
+        cur.append(c)
+        i += 1
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]

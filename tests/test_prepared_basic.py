@@ -1,0 +1,140 @@
+"""Parity tests with the reference's in-memory integration suite
+(tests/preparable_context_basic_test.rs) — same fixture rows, same
+assertions, reference file:line cited per test."""
+
+import pytest
+
+from datafusion_dynamic_filter_spark.errors import ParameterError, PrepareError
+from datafusion_dynamic_filter_spark.prepared import PreparedStatement
+
+
+def test_prepare_point_lookup_charlie(engine, users):
+    # reference :68-103 — id=3 -> charlie/300
+    stmt = engine.prepare("SELECT id, name, amount FROM users WHERE id = $1")
+    assert stmt.mode == "dynamic"
+    rows = stmt.execute({"$1": 3}).collect()
+    assert len(rows) == 1
+    assert rows[0].id == 3 and rows[0].name == "charlie" and rows[0].amount == 300
+
+
+def test_two_executions_one_statement(engine, users):
+    # reference :106-145 — ids 1 then 5 on the SAME statement
+    stmt = engine.prepare("SELECT id, name, amount FROM users WHERE id = $1")
+    r1 = stmt.execute({"$1": 1}).collect()
+    r2 = stmt.execute({"$1": 5}).collect()
+    assert [(r.id, r.name) for r in r1] == [(1, "alice")]
+    assert [(r.id, r.name) for r in r2] == [(5, "eve")]
+    assert stmt.executions == 2
+
+
+def test_string_param(engine, users):
+    # reference :148-183 — name = 'bob' -> id 2
+    stmt = engine.prepare("SELECT id, name FROM users WHERE name = $1")
+    rows = stmt.execute({"$1": "bob"}).collect()
+    assert [(r.id, r.name) for r in rows] == [(2, "bob")]
+
+
+def test_range_two_params(engine, users):
+    # reference :186-218 — id >= 2 AND id <= 4 -> 3 rows
+    stmt = engine.prepare("SELECT id FROM users WHERE id >= $1 AND id <= $2")
+    rows = stmt.execute({"$1": 2, "$2": 4}).collect()
+    assert sorted(r.id for r in rows) == [2, 3, 4]
+
+
+def test_empty_result_not_error(engine, users):
+    # reference :221-241 — no match -> empty, not error
+    stmt = engine.prepare("SELECT id FROM users WHERE id = $1")
+    assert stmt.execute({"$1": 999}).collect() == []
+
+
+def test_projection_single_column(engine, users):
+    # reference :244-273 — SELECT name, id=4 -> diana, exactly 1 column
+    stmt = engine.prepare("SELECT name FROM users WHERE id = $1")
+    df = stmt.execute({"$1": 4})
+    assert df.columns == ["name"]
+    assert [r.name for r in df.collect()] == ["diana"]
+
+
+def test_count_star(engine, users):
+    # reference :276-303 — COUNT(*) WHERE id >= 3 -> 3 as LongType (Int64)
+    stmt = engine.prepare('SELECT COUNT(*) as count FROM users WHERE id >= $1')
+    df = stmt.execute({"$1": 3})
+    assert df.schema["count"].dataType.typeName() == "long"
+    assert df.collect()[0]["count"] == 3
+
+
+def test_constant_select_preparable(engine):
+    # reference :60-65 — prepare("SELECT 1") works
+    stmt = engine.prepare("SELECT 1 AS one")
+    assert stmt.execute({}).collect()[0].one == 1
+
+
+def test_missing_param_error_message(engine, users):
+    # reference src/param_resolver.rs:156-168
+    stmt = engine.prepare("SELECT id FROM users WHERE id = $1")
+    with pytest.raises(ParameterError, match=r"Placeholder '\$1' was not provided a value"):
+        stmt.execute({})
+
+
+def test_ddl_rejected(engine):
+    # reference src/preparable_context.rs:18-28
+    with pytest.raises(PrepareError, match="Cannot prepare DDL statement"):
+        engine.prepare("CREATE TABLE t AS SELECT 1")
+    with pytest.raises(PrepareError, match="Cannot prepare DDL statement"):
+        engine.prepare("CREATE INDEX idx ON t(x)")
+
+
+def test_named_and_positional_spellings(engine, users):
+    stmt = engine.prepare("SELECT id FROM users WHERE id = :key")
+    assert [r.id for r in stmt.execute({"key": 2}).collect()] == [2]
+    stmt2 = engine.prepare("SELECT id FROM users WHERE id = ?")
+    assert [r.id for r in stmt2.execute([3]).collect()] == [3]
+    # positional list binds $1, $2 in order
+    stmt3 = engine.prepare("SELECT id FROM users WHERE id >= $1 AND id <= $2")
+    assert sorted(r.id for r in stmt3.execute([2, 3]).collect()) == [2, 3]
+
+
+def test_or_and_nested_predicates(engine, users):
+    # reference src/rule.rs:174-192 exercises `id = $1 OR name = 'test'`
+    stmt = engine.prepare("SELECT id FROM users WHERE id = $1 OR name = 'eve'")
+    assert sorted(r.id for r in stmt.execute({"$1": 1}).collect()) == [1, 5]
+    stmt2 = engine.prepare("SELECT id FROM users WHERE id > $1 AND id < $2")
+    assert [r.id for r in stmt2.execute({"$1": 2, "$2": 4}).collect()] == [3]
+
+
+def test_reset(engine, users):
+    stmt = engine.prepare("SELECT id FROM users WHERE id = $1")
+    stmt.execute({"$1": 1})
+    stmt.reset()
+    assert stmt.executions == 0
+    assert [r.id for r in stmt.execute({"$1": 2}).collect()] == [2]
+
+
+def test_execute_batch_semi_join(engine, users):
+    # IN-list analog (reference README.md:46-51)
+    stmt = engine.prepare("SELECT id, name FROM users WHERE id = $1")
+    rows = stmt.execute_batch([{"$1": 1}, {"$1": 3}, {"$1": 5}]).collect()
+    assert sorted(r.id for r in rows) == [1, 3, 5]
+
+
+def test_literal_mode_fallback_joins(engine, users):
+    # A statement outside the fast-path grammar still prepares + executes.
+    stmt = engine.prepare(
+        "SELECT u.id, u.name FROM users u JOIN users v ON u.id = v.id WHERE u.id = $1"
+    )
+    assert stmt.mode == "literal"
+    rows = stmt.execute({"$1": 4}).collect()
+    assert [(r.id, r.name) for r in rows] == [(4, "diana")]
+
+
+def test_string_escaping_safe(engine, users):
+    stmt = engine.prepare("SELECT id FROM users WHERE name = $1")
+    # quote + backslash must not break the bound filter, nor match anything
+    assert stmt.execute({"$1": "o'brien \\ x"}).collect() == []
+
+
+def test_plan_cache_hit(engine, users):
+    stmt = engine.prepare("SELECT id FROM users WHERE id = $1")
+    d1 = stmt.execute({"$1": 1})
+    d2 = stmt.execute({"$1": 1})
+    assert d1 is d2  # repeated key returns the cached DataFrame
