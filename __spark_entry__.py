@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship prepared-statement query at sf0.001.
+``queries()`` / ``oracle_sql()`` re-export the engine's operator registry
+(datafusion_dynamic_filter_spark/registry.py) — one entry per implemented
+operator from SURVEY.md §2 plus the training-data pipeline operators.
 """
 
 from __future__ import annotations
@@ -13,26 +12,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datafusion_dynamic_filter_spark import registry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one PreparedStatement executed twice with different
+    parameters (the reference's defining behavior,
+    tests/preparable_context_basic_test.rs:106-145), then a prepared
+    aggregation — returns the TPC-H Q1 style pricing summary."""
+    from datafusion_dynamic_filter_spark import Engine
+
+    sf_dir = "/root/testdata/sf0.001"
+    registry.tables(spark, sf_dir)
+    eng = Engine(spark)
+    lookup = eng.prepare(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1"
+    )
+    lookup.execute({"$1": 1}).collect()
+    lookup.execute({"$1": 5}).collect()
+    registry.load_all()
+    return registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    registry.load_all()
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    registry.load_all()
+    return dict(registry.ORACLES)

@@ -1,0 +1,225 @@
+"""Deduplication operators over the ``documents`` table — first-class
+training-data pipeline components (exact, near-dup via n-gram Jaccard,
+MinHash+LSH, SimHash).
+
+Scale design: every stage is expressed as DataFrame ops with shuffle keys
+chosen for 100 TB operation —
+- exact dedup shuffles on a 128-bit content hash (uniform, unskewed);
+- MinHash/LSH turns the O(n^2) pair problem into an equi-join on
+  (band, bucket) keys, so candidate generation is a hash join, and only
+  candidates pay the exact-verify cost;
+- SimHash blocks on 16-bit signature chunks (4 chunks -> Hamming<=? guarantees
+  any pair within distance 3 of 64 bits shares >= 1 chunk by pigeonhole).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import (
+    band_hashes,
+    distinct_tokens,
+    fingerprint_md5,
+    hamming64,
+    minhash_signature,
+    simhash64,
+    token_jaccard,
+    word_shingles,
+)
+from ..registry import query, tables
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+    CAST(count(*) AS BIGINT) AS n_copies,
+    CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY md5(text)
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content hash; keeper = min doc_id."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+    CAST(count(*) AS BIGINT) AS n_copies,
+    CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup after whitespace/case normalization."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(fingerprint_md5("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+    SELECT doc_id, lang,
+    list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.tok, b.tok))), 4) AS jaccard
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.tok, b.tok))), 4) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by token-set Jaccard >= 0.8, blocked by language.
+
+    The lang block bounds the pair space; at 100 TB the block key would be an
+    LSH bucket (see dedup_minhash_lsh) — this operator is the exact
+    verifier used downstream of candidate generation.
+    """
+    t = tables(spark, sf_dir)
+    toks = t["documents"].select(
+        "doc_id", "lang", distinct_tokens("text").alias("tok")
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    jac = F.round(token_jaccard(F.col("a.tok"), F.col("b.tok")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: xxhash64-based sketch is Spark-native
+def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
+    """MinHash + LSH near-dup candidate pairs with exact Jaccard verify.
+
+    Pipeline (all joins/aggs on uniform hash keys — no skew at scale):
+      1. shingle: distinct word 3-grams per doc
+      2. signature: 32 minhashes (xxhash64 seeded per position)
+      3. banding: 8 bands x 4 rows -> per-band bucket hash
+      4. candidates: explode bands, equi-join on (band_idx, bucket)
+      5. verify: exact shingle Jaccard >= 0.5 on candidates only
+    """
+    rows_per_band = num_hashes // bands
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", word_shingles(distinct_tokens("text"), 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    sig = docs.select(
+        "doc_id",
+        "shingles",
+        band_hashes(
+            minhash_signature(F.col("shingles"), num_hashes), bands, rows_per_band
+        ).alias("bands"),
+    )
+    exploded = sig.select(
+        "doc_id", "shingles", F.posexplode("bands").alias("band_idx", "bucket")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard", F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash")  # no SQL oracle: xxhash64-based sketch is Spark-native
+def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
+    """SimHash near-dup pairs: 64-bit signatures, 16-bit chunk blocking.
+
+    Pigeonhole: any pair with Hamming distance <= 3 shares at least one of
+    the four 16-bit chunks, so blocking on chunks finds all such pairs with
+    an equi-join instead of a cross join.
+    """
+    t = tables(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", distinct_tokens("text").alias("tok")
+    ).filter(F.size("tok") > 0)
+    sigs = docs.select("doc_id", simhash64(F.col("tok")).alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sig"), 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

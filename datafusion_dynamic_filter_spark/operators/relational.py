@@ -1,0 +1,771 @@
+"""Relational operator coverage (SURVEY.md §2 Tier B + Tier C).
+
+Tier B entries run through the PreparedStatement engine (the reference's own
+exercised behaviors, tests/preparable_context_basic_test.rs +
+tests/preparable_context_parquet_test.rs); Tier C entries cover the inherited
+SQL surface admitted by prepare() (src/preparable_context.rs:15-30) — joins,
+aggregation, windows, set ops, subqueries, scalar functions — expressed
+declaratively so Catalyst owns the physical strategy.
+"""
+
+from __future__ import annotations
+
+from ..engine import Engine
+from ..registry import query, tables
+
+# --------------------------------------------------------------------------
+# Tier B — prepared-statement behaviors (reference correctness targets)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "prepared_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey = 42
+    """,
+)
+def prepared_point_lookup(spark, sf_dir):
+    # B5: WHERE id = $1 (tests/preparable_context_basic_test.rs:68-103)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
+        "FROM orders WHERE o_orderkey = $1"
+    )
+    return stmt.execute({"$1": 42})
+
+
+@query(
+    "prepared_repeat_execution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = 5
+    """,
+)
+def prepared_repeat_execution(spark, sf_dir):
+    # B11: two executions of ONE statement; result of the second is checked
+    # (tests/preparable_context_basic_test.rs:106-145)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1"
+    )
+    stmt.execute({"$1": 1}).collect()
+    return stmt.execute({"$1": 5})
+
+
+@query(
+    "prepared_string_eq",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_name = 'NATION_7'
+    """,
+)
+def prepared_string_eq(spark, sf_dir):
+    # B6: string equality param (tests/preparable_context_basic_test.rs:148-183)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_name = $1"
+    )
+    return stmt.execute({"$1": "NATION_7"})
+
+
+@query(
+    "prepared_range_conjunction",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 15
+    """,
+)
+def prepared_range_conjunction(spark, sf_dir):
+    # B7: >= AND <= two-param range (tests/preparable_context_basic_test.rs:186-218)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        "FROM lineitem WHERE l_quantity >= $1 AND l_quantity <= $2"
+    )
+    return stmt.execute([10.0, 15.0])
+
+
+@query(
+    "prepared_mixed_range",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_custkey >= 1400 AND o_totalprice <= 50000
+    """,
+)
+def prepared_mixed_range(spark, sf_dir):
+    # B7 variant: range over two different columns
+    # (tests/preparable_context_parquet_test.rs:192-232)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_orderkey FROM orders WHERE o_custkey >= $1 AND o_totalprice <= $2"
+    )
+    return stmt.execute([1400, 50000.0])
+
+
+@query(
+    "prepared_count_star",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM customer WHERE c_acctbal >= 1000
+    """,
+)
+def prepared_count_star(spark, sf_dir):
+    # B9: COUNT(*) over filtered input -> Int64/LongType
+    # (tests/preparable_context_basic_test.rs:276-303)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT COUNT(*) AS cnt FROM customer WHERE c_acctbal >= $1"
+    )
+    return stmt.execute([1000.0])
+
+
+@query(
+    "prepared_projection",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderkey = 100
+    """,
+)
+def prepared_projection(spark, sf_dir):
+    # B4: single-column projection (tests/preparable_context_basic_test.rs:244-273)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_orderpriority FROM orders WHERE o_orderkey = $1"
+    )
+    return stmt.execute([100])
+
+
+@query(
+    "prepared_empty_result",
+    oracle="""
+    SELECT o_orderkey FROM orders WHERE o_orderkey = -1
+    """,
+)
+def prepared_empty_result(spark, sf_dir):
+    # empty result is not an error (tests/preparable_context_basic_test.rs:221-241)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare("SELECT o_orderkey FROM orders WHERE o_orderkey = $1")
+    return stmt.execute([-1])
+
+
+@query(
+    "prepared_or_predicate",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderkey = 7 OR o_orderkey = 11
+    """,
+)
+def prepared_or_predicate(spark, sf_dir):
+    # B8: OR / nested boolean predicates with placeholders (src/rule.rs:174-192)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey = $1 OR o_orderkey = $2"
+    )
+    return stmt.execute([7, 11])
+
+
+@query(
+    "prepared_in_list_batch",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (2, 4, 6, 8, 10, 12, 14, 16, 18, 20)
+    """,
+)
+def prepared_in_list_batch(spark, sf_dir):
+    # B15: multi-key IN-list via params-as-data broadcast semi-join
+    # (reference README.md:46-51 benchmark capability)
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1"
+    )
+    return stmt.execute_batch([[k] for k in range(2, 21, 2)])
+
+
+@query(
+    "constant_select",
+    oracle="""
+    SELECT 1 AS one, 'x' AS tag
+    """,
+)
+def constant_select(spark, sf_dir):
+    # B10: literal-only query (tests/preparable_context_basic_test.rs:60-65)
+    stmt = Engine(spark).prepare("SELECT 1 AS one, 'x' AS tag")
+    return stmt.execute()
+
+
+# --------------------------------------------------------------------------
+# Tier C — inherited SQL surface (aggregation / joins / windows / set ops)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+    round(sum(l_quantity), 2) AS sum_qty,
+    round(sum(l_extendedprice), 2) AS sum_base_price,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+    round(avg(l_quantity), 4) AS avg_qty,
+    round(avg(l_extendedprice), 4) AS avg_price,
+    round(avg(l_discount), 4) AS avg_disc,
+    CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    # TPC-H Q1 shape: scan-heavy group-by aggregation with map-side partials.
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+    o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1999-03-15 00:00:00'
+    GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    # TPC-H Q3 shape: 3-way join + agg + total-order top-k.
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+             JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1999-03-15 00:00:00'
+        GROUP BY l_orderkey, date_format(o_orderdate, 'yyyy-MM-dd'), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    # TPC-H Q5 shape: 6-way join; dims are broadcast-able, fact join shuffles.
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    # B14 analog: fact joined to a broadcast dim chain (hash-join dynamic
+    # filtering motivation, reference README.md:23).
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    dims = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+    )
+    return (
+        t["orders"]
+        .join(dims.select("c_custkey", "r_name"), t["orders"].o_custkey == F.col("c_custkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "semi_join_exists",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    ORDER BY c_custkey
+    """,
+)
+def semi_join_exists(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
+    return (
+        t["customer"]
+        .join(big, t["customer"].c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "anti_join_not_exists",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_not_exists(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "left_outer_order_counts",
+    oracle="""
+    SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def left_outer_order_counts(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        t["customer"]
+        .join(t["orders"], t["customer"].c_custkey == t["orders"].o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    # Sort/limit -> Spark's TakeOrderedAndProject (no full sort at scale).
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+    FROM customer) t
+    WHERE rn <= 3
+    ORDER BY c_mktsegment, c_acctbal DESC, c_custkey
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        t["customer"]
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", F.desc("c_acctbal"), "c_custkey")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+    round(sum(o_totalprice) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+    round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS delta
+    FROM events WHERE user_id < 20
+    ORDER BY user_id, event_id
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def distinct_agg(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "grouping_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+    coalesce(n_name, 'ALL') AS nation_name,
+    CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    ORDER BY region_name, nation_name
+    """,
+)
+def grouping_rollup(spark, sf_dir):
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(r_name, 'ALL') AS region_name,
+               coalesce(n_name, 'ALL') AS nation_name,
+               count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY region_name, nation_name
+        """
+    )
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_custkey
+    """,
+)
+def setop_intersect(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.intersect(o).orderBy("o_custkey")
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    ORDER BY o_custkey
+    """,
+)
+def setop_except(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    f = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    p = t["orders"].filter(F.col("o_orderstatus") == "P").select("o_custkey")
+    return f.subtract(p).orderBy("o_custkey")
+
+
+@query(
+    "union_all_counts",
+    oracle="""
+    SELECT label, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT o_orderpriority AS label FROM orders
+    UNION ALL
+    SELECT event_type AS label FROM events
+    ) u GROUP BY label ORDER BY label
+    """,
+)
+def union_all_counts(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    u = t["orders"].select(F.col("o_orderpriority").alias("label")).unionAll(
+        t["events"].select(F.col("event_type").alias("label"))
+    )
+    return u.groupBy("label").agg(F.count(F.lit(1)).alias("n")).orderBy("label")
+
+
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+    upper(p_brand) AS brand_u,
+    substr(p_name, 1, 8) AS name_prefix,
+    length(p_type) AS type_len,
+    CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium' ELSE 'small' END AS size_class,
+    round(p_retailprice * 1.1, 2) AS inflated
+    FROM part WHERE p_partkey < 100 ORDER BY p_partkey
+    """,
+)
+def scalar_functions(spark, sf_dir):
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_u,
+               substr(p_name, 1, 8) AS name_prefix,
+               length(p_type) AS type_len,
+               CASE WHEN p_size > 25 THEN 'large' WHEN p_size > 10 THEN 'medium' ELSE 'small' END AS size_class,
+               round(p_retailprice * 1.1, 2) AS inflated
+        FROM part WHERE p_partkey < 100 ORDER BY p_partkey
+        """
+    )
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY strftime(date_trunc('day', ts), '%Y-%m-%d')
+    ORDER BY day
+    """,
+)
+def date_functions(spark, sf_dir):
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS day,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY date_format(date_trunc('DAY', ts), 'yyyy-MM-dd')
+        ORDER BY day
+        """
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    HAVING count(*) > 3
+    ORDER BY n_name
+    """,
+)
+def having_filter(spark, sf_dir):
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING count(*) > 3
+        ORDER BY n_name
+        """
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT count(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "in_subquery",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+    ORDER BY c_custkey
+    """,
+)
+def in_subquery(spark, sf_dir):
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "conditional_agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+    round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+    round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+    round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def conditional_agg_pivot(spark, sf_dir):
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS total_f,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS total_o,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS total_p
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+@query("approx_count_distinct")  # no oracle: HLL sketches differ across engines
+def approx_count_distinct(spark, sf_dir):
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .orderBy("event_type")
+    )

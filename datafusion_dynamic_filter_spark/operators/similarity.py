@@ -1,0 +1,218 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+Baseline: brute-force cosine top-k as a broadcast nested-loop (exact).
+Scale path: LSH bucketing (random hyperplanes) so candidate generation is an
+equi-join on bucket keys; at 100 TB the query set is broadcast and the corpus
+is scanned once, partition-parallel, with per-partition top-k folded by the
+final TakeOrdered — no global sort of the full score matrix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import cosine, dot, l2_norm, vec_double
+from ..registry import query, tables
+
+
+@query(
+    "similarity_brute_topk",
+    oracle="""
+    WITH q AS (
+    SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+    FROM embeddings WHERE vec_id % 100 = 0
+    ), scored AS (
+    SELECT q.q_id, e.vec_id AS neighbor_id,
+    round(list_dot_product(q.qv, list_transform(e.embedding, x -> CAST(x AS DOUBLE)))
+    / (sqrt(list_dot_product(q.qv, q.qv))
+    * sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+    list_transform(e.embedding, x -> CAST(x AS DOUBLE))))), 3) AS cos_sim
+    FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), ranked AS (
+    SELECT q_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+    ORDER BY q_id, cos_sim DESC, neighbor_id
+    """,
+)
+def similarity_brute_topk(spark, sf_dir, *, k: int = 5):
+    """Exact ANN baseline: broadcast the query set, score every corpus
+    vector, keep top-k per query via window rank.
+
+    The cosine is rounded to 3 decimals BEFORE ranking on both engines so
+    float last-ulp differences cannot flip the top-k ordering.
+    """
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", vec_double("embedding").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos_sim")
+        .orderBy("q_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+@query("similarity_lsh_topk")  # no SQL oracle: hyperplane sketch is Spark-native
+def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = 12):
+    """LSH-bucketed ANN: sign-random-projection signatures, candidates from
+    matching buckets only, exact cosine re-rank on candidates.
+
+    Hyperplanes are derived deterministically from xxhash64(dim, plane) so
+    executors regenerate them locally — nothing is shipped, nothing random.
+    At scale this replaces the full cross product with an equi-join whose
+    right side is ~corpus/2^planes per bucket.
+    """
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
+    dims = emb.select(F.size("v").alias("d")).first()["d"]
+
+    def signature(vcol):
+        bits = []
+        for p in range(n_planes):
+            # plane vector component i = +-1 by parity of xxhash64(i, p)
+            proj = F.aggregate(
+                F.zip_with(
+                    vcol,
+                    F.sequence(F.lit(0), F.lit(dims - 1)),
+                    lambda x, i: F.when(
+                        F.xxhash64(i, F.lit(p)).bitwiseAND(F.lit(1).cast("long")) == 0, x
+                    ).otherwise(-x),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out.bitwiseOR(b)
+        return out
+
+    corpus = emb.withColumn("bucket", signature(F.col("v")))
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = F.broadcast(queries).join(
+        corpus,
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos_sim")
+        .orderBy("q_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+    CAST(count(*) AS BIGINT) AS n_vecs,
+    round(avg(sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+    list_transform(embedding, x -> CAST(x AS DOUBLE))))), 4) AS avg_norm,
+    round(avg(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 4) AS avg_component_sum
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Vector-column hygiene stats per label (norms, component sums)."""
+    t = tables(spark, sf_dir)
+    v = vec_double("embedding")
+    return (
+        t["embeddings"]
+        .select(
+            "label",
+            l2_norm(v).alias("norm"),
+            F.aggregate(v, F.lit(0.0), lambda a, x: a + x).alias("csum"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("norm"), 4).alias("avg_norm"),
+            F.round(F.avg("csum"), 4).alias("avg_component_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
+    "embedding_centroid_distance",
+    oracle="""
+    WITH bydim AS (
+    SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+    FROM embeddings
+    ), cent AS (
+    SELECT label, i, avg(CAST(x AS DOUBLE)) AS cx FROM bydim GROUP BY label, i
+    ), centv AS (
+    SELECT label, list(cx ORDER BY i) AS c FROM cent GROUP BY label
+    )
+    SELECT e.label, CAST(count(*) AS BIGINT) AS n,
+    round(avg(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), c.c)), 3) AS avg_dot_centroid
+    FROM embeddings e JOIN centv c ON e.label = c.label
+    GROUP BY e.label
+    ORDER BY e.label
+    """,
+)
+def embedding_centroid_distance(spark, sf_dir):
+    """Per-label centroid, then mean dot(vector, centroid) — the building
+    block of IVF-style partitioned ANN (assign -> search nearest cells)."""
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select("label", "vec_id", vec_double("embedding").alias("v"))
+    dims = emb.select(F.size("v").alias("d")).first()["d"]
+    by_dim = emb.select(
+        "label", "vec_id", F.posexplode("v").alias("dim", "x")
+    )
+    cent = (
+        by_dim.groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "cx"))
+            ).alias("pairs")
+        )
+        .select(
+            "label", F.transform("pairs", lambda s: s.getField("cx")).alias("c")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    return (
+        joined.select("label", dot(F.col("v"), F.col("c")).alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("d"), 3).alias("avg_dot_centroid"),
+        )
+        .orderBy("label")
+    )

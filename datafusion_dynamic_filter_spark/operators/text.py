@@ -1,0 +1,205 @@
+"""Text-analysis operators over ``documents`` — language ID, quality
+scoring, token counting, fingerprinting.  All JVM-side column expressions
+(regexp/array built-ins), no Python UDFs in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import distinct_tokens, fingerprint_md5, tokens
+from ..registry import query, tables
+
+# Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "a", "value", "table"],
+    "fr": ["le", "la", "et", "valeur"],
+    "de": ["der", "die", "und", "wert"],
+    "es": ["el", "la", "y", "valor"],
+}
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(len(string_split_regex(lower(trim(text)), '\\s+'))) AS BIGINT) AS total_tokens,
+    round(avg(len(string_split_regex(lower(trim(text)), '\\s+'))), 4) AS avg_tokens,
+    CAST(sum(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))) AS BIGINT) AS total_uniq_tokens
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting per language: totals, averages, unique-token totals."""
+    t = tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("n_chars") > 0)
+    return (
+        d.select(
+            "lang",
+            F.size(tokens("text")).alias("n_tok"),
+            F.size(distinct_tokens("text")).alias("n_uniq"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.sum("n_uniq").alias("total_uniq_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens,
+    round(CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+    / len(string_split_regex(lower(trim(text)), '\\s+')), 4) AS uniq_ratio,
+    round(CAST(len(regexp_extract_all(text, '[a-zA-Z]')) AS DOUBLE) / length(text), 4) AS alpha_ratio,
+    CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) >= 20
+    AND CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+    / len(string_split_regex(lower(trim(text)), '\\s+')) >= 0.3
+    THEN 'keep' ELSE 'drop' END AS verdict
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: token count, lexical diversity, alpha ratio, and a
+    keep/drop verdict — the filter stage of a pretraining pipeline."""
+    t = tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("n_chars") > 0)
+    tok = tokens("text")
+    n_tokens = F.size(tok)
+    uniq_ratio = F.round(
+        F.size(distinct_tokens("text")).cast("double") / n_tokens, 4
+    )
+    alpha_ratio = F.round(
+        F.regexp_count("text", F.lit("[a-zA-Z]")).cast("double") / F.length("text"), 4
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.cast("long").alias("n_tokens"),
+            uniq_ratio.alias("uniq_ratio"),
+            alpha_ratio.alias("alpha_ratio"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(
+                (F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.3), "keep"
+            ).otherwise("drop"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "lang_id_heuristic",
+    oracle="""
+    WITH scored AS (
+    SELECT doc_id, lang,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+    x -> x IN ('the', 'a', 'value', 'table'))) AS en_hits,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+    x -> x IN ('le', 'la', 'et', 'valeur'))) AS fr_hits,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+    x -> x IN ('der', 'die', 'und', 'wert'))) AS de_hits,
+    len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+    x -> x IN ('el', 'la', 'y', 'valor'))) AS es_hits
+    FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang,
+    CASE
+    WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+    WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+    WHEN de_hits >= es_hits THEN 'de'
+    ELSE 'es' END AS predicted_lang
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Stopword-hit language ID with a deterministic argmax tie-break
+    (en > fr > de > es)."""
+    t = tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("n_chars") > 0)
+    tok = tokens("text")
+    hits = {
+        lang: F.size(
+            F.filter(tok, lambda x: x.isin(markers))  # noqa: B023
+        ).alias(f"{lang}_hits")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = d.select("doc_id", "lang", *hits.values())
+    en, fr, de, es = [F.col(f"{lang}_hits") for lang in ("en", "fr", "de", "es")]
+    pred = (
+        F.when((en >= fr) & (en >= de) & (en >= es), "en")
+        .when((fr >= de) & (fr >= es), "fr")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+    return scored.select("doc_id", "lang", pred.alias("predicted_lang")).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "doc_fingerprint_stats",
+    oracle="""
+    SELECT source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS BIGINT) AS n_distinct_fp
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_fingerprint_stats(spark, sf_dir):
+    """Content-fingerprint cardinality per source (dup-rate monitoring)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", fingerprint_md5("text").alias("fp"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_distinct_fp"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "token_frequencies",
+    oracle="""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+    FROM documents WHERE n_chars > 0
+    ) u
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def token_frequencies(spark, sf_dir):
+    """Corpus token frequency top-20 (explode -> groupBy; the shuffle key is
+    the token itself — high-frequency skew is handled by partial aggregation
+    before the shuffle)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )

@@ -1,0 +1,67 @@
+"""Query/oracle registry — the correctness surface of the engine.
+
+Every implemented operator from SURVEY.md §2 registers here as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle SQL string over the same parquet tables.  ``__spark_entry__.py``
+re-exports this registry for the driver's correctness gate.
+
+Conventions that keep the Spark/DuckDB comparison stable:
+- every computed column is aliased identically on both sides;
+- floating aggregates are ``round()``-ed on both sides (engines disagree in
+  the last ulp on different summation orders);
+- timestamps in output are formatted to strings on both sides;
+- queries with LIMIT carry a total order (tie-broken by a key column).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+_loaded: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_current_sf: dict[int, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query implementation and (optionally) its DuckDB oracle."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = _dedent(oracle)
+        return fn
+
+    return deco
+
+
+def _dedent(sql: str) -> str:
+    return "\n".join(line.strip() for line in sql.strip().splitlines())
+
+
+def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load + register testdata tables once per (session, sf_dir).
+
+    If the session last registered views for a DIFFERENT sf_dir, re-register
+    them from the cached DataFrames so view names always resolve to the
+    requested scale factor."""
+    from .engine import load_tables
+
+    sf_abs = os.path.abspath(sf_dir)
+    key = (id(spark), sf_abs)
+    if key not in _loaded:
+        _loaded[key] = load_tables(spark, sf_dir)
+    elif _current_sf.get(id(spark)) != sf_abs:
+        for name, df in _loaded[key].items():
+            df.createOrReplaceTempView(name)
+    _current_sf[id(spark)] = sf_abs
+    return _loaded[key]
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    from .operators import dedup, relational, similarity, text  # noqa: F401
