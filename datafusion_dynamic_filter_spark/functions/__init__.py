@@ -47,64 +47,64 @@ def token_jaccard(a: Column, b: Column) -> Column:
 
 
 # -- hashing / sketches ----------------------------------------------------
+#
+# MinHash / SimHash signatures are computed over EXPLODED (doc, shingle)
+# rows — one small aggregate expression per signature position — rather
+# than as one giant array expression per document.  The per-document array
+# form generates multi-megabyte whole-stage-codegen classes (observed
+# 10 MB task binaries and ~20 s compile-dominated runtimes); the exploded
+# form keeps codegen tiny at the cost of one well-keyed shuffle on doc_id,
+# which scales linearly on a cluster.
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature: for seed i, min over shingles of xxhash64(s, i).
-
-    xxhash64 is a JVM-native 64-bit hash (whole-stage codegen friendly);
-    one array_min per seed over the shingle array — no shuffle, no UDF.
-    """
-    mins = [
-        F.array_min(
-            F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh{i}")
+def minhash_agg_columns(shingle_col: str, num_hashes: int = 32) -> list[Column]:
+    """Aggregate columns computing a MinHash signature over exploded
+    (doc_id, shingle) rows: position i = min(xxhash64(shingle, i))."""
+    return [
+        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return F.array(*mins)
 
 
-def band_hashes(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: hash each band of the signature to one bucket key."""
+def band_bucket_array(num_hashes: int, bands: int) -> Column:
+    """Bucket keys after minhash aggregation: band b hashes its
+    rows_per_band signature columns into one 64-bit key."""
+    rows_per_band = num_hashes // bands
     return F.array(
         *[
             F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(signature, b * rows_per_band + r + 1).cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                ),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
                 F.lit(b),
-            ).alias(f"band{b}")
+            )
             for b in range(bands)
         ]
     )
 
 
-def simhash64(tok: Column) -> Column:
-    """64-bit SimHash over token xxhash64 values.
-
-    For each bit position j, sum +-1 over tokens by bit j of the token hash,
-    then take the sign bit.  Pure array expressions — distributed, no UDF.
-    """
-    hashes = F.transform(tok, lambda t: F.xxhash64(t))
-    bit_cols = []
+def simhash_agg_columns(hash_col: str = "h") -> list[Column]:
+    """Aggregate columns for SimHash over exploded (doc_id, token-hash)
+    rows: per bit position, the +-1 vote sum."""
+    cols = []
     for j in range(64):
-        # bit 63 of a signed 64-bit long is the sign bit: 1<<63 overflows a
-        # JVM long literal, so use its two's-complement value.
+        # bit 63 of a signed long is the sign bit; 1<<63 overflows a JVM
+        # long literal, so use its two's-complement value.
         mask = (1 << j) if j < 63 else -(1 << 63)
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1).otherwise(-1),
+        vote = F.when(
+            F.col(hash_col).bitwiseAND(F.lit(mask).cast("long")) != 0, 1
+        ).otherwise(-1)
+        cols.append(F.sum(vote).alias(f"v{j}"))
+    return cols
+
+
+def simhash_from_votes() -> Column:
+    """Fold the 64 vote sums (v0..v63) into the signature long."""
+    out = None
+    for j in range(64):
+        mask = (1 << j) if j < 63 else -(1 << 63)
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(mask).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        bit_cols.append(F.when(votes > 0, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out.bitwiseOR(c)
+        out = bit if out is None else out.bitwiseOR(bit)
     return out
 
 

@@ -17,12 +17,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import (
-    band_hashes,
+    band_bucket_array,
     distinct_tokens,
     fingerprint_md5,
     hamming64,
-    minhash_signature,
-    simhash64,
+    minhash_agg_columns,
+    simhash_agg_columns,
+    simhash_from_votes,
     token_jaccard,
     word_shingles,
 )
@@ -137,23 +138,18 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
       4. candidates: explode bands, equi-join on (band_idx, bucket)
       5. verify: exact shingle Jaccard >= 0.5 on candidates only
     """
-    rows_per_band = num_hashes // bands
     t = tables(spark, sf_dir)
     docs = t["documents"].select(
         "doc_id", word_shingles(distinct_tokens("text"), 3).alias("shingles")
     ).filter(F.size("shingles") > 0)
-    sig = docs.select(
-        "doc_id",
-        "shingles",
-        band_hashes(
-            minhash_signature(F.col("shingles"), num_hashes), bands, rows_per_band
-        ).alias("bands"),
+    # Exploded signature computation: tiny codegen, one shuffle on doc_id.
+    exploded_sh = docs.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig = exploded_sh.groupBy("doc_id").agg(*minhash_agg_columns("shingle", num_hashes))
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_bucket_array(num_hashes, bands)).alias("band_idx", "bucket")
     )
-    exploded = sig.select(
-        "doc_id", "shingles", F.posexplode("bands").alias("band_idx", "bucket")
-    )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
     cand = (
         a.join(
             b,
@@ -161,18 +157,16 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Exact verify only on candidates: join shingle arrays back in.
+    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.withColumn(
-            "jaccard", F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
-        )
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
@@ -191,7 +185,12 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     docs = t["documents"].select(
         "doc_id", distinct_tokens("text").alias("tok")
     ).filter(F.size("tok") > 0)
-    sigs = docs.select("doc_id", simhash64(F.col("tok")).alias("sig"))
+    # Exploded vote aggregation (see functions/: avoids codegen blowup).
+    tok_hashes = docs.select("doc_id", F.explode("tok").alias("t")).select(
+        "doc_id", F.xxhash64("t").alias("h")
+    )
+    votes = tok_hashes.groupBy("doc_id").agg(*simhash_agg_columns("h"))
+    sigs = votes.select("doc_id", simhash_from_votes().alias("sig"))
     chunks = sigs.select(
         "doc_id",
         "sig",
