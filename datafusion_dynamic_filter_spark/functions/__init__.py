@@ -112,6 +112,21 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def round_half_away(col: Column, scale: int) -> Column:
+    """Round-half-away-from-zero on the BINARY double value.
+
+    Spark's ``round`` re-parses the double's shortest decimal representation
+    (BigDecimal.valueOf), so round(1093.235, 2) -> 1093.24 even though the
+    binary value is 1093.23499...; C-family engines (DuckDB, numpy) round the
+    binary value -> 1093.23.  For cross-engine-stable results use this
+    emulation on BOTH sides: floor(|x|*10^s + 0.5)/10^s * sign(x) — pure IEEE
+    ops, bit-identical everywhere.  Matching DuckDB SQL:
+    ``sign(x) * floor(abs(x) * POW + 0.5) / POW``.
+    """
+    pow10 = F.lit(float(10**scale))
+    return F.signum(col) * F.floor(F.abs(col) * pow10 + F.lit(0.5)) / pow10
+
+
 # -- vectors ---------------------------------------------------------------
 
 

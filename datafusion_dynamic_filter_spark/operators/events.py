@@ -1,0 +1,195 @@
+"""Event-stream operators over the ``events`` table (batch forms; the
+streaming twins live in ``streaming/``): tumbling windows, sessionization,
+funnels, as-of enrichment.  All window/aggregate built-ins — no UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query, tables
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+    event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+def events_tumbling_hourly(spark, sf_dir):
+    """Tumbling 1-hour window aggregation (batch twin of the streaming
+    windowed count; F.window gives identical bucketing at any scale)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.date_format(F.window("ts", "1 hour").getField("start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH gaps AS (
+    SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    > 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+    FROM events
+    ), sessions AS (
+    SELECT user_id, event_id,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM gaps
+    )
+    SELECT user_id,
+    CAST(max(session_seq) AS BIGINT) AS n_sessions,
+    CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): the classic
+    lag -> flag -> running-sum pattern; at scale the only shuffle is the
+    window partition on user_id."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Microsecond arithmetic on both engines: second-granularity casts
+    # truncate and disagree exactly at the 30-min boundary.
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessions = t["events"].select(
+        "user_id",
+        "event_id",
+        F.sum(new_session).over(run).alias("session_seq"),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_seq").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    SELECT
+    CAST(count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS BIGINT) AS viewed,
+    CAST(count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS clicked,
+    CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS purchased
+    FROM events
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Conditional distinct-count funnel in one pass over the events scan."""
+    t = tables(spark, sf_dir)
+    return t["events"].agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("viewed"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("clicked"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("purchased"),
+    )
+
+
+@query(
+    "events_asof_enrich",
+    oracle="""
+    WITH signup AS (
+    SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT e.user_id,
+    CAST(count(*) AS BIGINT) AS n_after_signup,
+    round(sum(e.value), 2) AS value_after_signup
+    FROM events e JOIN signup s ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+    GROUP BY e.user_id
+    ORDER BY e.user_id
+    """,
+)
+def events_asof_enrich(spark, sf_dir):
+    """Point-in-time (as-of) enrichment: activity at-or-after each user's
+    first signup.  The range condition rides on the user_id equi-join, so
+    Spark still gets a hash join with a post-join filter — no BNLJ."""
+    t = tables(spark, sf_dir)
+    signup = (
+        t["events"]
+        .filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    e = t["events"].alias("e")
+    s = signup.alias("s")
+    return (
+        e.join(
+            s,
+            (F.col("e.user_id") == F.col("s.user_id"))
+            & (F.col("e.ts") >= F.col("s.signup_ts")),
+        )
+        .groupBy(F.col("e.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_after_signup"),
+            F.round(F.sum("e.value"), 2).alias("value_after_signup"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_range_join_bins",
+    oracle="""
+    WITH bins AS (
+    SELECT 0 AS bin_id, 0.0 AS lo, 25.0 AS hi UNION ALL
+    SELECT 1, 25.0, 50.0 UNION ALL
+    SELECT 2, 50.0, 75.0 UNION ALL
+    SELECT 3, 75.0, 1e9
+    )
+    SELECT b.bin_id, CAST(count(*) AS BIGINT) AS n, round(avg(e.value), 4) AS avg_value
+    FROM events e JOIN bins b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.bin_id
+    ORDER BY b.bin_id
+    """,
+)
+def events_range_join_bins(spark, sf_dir):
+    """Theta/range join against a tiny bin table — broadcast nested loop on
+    purpose: the small side is 4 rows, so BNLJ is the *right* physical plan
+    and stays O(n) at any scale."""
+    t = tables(spark, sf_dir)
+    bins = spark.createDataFrame(
+        [(0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 75.0), (3, 75.0, 1e9)],
+        "bin_id int, lo double, hi double",
+    )
+    e = t["events"]
+    return (
+        e.join(F.broadcast(bins), (e.value >= bins.lo) & (e.value < bins.hi))
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("bin_id")
+    )

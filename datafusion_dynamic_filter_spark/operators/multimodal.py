@@ -1,0 +1,151 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake (documented stub) — but everything Spark-side is real
+and tested: binary column construction, schema, batch iteration, UDF
+signatures, partitioning.  Swapping ``_fake_decode`` for PIL/librosa is a
+one-function change that does not touch the distributed plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..registry import query, tables
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """STUB decode: derives deterministic pseudo-metadata from the payload
+    bytes (stands in for an image decoder; see module docstring)."""
+    digest = hashlib.md5(payload).hexdigest()
+    return {
+        "width": 64 + (ord(digest[0]) % 16),
+        "height": 64 + (ord(digest[1]) % 16),
+        "channels": 3,
+    }
+
+
+def binary_documents(spark, sf_dir):
+    """documents.text re-encoded as an opaque binary payload column +
+    typed metadata — the shape of a real multimodal table."""
+    t = tables(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("lang").alias("language"),
+            F.octet_length("text").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id,
+    CAST(strlen(text) AS BIGINT) AS n_bytes,
+    CAST(64 + (ascii(substr(md5(text), 1, 1)) % 16) AS BIGINT) AS width,
+    CAST(64 + (ascii(substr(md5(text), 2, 1)) % 16) AS BIGINT) AS height
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_decode_stats(spark, sf_dir):
+    """Decode-stub pipeline: binary payloads -> mapInPandas batches ->
+    per-item metadata.  The oracle reproduces the deterministic fake decode
+    arithmetic, validating the whole Arrow round-trip."""
+    bin_docs = binary_documents(spark, sf_dir)
+
+    def decode(batches):
+        for pdf in batches:
+            meta = pdf["payload"].map(lambda b: _fake_decode(bytes(b)))
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            out["n_bytes"] = pdf["payload"].map(len)
+            out["width"] = meta.map(lambda m: m["width"])
+            out["height"] = meta.map(lambda m: m["height"])
+            yield out
+
+    return (
+        bin_docs.select("doc_id", "payload")
+        .mapInPandas(decode, "doc_id long, n_bytes long, width long, height long")
+        .orderBy("doc_id")
+    )
+
+
+@query("multimodal_resize_batch")  # rows-only: stubbed pixel op has no SQL twin
+def multimodal_resize_batch(spark, sf_dir, *, target: int = 32):
+    """Resize/feature-extract stage shape: batch in, batch out with new
+    metadata; the pixel work is stubbed (no codec in container), the
+    partition/batch mechanics are real."""
+    bin_docs = binary_documents(spark, sf_dir)
+
+    def resize(batches):
+        for pdf in batches:
+            out = pd.DataFrame()
+            out["doc_id"] = pdf["doc_id"]
+            out["target_w"] = target
+            out["target_h"] = target
+            # Stub: a real implementation decodes payload, resizes, and
+            # re-encodes; we keep a deterministic checksum of the would-be
+            # output so downstream joins/tests have a stable value.
+            out["checksum"] = pdf["payload"].map(
+                lambda b: hashlib.md5(b"%d:" % target + bytes(b)).hexdigest()
+            )
+            yield out
+
+    return (
+        bin_docs.select("doc_id", "payload")
+        .repartition(8)  # pixel work is CPU-bound: spread batches evenly
+        .mapInPandas(resize, "doc_id long, target_w int, target_h int, checksum string")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH frames AS (
+    SELECT doc_id, unnest(range(0, CAST(floor(strlen(text) / 50) AS BIGINT))) AS frame_idx
+    FROM documents
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+    CAST(min(frame_idx) AS BIGINT) AS first_frame,
+    CAST(max(frame_idx) AS BIGINT) AS last_frame
+    FROM frames
+    GROUP BY doc_id
+    HAVING count(*) > 0
+    ORDER BY doc_id
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling shape for video payloads: one row per sampled frame
+    (here: one pseudo-frame per 50 payload bytes), then per-item stats.
+    Demonstrates the explode-from-binary-metadata pattern that a real
+    frame sampler (ffmpeg-backed) would follow."""
+    bin_docs = binary_documents(spark, sf_dir)
+    # Guard: Spark's sequence(0, -1) would generate a DESCENDING sequence
+    # for sub-50-byte payloads; filter them out (oracle's HAVING does too).
+    frames = bin_docs.filter(F.col("meta.n_bytes") >= 50).select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor(F.col("meta.n_bytes") / 50).cast("long") - 1,
+            )
+        ).alias("frame_idx"),
+    )
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("frame_idx").alias("first_frame"),
+            F.max("frame_idx").alias("last_frame"),
+        )
+        .orderBy("doc_id")
+    )

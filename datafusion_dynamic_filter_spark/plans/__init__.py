@@ -1,0 +1,70 @@
+"""Plan introspection — the Spark analog of the reference's pushdown
+verification and metrics surface (src/physical.rs:266-268 metrics;
+SURVEY.md §4 O2 'verify pushdown happened').
+
+The reference *negotiates* pushdown explicitly (Pre/Post phases,
+src/physical.rs:270-336); Spark negotiates internally, so the engine's
+contract is observability: these helpers let tests and operators ASSERT that
+a bound predicate actually reached the scan, that a join was broadcast, and
+that codegen covers the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """String form of the executed (physical) plan."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_formatted(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters reported by every scan in the plan."""
+    plan = explain_formatted(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def assert_filter_pushed(df: DataFrame, fragment: str) -> None:
+    """Raise unless some scan's PushedFilters mentions ``fragment``."""
+    filters = pushed_filters(df)
+    if not any(fragment.replace(" ", "") in f.replace(" ", "") for f in filters):
+        raise AssertionError(
+            f"filter fragment {fragment!r} not pushed to any scan; "
+            f"pushed = {filters}"
+        )
+
+
+def scan_columns(df: DataFrame) -> list[str]:
+    """ReadSchema column names of the first scan (column-pruning check)."""
+    plan = explain_formatted(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if not m:
+        return []
+    return [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return executed_plan(df).count("BroadcastHashJoin")
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (scale smell test:
+    every one of these is a full network repartition at 100 TB)."""
+    return len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)", executed_plan(df)))
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))

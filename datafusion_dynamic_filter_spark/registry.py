@@ -64,4 +64,12 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def load_all() -> None:
     """Import every operator module so registrations run."""
-    from .operators import dedup, relational, similarity, text  # noqa: F401
+    from .operators import (  # noqa: F401
+        dedup,
+        events,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        udfs,
+    )
