@@ -173,6 +173,61 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    ), pairs AS (
+    SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+    round(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ), ranked AS (
+    SELECT label, vec_a, vec_b, cos_sim,
+    row_number() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_a, vec_b) AS rn
+    FROM pairs
+    )
+    SELECT label, vec_a, vec_b, cos_sim FROM ranked WHERE rn <= 3
+    ORDER BY label, cos_sim DESC, vec_a, vec_b
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir, *, per_label: int = 3):
+    """Embedding-cosine near-dup candidates: top-N most-similar pairs per
+    label block.
+
+    Label is the blocking key (at 100 TB it would be an IVF cell / LSH
+    bucket, see similarity_lsh_topk) so the pair join is an equi-join, not a
+    cross product; per-block top-N via window rank keeps the output bounded.
+    Cosine is rounded BEFORE ranking on both engines so float last-ulp
+    differences cannot flip the ordering.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import cosine, vec_double
+
+    t = tables(spark, sf_dir)
+    v = t["embeddings"].select("vec_id", "label", vec_double("embedding").alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_label)
+        .select("label", "vec_a", "vec_b", "cos_sim")
+        .orderBy("label", F.desc("cos_sim"), "vec_a", "vec_b")
+    )
+
+
 @query("dedup_simhash")  # no SQL oracle: xxhash64-based sketch is Spark-native
 def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     """SimHash near-dup pairs: 64-bit signatures, 16-bit chunk blocking.

@@ -769,3 +769,135 @@ def approx_count_distinct(spark, sf_dir):
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "grouping_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+    coalesce(o_orderpriority, 'ALL') AS priority,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def grouping_cube(spark, sf_dir):
+    """CUBE over two dims (Tier C grouping-sets surface; Spark expands to a
+    single expand+hash-agg — one shuffle regardless of grouping-set count)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority
+        """
+    )
+
+
+@query(
+    "full_outer_join",
+    oracle="""
+    WITH buyers AS (
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(c.c_custkey, b.o_custkey) AS custkey,
+    CAST(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1 END AS BIGINT) AS has_account,
+    coalesce(b.n_orders, 0) AS n_orders
+    FROM customer c FULL OUTER JOIN buyers b ON c.c_custkey = b.o_custkey
+    ORDER BY custkey
+    """,
+)
+def full_outer_join(spark, sf_dir):
+    """FULL OUTER join (Tier C join surface): customers vs order-activity,
+    preserving rows unmatched on either side.  Full-outer cannot broadcast —
+    it is the shuffle-hash/SMJ case by construction."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    buyers = t["orders"].groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    c = t["customer"].alias("c")
+    return (
+        c.join(buyers.alias("b"), F.col("c.c_custkey") == F.col("b.o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c.c_custkey"), F.col("b.o_custkey")).alias("custkey"),
+            F.when(F.col("c.c_custkey").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("has_account"),
+            F.coalesce(F.col("b.n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "window_ntile_frames",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+    CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile,
+    round(first_value(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey), 2) AS cheapest,
+    round(avg(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS moving_avg3
+    FROM orders WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+)
+def window_ntile_frames(spark, sf_dir):
+    """ntile + first_value + ROWS-frame moving average (Tier C window
+    surface beyond rank/lag: explicit frame specs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("cheapest"),
+            F.round(F.avg("o_totalprice").over(wf), 2).alias("moving_avg3"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT o_orderpriority,
+    round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+    round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+    round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def percentile_stats(spark, sf_dir):
+    """Exact continuous percentiles (Spark `percentile` == DuckDB
+    quantile_cont: linear interpolation).  The approx_percentile variant is
+    the 100 TB path (t-digest, no global sort) — kept as a rows-only query
+    because sketches differ across engines."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

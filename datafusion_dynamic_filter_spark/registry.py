@@ -64,6 +64,7 @@ def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def load_all() -> None:
     """Import every operator module so registrations run."""
+    from . import sources, streaming  # noqa: F401
     from .operators import (  # noqa: F401
         dedup,
         events,

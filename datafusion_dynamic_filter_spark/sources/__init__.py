@@ -1,0 +1,174 @@
+"""Source/sink connectors — the engine twin of the reference's inherited
+DataFusion source surface (SURVEY.md §2 Tier C row 1: Parquet/CSV/JSON
+listing tables, MemTable, COPY ... TO).
+
+Each query is a ROUND-TRIP: read the canonical parquet table, write it
+through the format under test, read it back, and aggregate.  The DuckDB
+oracle runs the same aggregate on the original parquet — so the parity check
+proves the sink+source preserve values, not just that the code runs.
+
+Scale notes: writes repartition to a bounded file count (small dims -> 1
+file; facts -> shuffle-partition count); the partitioned-parquet sink
+demonstrates partition pruning (the scan of one partition reads one
+directory, verified in tests via plans.pushed_filters / input file count).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query, tables
+
+_ROOT = os.path.join(tempfile.gettempdir(), "ddf_spark_sources")
+
+
+def _sink_dir(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_ROOT, tag, name)
+
+
+def roundtrip_csv(df: DataFrame, path: str) -> DataFrame:
+    """COPY ... TO CSV + listing-table read-back with the written schema
+    (CSV is untyped on disk; the engine supplies the schema on read, the
+    analog of the reference's explicit Schema registration)."""
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    return df.sparkSession.read.schema(df.schema).option("header", "true").csv(path)
+
+
+def roundtrip_json(df: DataFrame, path: str) -> DataFrame:
+    df.coalesce(1).write.mode("overwrite").json(path)
+    return df.sparkSession.read.schema(df.schema).json(path)
+
+
+def roundtrip_orc(df: DataFrame, path: str) -> DataFrame:
+    df.coalesce(1).write.mode("overwrite").orc(path)
+    return df.sparkSession.read.orc(path)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey,
+    CAST(count(*) AS BIGINT) AS n_nations,
+    min(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def source_csv_roundtrip(spark, sf_dir):
+    """nation -> CSV -> read back -> aggregate; values must survive the
+    text round-trip exactly."""
+    t = tables(spark, sf_dir)
+    nation = roundtrip_csv(
+        t["nation"].select("n_nationkey", "n_name", "n_regionkey"),
+        _sink_dir(sf_dir, "nation_csv"),
+    )
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+    CAST(count(*) AS BIGINT) AS n_customers,
+    round(sum(c_acctbal), 2) AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def source_json_roundtrip(spark, sf_dir):
+    """customer -> JSON lines -> read back -> aggregate (doubles survive
+    because Spark writes shortest-roundtrip decimal representations)."""
+    t = tables(spark, sf_dir)
+    cust = roundtrip_json(
+        t["customer"].select("c_custkey", "c_mktsegment", "c_acctbal"),
+        _sink_dir(sf_dir, "customer_json"),
+    )
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey,
+    CAST(count(*) AS BIGINT) AS n_suppliers,
+    round(avg(s_acctbal), 2) AS avg_balance
+    FROM supplier
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """,
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """supplier -> ORC -> read back -> aggregate (second columnar format)."""
+    t = tables(spark, sf_dir)
+    supp = roundtrip_orc(
+        t["supplier"].select("s_suppkey", "s_nationkey", "s_acctbal"),
+        _sink_dir(sf_dir, "supplier_orc"),
+    )
+    return (
+        supp.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_balance"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderpriority,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_partitioned_parquet(spark, sf_dir):
+    """orders -> parquet partitioned by o_orderstatus -> read ONE partition.
+
+    This is the scan shape the engine wants at 100 TB: the status filter is
+    satisfied by directory pruning (zero I/O for other partitions), the
+    pattern Dynamic Partition Pruning extends to join-derived filters.
+    """
+    t = tables(spark, sf_dir)
+    path = _sink_dir(sf_dir, "orders_by_status")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            t["orders"]
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(path)
+        )
+    orders = spark.read.parquet(path)
+    return (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

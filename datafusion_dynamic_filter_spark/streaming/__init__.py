@@ -1,0 +1,162 @@
+"""Structured Streaming operators over the ``events`` table.
+
+The reference is batch-only (every plan is Boundedness::Bounded,
+src/physical.rs:44-45); this module is the engine's scale-path extension:
+the same event analytics re-expressed as streams so a 100 TB/day feed is
+processed incrementally instead of rescanned.
+
+Test/driver shape: each query runs a file-source stream over the sf_dir's
+events.parquet with ``Trigger.AvailableNow`` to a memory sink, waits for
+completion, and returns the sink as a DataFrame — so streaming queries are
+registrable in ``queries()`` with batch-SQL oracles (the streaming result of
+a finite input must equal the batch result; that equality IS the test).
+
+At scale the memory sink becomes a Delta/parquet sink and AvailableNow
+becomes a continuous trigger; watermarks and state semantics are unchanged.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..registry import query
+
+_sink_ids = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet (schema from the footer via a
+    batch read; ts arrives as nanos-long under nanosAsLong and is converted
+    to a microsecond timestamp exactly like engine._normalize_nanos)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from pyspark.sql.types import LongType
+
+    if isinstance(stream.schema["ts"].dataType, LongType):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return stream
+
+
+def _run_to_memory(df: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
+    """Run a finite stream to a memory sink and return the sink table."""
+    name = f"ddf_stream_sink_{next(_sink_ids)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.exception() is not None:
+        raise q.exception()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+    event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+def streaming_tumbling_counts(spark, sf_dir):
+    """Watermarked tumbling-window aggregation as a stream; the finite-input
+    streaming result must equal the batch twin (events_tumbling_hourly)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("hour_start", "event_type")
+
+
+@query(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS total_value,
+    CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_stateful_user_stats(spark, sf_dir):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (count, value-sum, distinct-type) state.
+
+    This is the engine's 'operator Spark lacks' escape hatch (SURVEY.md §2
+    Tier C UDF row → streaming state): arbitrary per-key state machines the
+    built-in aggregates can't express.  On a finite input the emitted final
+    state must equal the batch GROUP BY — that equality is the oracle.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total, types = (
+            state.get if state.exists else (0, 0.0, [])
+        )
+        types = set(types)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            types.update(pdf["event_type"].unique().tolist())
+        state.update((n, total, sorted(types)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_types": [len(types)],
+            }
+        )
+
+    result = (
+        _events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double, n_types long",
+            stateStructType="n long, total double, types array<string>",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_to_memory(result, "update")
+    # One batch per finite run, but keep last-update-wins semantics explicit
+    # in case the file source ever splits input across micro-batches.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value", "n_types")
+        .orderBy("user_id")
+    )
