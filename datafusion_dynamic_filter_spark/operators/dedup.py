@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     band_bucket_array,
     distinct_tokens,
+    fan_out,
     fingerprint_md5,
     hamming64,
     minhash_agg_columns,
@@ -105,17 +106,26 @@ def dedup_ngram_jaccard(spark, sf_dir):
     verifier used downstream of candidate generation.
     """
     t = tables(spark, sf_dir)
-    toks = t["documents"].select(
+    toks = fan_out(t["documents"]).select(
         "doc_id", "lang", distinct_tokens("text").alias("tok")
-    )
+    ).withColumn("ntok", F.size("tok"))
     a = toks.alias("a")
     b = toks.alias("b")
     jac = F.round(token_jaccard(F.col("a.tok"), F.col("b.tok")), 4)
+    # Length-ratio pruning (PPJoin-style): Jaccard(A,B) >= t implies
+    # |A| >= t*|B| and |B| >= t*|A|, so the size predicate rides in the JOIN
+    # condition and the expensive array_intersect never runs on pairs the
+    # threshold already excludes.  Pure pruning — the result set is
+    # unchanged, so the oracle stays the plain formulation.
+    size_ok = (F.col("a.ntok") * 10 >= F.col("b.ntok") * 8) & (
+        F.col("b.ntok") * 10 >= F.col("a.ntok") * 8
+    )
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -139,12 +149,20 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
       5. verify: exact shingle Jaccard >= 0.5 on candidates only
     """
     t = tables(spark, sf_dir)
-    docs = t["documents"].select(
-        "doc_id", word_shingles(distinct_tokens("text"), 3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    # Exploded signature computation: tiny codegen, one shuffle on doc_id.
-    exploded_sh = docs.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = exploded_sh.groupBy("doc_id").agg(*minhash_agg_columns("shingle", num_hashes))
+    exploded_sh = (
+        fan_out(t["documents"])
+        .select("doc_id", word_shingles(distinct_tokens("text"), 3).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+    # ONE scan + ONE doc_id shuffle builds BOTH the signature and the
+    # shingle set; every downstream branch (bucketing, both verify sides)
+    # derives from this relation, so Spark's ReuseExchange collapses the
+    # repeated subtree — the documents table is read exactly once.
+    sig = exploded_sh.groupBy("doc_id").agg(
+        *minhash_agg_columns("shingle", num_hashes),
+        F.collect_set("shingle").alias("shingles"),
+    )
     buckets = sig.select(
         "doc_id", F.posexplode(band_bucket_array(num_hashes, bands)).alias("band_idx", "bucket")
     )
@@ -160,11 +178,15 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Exact verify only on candidates: join shingle arrays back in.
-    sh_a = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    # Exact verify only on candidates: join shingle arrays back in.  The
+    # candidate pair set is orders of magnitude smaller than the corpus, so
+    # broadcast IT — the array-bearing sig relation is consumed where the
+    # agg left it, never reshuffled.
+    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.join(sh_a, "doc_a")
+        F.broadcast(cand)
+        .join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard", F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= 0.5)
@@ -237,7 +259,7 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     an equi-join instead of a cross join.
     """
     t = tables(spark, sf_dir)
-    docs = t["documents"].select(
+    docs = fan_out(t["documents"]).select(
         "doc_id", distinct_tokens("text").alias("tok")
     ).filter(F.size("tok") > 0)
     # Exploded vote aggregation (see functions/: avoids codegen blowup).

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot, l2_norm, vec_double
+from ..functions import cosine, dot, fan_out, l2_norm, vec_double
 from ..registry import query, tables
 
 
@@ -45,7 +45,7 @@ def similarity_brute_topk(spark, sf_dir, *, k: int = 5):
     float last-ulp differences cannot flip the top-k ordering.
     """
     t = tables(spark, sf_dir)
-    emb = t["embeddings"].select(
+    emb = fan_out(t["embeddings"]).select(
         "vec_id", vec_double("embedding").alias("v")
     )
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
@@ -82,31 +82,33 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = 12):
     right side is ~corpus/2^planes per bucket.
     """
     t = tables(spark, sf_dir)
-    emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
-    dims = emb.select(F.size("v").alias("d")).first()["d"]
+    emb = fan_out(t["embeddings"]).select("vec_id", vec_double("embedding").alias("v"))
 
-    def signature(vcol):
-        bits = []
-        for p in range(n_planes):
-            # plane vector component i = +-1 by parity of xxhash64(i, p)
-            proj = F.aggregate(
-                F.zip_with(
-                    vcol,
-                    F.sequence(F.lit(0), F.lit(dims - 1)),
-                    lambda x, i: F.when(
-                        F.xxhash64(i, F.lit(p)).bitwiseAND(F.lit(1).cast("long")) == 0, x
-                    ).otherwise(-x),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out.bitwiseOR(b)
-        return out
-
-    corpus = emb.withColumn("bucket", signature(F.col("v")))
+    # Exploded projection: one (vec_id, dim, x) pass computes ALL plane
+    # projections as plain agg columns — the per-plane zip_with/aggregate
+    # lambda form compiles 12 O(dims) codegen pipelines per row and was
+    # measured 10x slower than brute force at sf0.1.  Plane component
+    # (dim, p) = +-1 by parity of xxhash64(dim, p), regenerated locally on
+    # every executor — nothing shipped, nothing random.
+    exploded = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
+    projs = exploded.groupBy("vec_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.xxhash64(F.col("dim"), F.lit(p)).bitwiseAND(F.lit(1).cast("long"))
+                    == 0,
+                    F.col("x"),
+                ).otherwise(-F.col("x"))
+            ).alias(f"proj{p}")
+            for p in range(n_planes)
+        ]
+    )
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(F.col(f"proj{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    buckets = projs.select("vec_id", bucket.alias("bucket"))
+    corpus = emb.join(buckets, "vec_id")
     queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
