@@ -34,10 +34,14 @@ HEADLINE = [
     "left_outer_order_counts",
     "dedup_exact_normalized",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality_score",
     "token_frequencies",
     "similarity_brute_topk",
+    "similarity_lsh_topk",
     "embedding_centroid_distance",
+    "events_sessionization",
+    "streaming_tumbling_counts",
 ]
 
 
