@@ -157,12 +157,16 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
     )
     # ONE scan + ONE doc_id shuffle builds BOTH the signature and the
     # shingle set; every downstream branch (bucketing, both verify sides)
-    # derives from this relation, so Spark's ReuseExchange collapses the
-    # repeated subtree — the documents table is read exactly once.
+    # consumes this relation.  It is persisted because ReuseExchange only
+    # sometimes unifies the three subtrees (the broadcast branch plans
+    # separately) — and at any scale a sketch relation reused 3x is exactly
+    # what you materialize (MEMORY_AND_DISK: spills, never recomputes).
+    from pyspark.storagelevel import StorageLevel
+
     sig = exploded_sh.groupBy("doc_id").agg(
         *minhash_agg_columns("shingle", num_hashes),
         F.collect_set("shingle").alias("shingles"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = sig.select(
         "doc_id", F.posexplode(band_bucket_array(num_hashes, bands)).alias("band_idx", "bucket")
     )

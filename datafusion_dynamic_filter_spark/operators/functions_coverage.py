@@ -1,0 +1,228 @@
+"""Scalar-function family coverage (SURVEY.md §2 Tier C 'Scalar functions'
+row: string, date/time, math, array/map constructors+accessors, JSON,
+CASE WHEN, CAST).  One query per family, each with a DuckDB oracle, so the
+inherited-surface claim is oracle-verified, not asserted.
+
+Date/time and CASE/string basics live in relational.py (date_functions,
+scalar_functions); these cover the remaining families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..registry import query, tables
+
+
+@query(
+    "json_functions",
+    oracle="""
+    SELECT event_id,
+    CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+    CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50 THEN 'high' ELSE 'low' END AS k_band
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+)
+def json_functions(spark, sf_dir):
+    """JSON path extraction from the events.props payload column."""
+    t = tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .filter(F.col("event_id") < 100)
+        .select(
+            "event_id",
+            k.alias("k_value"),
+            F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    SELECT o_orderkey,
+    list_sort(list(l_linenumber)) AS line_numbers,
+    CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
+    CAST(list_contains(list(l_linenumber), 4) AS BOOLEAN) AS has_line4,
+    CAST(list_max(list(l_linenumber)) AS INTEGER) AS max_line
+    FROM lineitem
+    WHERE o_orderkey < 200
+    GROUP BY o_orderkey
+    ORDER BY o_orderkey
+    """,
+)
+def array_functions(spark, sf_dir):
+    """Array constructor (collect_list) + sort/size/contains/max accessors."""
+    t = tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .filter(F.col("o_orderkey") < 200)
+        .groupBy("o_orderkey")
+        .agg(F.collect_list("l_linenumber").alias("lines"))
+        .select(
+            "o_orderkey",
+            F.array_sort("lines").alias("line_numbers"),
+            F.size("lines").alias("n_lines"),
+            F.array_contains("lines", 4).alias("has_line4"),
+            F.array_max("lines").alias("max_line"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT o_orderstatus,
+    CASE o_orderstatus WHEN 'F' THEN 'finished' WHEN 'O' THEN 'open' ELSE 'pending' END AS status_name,
+    CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def map_functions(spark, sf_dir):
+    """Map constructor + element_at lookup (the dimension-decode idiom:
+    a literal map beats a join for enum-sized lookups at any scale)."""
+    t = tables(spark, sf_dir)
+    status_map = F.create_map(
+        F.lit("F"), F.lit("finished"), F.lit("O"), F.lit("open"), F.lit("P"), F.lit("pending")
+    )
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_orderstatus",
+            F.element_at(status_map, F.col("o_orderstatus")).alias("status_name"),
+            "n_orders",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT s_suppkey,
+    concat_ws('|', s_name, s_phone) AS name_phone,
+    lpad(CAST(s_nationkey AS VARCHAR), 4, '0') AS nation_padded,
+    regexp_extract(s_name, '[0-9]+$') AS supplier_num,
+    reverse(trim(s_name)) AS name_rev,
+    replace(s_phone, '-', '.') AS phone_dotted
+    FROM supplier WHERE s_suppkey < 50 ORDER BY s_suppkey
+    """,
+)
+def string_functions(spark, sf_dir):
+    """String family: concat_ws, lpad, regexp_extract, reverse, replace."""
+    t = tables(spark, sf_dir)
+    return (
+        t["supplier"]
+        .filter(F.col("s_suppkey") < 50)
+        .select(
+            "s_suppkey",
+            F.concat_ws("|", "s_name", "s_phone").alias("name_phone"),
+            F.lpad(F.col("s_nationkey").cast("string"), 4, "0").alias("nation_padded"),
+            F.regexp_extract("s_name", "[0-9]+$", 0).alias("supplier_num"),
+            F.reverse(F.trim(F.col("s_name"))).alias("name_rev"),
+            F.replace(F.col("s_phone"), F.lit("-"), F.lit(".")).alias("phone_dotted"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT p_partkey,
+    round(sqrt(p_retailprice), 4) AS sqrt_price,
+    round(ln(p_retailprice), 4) AS ln_price,
+    round(pow(p_size, 2), 1) AS size_sq,
+    CAST(mod(p_partkey, 7) AS BIGINT) AS key_mod7,
+    CAST(sign(p_retailprice - 1500) AS DOUBLE) AS above_1500,
+    ceil(p_retailprice / 100) * 100 AS price_bucket
+    FROM part WHERE p_partkey < 100 ORDER BY p_partkey
+    """,
+)
+def math_functions(spark, sf_dir):
+    """Math family: sqrt/ln/pow/mod/sign/ceil (bucketing idioms)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["part"]
+        .filter(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+            F.round(F.log("p_retailprice"), 4).alias("ln_price"),
+            F.round(F.pow("p_size", F.lit(2)), 1).alias("size_sq"),
+            (F.col("p_partkey") % 7).cast("long").alias("key_mod7"),
+            F.signum(F.col("p_retailprice") - 1500).alias("above_1500"),
+            (F.ceil(F.col("p_retailprice") / 100) * 100).alias("price_bucket"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT c_custkey,
+    coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+    CAST(c_acctbal IS NULL AS BOOLEAN) AS bal_missing,
+    coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, 0.0) AS bal_non_negative
+    FROM customer WHERE c_custkey < 100 ORDER BY c_custkey
+    """,
+)
+def null_handling(spark, sf_dir):
+    """NULL semantics: nullif/coalesce/IS NULL and NULL-out-then-default."""
+    t = tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .filter(F.col("c_custkey") < 100)
+        .select(
+            "c_custkey",
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+            ).alias("segment_or_other"),
+            F.col("c_acctbal").isNull().alias("bal_missing"),
+            F.coalesce(
+                F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")),
+                F.lit(0.0),
+            ).alias("bal_non_negative"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "cast_conversions",
+    oracle="""
+    SELECT o_orderkey,
+    CAST(o_totalprice AS BIGINT) AS price_int,
+    CAST(o_orderkey AS VARCHAR) AS key_str,
+    CAST(o_orderdate AS VARCHAR) AS date_str,
+    CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INTEGER) AS order_year
+    FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey
+    """,
+)
+def cast_conversions(spark, sf_dir):
+    """CAST family: double->int truncation, int->string, date->string->int."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("long").alias("price_int"),
+            F.col("o_orderkey").cast("string").alias("key_str"),
+            F.col("o_orderdate").cast("string").alias("date_str"),
+            F.substring(F.col("o_orderdate").cast("string"), 1, 4)
+            .cast("int")
+            .alias("order_year"),
+        )
+        .orderBy("o_orderkey")
+    )
