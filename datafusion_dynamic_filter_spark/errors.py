@@ -31,6 +31,6 @@ def missing_placeholder(original_spelling: str) -> ParameterError:
     )
 
 
-def cannot_prepare_ddl(stmt_kind: str) -> PrepareError:
-    # Message shape matches reference src/preparable_context.rs:18-28.
-    return PrepareError(f"Cannot prepare DDL statement: {stmt_kind}")
+def cannot_prepare_ddl() -> PrepareError:
+    # Exact message of reference src/preparable_context.rs:18-28.
+    return PrepareError("Cannot prepare DDL statement")

@@ -44,15 +44,15 @@ def json_functions(spark, sf_dir):
 @query(
     "array_functions",
     oracle="""
-    SELECT o_orderkey,
+    SELECT l_orderkey,
     list_sort(list(l_linenumber)) AS line_numbers,
     CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
     CAST(list_contains(list(l_linenumber), 4) AS BOOLEAN) AS has_line4,
     CAST(list_max(list(l_linenumber)) AS INTEGER) AS max_line
     FROM lineitem
-    WHERE o_orderkey < 200
-    GROUP BY o_orderkey
-    ORDER BY o_orderkey
+    WHERE l_orderkey < 200
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
     """,
 )
 def array_functions(spark, sf_dir):
@@ -60,17 +60,17 @@ def array_functions(spark, sf_dir):
     t = tables(spark, sf_dir)
     return (
         t["lineitem"]
-        .filter(F.col("o_orderkey") < 200)
-        .groupBy("o_orderkey")
+        .filter(F.col("l_orderkey") < 200)
+        .groupBy("l_orderkey")
         .agg(F.collect_list("l_linenumber").alias("lines"))
         .select(
-            "o_orderkey",
+            "l_orderkey",
             F.array_sort("lines").alias("line_numbers"),
             F.size("lines").alias("n_lines"),
             F.array_contains("lines", 4).alias("has_line4"),
             F.array_max("lines").alias("max_line"),
         )
-        .orderBy("o_orderkey")
+        .orderBy("l_orderkey")
     )
 
 
@@ -109,27 +109,32 @@ def map_functions(spark, sf_dir):
     "string_functions",
     oracle="""
     SELECT s_suppkey,
-    concat_ws('|', s_name, s_phone) AS name_phone,
+    concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR)) AS name_nation,
     lpad(CAST(s_nationkey AS VARCHAR), 4, '0') AS nation_padded,
     regexp_extract(s_name, '[0-9]+$') AS supplier_num,
     reverse(trim(s_name)) AS name_rev,
-    replace(s_phone, '-', '.') AS phone_dotted
+    replace(s_name, '#', '-') AS name_dashed,
+    upper(substr(s_name, 1, 8)) AS name_prefix_upper
     FROM supplier WHERE s_suppkey < 50 ORDER BY s_suppkey
     """,
 )
 def string_functions(spark, sf_dir):
-    """String family: concat_ws, lpad, regexp_extract, reverse, replace."""
+    """String family: concat_ws, lpad, regexp_extract, reverse, replace,
+    upper/substr."""
     t = tables(spark, sf_dir)
     return (
         t["supplier"]
         .filter(F.col("s_suppkey") < 50)
         .select(
             "s_suppkey",
-            F.concat_ws("|", "s_name", "s_phone").alias("name_phone"),
+            F.concat_ws("|", F.col("s_name"), F.col("s_nationkey").cast("string")).alias(
+                "name_nation"
+            ),
             F.lpad(F.col("s_nationkey").cast("string"), 4, "0").alias("nation_padded"),
             F.regexp_extract("s_name", "[0-9]+$", 0).alias("supplier_num"),
             F.reverse(F.trim(F.col("s_name"))).alias("name_rev"),
-            F.replace(F.col("s_phone"), F.lit("-"), F.lit(".")).alias("phone_dotted"),
+            F.replace(F.col("s_name"), F.lit("#"), F.lit("-")).alias("name_dashed"),
+            F.upper(F.substring("s_name", 1, 8)).alias("name_prefix_upper"),
         )
         .orderBy("s_suppkey")
     )
@@ -202,7 +207,7 @@ def null_handling(spark, sf_dir):
     "cast_conversions",
     oracle="""
     SELECT o_orderkey,
-    CAST(o_totalprice AS BIGINT) AS price_int,
+    CAST(floor(o_totalprice) AS BIGINT) AS price_int,
     CAST(o_orderkey AS VARCHAR) AS key_str,
     CAST(o_orderdate AS VARCHAR) AS date_str,
     CAST(substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS INTEGER) AS order_year
@@ -210,14 +215,15 @@ def null_handling(spark, sf_dir):
     """,
 )
 def cast_conversions(spark, sf_dir):
-    """CAST family: double->int truncation, int->string, date->string->int."""
+    """CAST family: double->int (floored on both sides — DuckDB's float->int
+    cast rounds while Spark's truncates), int->string, date->string->int."""
     t = tables(spark, sf_dir)
     return (
         t["orders"]
         .filter(F.col("o_orderkey") < 100)
         .select(
             "o_orderkey",
-            F.col("o_totalprice").cast("long").alias("price_int"),
+            F.floor("o_totalprice").cast("long").alias("price_int"),
             F.col("o_orderkey").cast("string").alias("key_str"),
             F.col("o_orderdate").cast("string").alias("date_str"),
             F.substring(F.col("o_orderdate").cast("string"), 1, 4)

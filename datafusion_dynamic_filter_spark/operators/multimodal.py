@@ -15,6 +15,7 @@ import hashlib
 import pandas as pd
 from pyspark.sql import functions as F
 
+from ..functions import fan_out
 from ..registry import query, tables
 
 
@@ -100,8 +101,7 @@ def multimodal_resize_batch(spark, sf_dir, *, target: int = 32):
             yield out
 
     return (
-        bin_docs.select("doc_id", "payload")
-        .repartition(8)  # pixel work is CPU-bound: spread batches evenly
+        fan_out(bin_docs.select("doc_id", "payload"))
         .mapInPandas(resize, "doc_id long, target_w int, target_h int, checksum string")
         .orderBy("doc_id")
     )

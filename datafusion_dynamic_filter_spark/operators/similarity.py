@@ -191,7 +191,6 @@ def embedding_centroid_distance(spark, sf_dir):
     block of IVF-style partitioned ANN (assign -> search nearest cells)."""
     t = tables(spark, sf_dir)
     emb = t["embeddings"].select("label", "vec_id", vec_double("embedding").alias("v"))
-    dims = emb.select(F.size("v").alias("d")).first()["d"]
     by_dim = emb.select(
         "label", "vec_id", F.posexplode("v").alias("dim", "x")
     )

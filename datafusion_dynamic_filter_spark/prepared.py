@@ -45,19 +45,40 @@ from .errors import cannot_prepare_ddl
 from .params import bind_text, canonicalize, normalize_params
 from .simple_parser import CompiledTemplate, parse_simple_select
 
+def _freeze(v):
+    """Hashable canonical form of a bound parameter value (list-valued
+    IN-list params arrive as Python lists)."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _freeze(x)) for k, x in v.items()))
+    return v
+
+
+def _cache_key(bound: dict) -> tuple:
+    return tuple((k, _freeze(v)) for k, v in sorted(bound.items(), key=lambda kv: kv[0]))
+
+
+# The reference rejects ONLY CreateMemoryTable (CREATE TABLE [AS ...]) and
+# CreateIndex; every other statement kind is forwarded to the planner
+# (src/preparable_context.rs:18-28).  We match that scope exactly.
 _DDL_RE = re.compile(
-    r"^\s*(CREATE|DROP|ALTER|TRUNCATE|REPLACE|INSERT|UPDATE|DELETE|MERGE|GRANT|REVOKE)\b",
+    r"^\s*CREATE\s+(OR\s+REPLACE\s+)?(GLOBAL\s+|LOCAL\s+)?(TEMP(ORARY)?\s+)?"
+    r"(EXTERNAL\s+)?(TABLE|(UNIQUE\s+)?INDEX)\b",
     re.IGNORECASE,
 )
+# Statements whose spark.sql() is lazy (queries).  Anything else (INSERT,
+# forwarded DDL, ...) executes eagerly in Spark, so the typed-NULL validation
+# pass must not run it at prepare time.
+_QUERY_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE|FROM)\b", re.IGNORECASE)
 
 
 class PreparedStatement:
     def __init__(self, spark, sql: str, *, mode: str = "auto", validate: bool = True):
         self.spark = spark
         self.sql = sql
-        m = _DDL_RE.match(sql)
-        if m:
-            raise cannot_prepare_ddl(m.group(1).upper())
+        if _DDL_RE.match(sql):
+            raise cannot_prepare_ddl()
         self.canonical_sql, self.placeholders = canonicalize(sql)
         self.param_names = []
         seen = set()
@@ -84,7 +105,7 @@ class PreparedStatement:
         self.mode = "dynamic" if self._template is not None else "literal"
         self._plan_cache: dict[tuple, object] = {}
         self.executions = 0
-        if validate and self._template is None:
+        if validate and self._template is None and _QUERY_RE.match(self.canonical_sql):
             # Typed-NULL pre-binding pass (reference src/physical.rs:94-140):
             # analyze the full statement once with NULL-bound placeholders so
             # prepare() surfaces analysis errors, not execute().
@@ -96,7 +117,7 @@ class PreparedStatement:
     def execute(self, params: dict | list | tuple | None = None):
         """Bind parameters and return the result DataFrame (lazy)."""
         bound = normalize_params(params, self.placeholders)
-        key = tuple(sorted(bound.items()))
+        key = _cache_key(bound)
         cached = self._plan_cache.get(key)
         if cached is not None:
             self.executions += 1
@@ -110,15 +131,31 @@ class PreparedStatement:
         return df
 
     def execute_batch(self, rows: list[dict | list | tuple]):
-        """Execute one statement for N parameter sets at once (IN-list
-        analog, reference README.md:46-51).  Returns the union of per-row
-        results computed as a single broadcast semi-join job."""
+        """Execute one statement for the SET of N parameter rows at once
+        (IN-list analog, reference README.md:46-51).
+
+        Semantics (both paths): duplicate parameter rows contribute once;
+        the result is the union of per-distinct-row results.  For
+        non-aggregating equality templates that union is computed as ONE
+        broadcast semi-join job (matches are disjoint per key row, so the
+        semi-join IS the union); aggregating/DISTINCT statements fall back
+        to a per-row union so each parameter row keeps its own result."""
         bound_rows = [normalize_params(r, self.placeholders) for r in rows]
-        if self._template is not None:
-            return self._template.build_semi_join(bound_rows)
+        uniq: list[dict] = []
+        seen: set = set()
+        for b in bound_rows:
+            k = _cache_key(b)
+            if k not in seen:
+                seen.add(k)
+                uniq.append(b)
+        if self._template is not None and not self._template.is_aggregating:
+            return self._template.build_semi_join(uniq)
         # General fallback: bind the statement per row and union. Correct for
         # any statement, but O(rows) plan size — the fast path is preferred.
-        dfs = [self.spark.sql(self.canonical_sql, args=b) for b in bound_rows]
+        if self._template is not None:
+            dfs = [self._template.build(b) for b in uniq]
+        else:
+            dfs = [self.spark.sql(self.canonical_sql, args=b) for b in uniq]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionAll(d)

@@ -68,6 +68,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         dedup,
         events,
+        functions_coverage,
         multimodal,
         relational,
         similarity,

@@ -186,6 +186,11 @@ def parse_simple_select(sql: str) -> SimpleSelect | None:
         lead = [re.sub(r"\s+", " ", s).lower() for s in select_items[: len(group_by)]]
         if norm != lead:
             return None
+        if len(select_items) <= len(group_by):
+            # SELECT a FROM t GROUP BY a — no aggregate select items left;
+            # groupBy().agg() with no exprs raises at execute time, so fall
+            # back to the literal path.
+            return None
 
     order_items: list[OrderItem] = []
     if "ORDER BY" in clause_text:
@@ -223,6 +228,14 @@ def parse_simple_select(sql: str) -> SimpleSelect | None:
     )
 
 
+_AGG_FN_RE = re.compile(
+    r"\b(count|sum|avg|mean|min|max|stddev\w*|var\w*|corr|covar\w*|"
+    r"approx_count_distinct|percentile\w*|median|collect_list|collect_set|"
+    r"first|last|any_value|bool_and|bool_or|skewness|kurtosis)\s*\(",
+    re.IGNORECASE,
+)
+
+
 class CompiledTemplate:
     """A prepared fast-path statement: scan resolved once, projection
     pre-parsed; per-execute work is one filter bind + plan composition."""
@@ -232,6 +245,12 @@ class CompiledTemplate:
 
         self.spark = spark
         self.parsed = parsed
+        # Aggregating/DISTINCT templates change meaning under a batched
+        # semi-join (one global result vs one result per parameter row), so
+        # execute_batch must not take the semi-join fast path for them.
+        self.is_aggregating = bool(parsed.group_by) or any(
+            _AGG_FN_RE.search(item) for item in parsed.select_items
+        )
         df = spark.table(parsed.table)
         if parsed.alias:
             df = df.alias(parsed.alias)

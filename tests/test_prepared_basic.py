@@ -77,11 +77,57 @@ def test_missing_param_error_message(engine, users):
 
 
 def test_ddl_rejected(engine):
-    # reference src/preparable_context.rs:18-28
-    with pytest.raises(PrepareError, match="Cannot prepare DDL statement"):
+    # reference src/preparable_context.rs:18-28 — exact message, and ONLY
+    # CreateMemoryTable / CreateIndex are rejected
+    with pytest.raises(PrepareError, match="^Cannot prepare DDL statement$"):
         engine.prepare("CREATE TABLE t AS SELECT 1")
-    with pytest.raises(PrepareError, match="Cannot prepare DDL statement"):
+    with pytest.raises(PrepareError, match="^Cannot prepare DDL statement$"):
         engine.prepare("CREATE INDEX idx ON t(x)")
+
+
+def test_non_ddl_statements_forwarded(engine, users):
+    # reference src/preparable_context.rs:15-30: every statement kind other
+    # than CreateMemoryTable/CreateIndex is forwarded to the planner, which
+    # may fail later for its own reasons — but NOT with the DDL guard error.
+    stmt = engine.prepare("DELETE FROM users WHERE id = $1", validate=False)
+    assert stmt.mode == "literal"
+    with pytest.raises(Exception) as exc_info:
+        stmt.execute({"p1": 1}).collect()
+    assert not isinstance(exc_info.value, PrepareError)
+
+
+def test_list_param_cache_key_hashable(engine, users):
+    # round-2 ADVICE: list-valued IN-list params made the plan-cache key
+    # unhashable (TypeError) in round 1
+    stmt = engine.prepare("SELECT id FROM users WHERE id IN $1")
+    rows = stmt.execute({"$1": [1, 3]}).collect()
+    assert sorted(r.id for r in rows) == [1, 3]
+    rows2 = stmt.execute({"$1": [1, 3]}).collect()  # cache hit path
+    assert sorted(r.id for r in rows2) == [1, 3]
+
+
+def test_groupby_without_aggregate_falls_back(engine, users):
+    # round-2 ADVICE: SELECT a FROM t GROUP BY a left agg_cols empty and
+    # raised at execute time on the fast path; it must fall back to literal
+    stmt = engine.prepare("SELECT name FROM users WHERE id >= $1 GROUP BY name")
+    assert stmt.mode == "literal"
+    rows = stmt.execute({"$1": 4}).collect()
+    assert sorted(r.name for r in rows) == ["diana", "eve"]
+
+
+def test_execute_batch_aggregating_per_row_semantics(engine, users):
+    # round-2 ADVICE: aggregating statements must yield one result per
+    # parameter row (union path), never one global aggregate over all keys
+    stmt = engine.prepare("SELECT COUNT(*) AS n FROM users WHERE id >= $1")
+    df = stmt.execute_batch([[4], [5], [4]])  # duplicate row binds once
+    counts = sorted(r.n for r in df.collect())
+    assert counts == [1, 2]
+
+
+def test_execute_batch_dedupes_param_rows(engine, users):
+    stmt = engine.prepare("SELECT id, name FROM users WHERE id = $1")
+    df = stmt.execute_batch([[2], [2], [3]])
+    assert sorted((r.id, r.name) for r in df.collect()) == [(2, "bob"), (3, "charlie")]
 
 
 def test_named_and_positional_spellings(engine, users):
