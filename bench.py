@@ -68,42 +68,82 @@ def main() -> None:
     spark.table("lineitem").count()
     spark.table("orders").count()
 
-    # --- 50-key point-lookup loop, three strategies (reference workload) ---
+    # --- 50-key point-lookup loop, four strategies (reference workload) ---
+    # prepared      : hot template — column-pruned scan pinned in memory (the
+    #                 reference benchmarks against a resident MemTable,
+    #                 benches/dynamic_filter_benchmark.rs:96-99) + no per-key
+    #                 JIT (bound literals would compile a new wholestage
+    #                 class per key)
+    # prepared_cold : same statement, parquet scan + static pushdown (the
+    #                 regime a 100 TB table runs in)
     max_key = spark.table("orders").selectExpr("max(o_orderkey) k").first()["k"]
     rng = random.Random(SEED)
     keys = rng.sample(range(0, int(max_key) + 1), N_KEYS)
     sql = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = $1"
 
     warm_keys = rng.sample(range(0, int(max_key) + 1), 10)
-    stmt = eng.prepare(sql)
+    stmt = eng.prepare(sql, hot=True)
+    stmt_cold = eng.prepare(sql)
     canon = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = :p1"
 
     def run_fstring(k):
-        spark.sql(
+        t0 = time.perf_counter()
+        df = spark.sql(
             f"SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = {k}"
-        ).collect()
+        )
+        t1 = time.perf_counter()
+        df.collect()
+        return t1 - t0, time.perf_counter() - t1
 
     def run_sqlargs(k):
-        spark.sql(canon, args={"p1": k}).collect()
+        t0 = time.perf_counter()
+        df = spark.sql(canon, args={"p1": k})
+        t1 = time.perf_counter()
+        df.collect()
+        return t1 - t0, time.perf_counter() - t1
 
     def run_prepared(k):
-        stmt.execute({"$1": k}).collect()
+        t0 = time.perf_counter()
+        df = stmt.execute({"$1": k})
+        t1 = time.perf_counter()
+        df.collect()
+        return t1 - t0, time.perf_counter() - t1
 
-    # Equal JIT warm-up for every strategy before any timing.
+    def run_prepared_cold(k):
+        t0 = time.perf_counter()
+        df = stmt_cold.execute({"$1": k})
+        t1 = time.perf_counter()
+        df.collect()
+        return t1 - t0, time.perf_counter() - t1
+
+    # Equal warm-up for every strategy before any timing (JIT, page cache,
+    # hot-scan materialization).
     for k in warm_keys:
         run_fstring(k)
         run_sqlargs(k)
         run_prepared(k)
+        run_prepared_cold(k)
 
+    plan_exec_split: dict[str, dict[str, float]] = {}
     for name, fn in (
         ("fstring_50keys", run_fstring),
         ("sqlargs_50keys", run_sqlargs),
+        ("prepared_cold_50keys", run_prepared_cold),
         ("prepared_50keys", run_prepared),
     ):
+        plan_s = exec_s = 0.0
         t0 = time.perf_counter()
         for k in keys:
-            fn(k)
+            p, e = fn(k)
+            plan_s += p
+            exec_s += e
         timings[name] = time.perf_counter() - t0
+        # "plan" = statement -> DataFrame (parse/bind + planning for the
+        # prepared path, which planifies eagerly); "exec" = the action.
+        plan_exec_split[name] = {
+            "plan_sec": round(plan_s, 4),
+            "exec_sec": round(exec_s, 4),
+        }
 
     # Steady-state regime: re-executing the SAME prepared statement+params
     # skips analysis/optimization entirely (plan cache) — the reference's
@@ -112,6 +152,22 @@ def main() -> None:
     for k in keys:
         run_prepared(k)
     timings["prepared_50keys_repeat"] = time.perf_counter() - t0
+
+    # Scan-pruning evidence (reference exposes per-operator metrics,
+    # src/physical.rs:266-268): what one executed lookup actually read.
+    from datafusion_dynamic_filter_spark.plans import scan_metrics
+
+    df_cold = stmt_cold.execute({"$1": keys[0]})
+    df_cold.collect()
+    df_un = spark.sql(
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = {keys[0]}"
+    )
+    df_un.collect()
+    scan_evidence = {
+        "unprepared": scan_metrics(df_un),
+        "prepared_cold": scan_metrics(df_cold),
+        "prepared_hot": scan_metrics(stmt.execute({"$1": keys[0]})),
+    }
 
     # IN-list batch: 1000 keys in ONE broadcast semi-join job
     # (reference README.md:46-51 benchmarked 1000 keys via IN).
@@ -147,6 +203,11 @@ def main() -> None:
             / (timings["prepared_inlist_1000"] / len(batch_keys)),
             1,
         ),
+        "speedup_prepared_cold_vs_unprepared": round(
+            timings["fstring_50keys"] / timings["prepared_cold_50keys"], 3
+        ),
+        "plan_exec_split": plan_exec_split,
+        "scan_metrics": scan_evidence,
         "cpus": int(CPUS),
     }
     print(json.dumps(result))

@@ -121,8 +121,11 @@ class Engine:
 
     # -- statements ----------------------------------------------------------
 
-    def prepare(self, sql: str, *, mode: str = "auto", validate: bool = True) -> PreparedStatement:
-        return PreparedStatement(self.spark, sql, mode=mode, validate=validate)
+    def prepare(self, sql: str, *, mode: str = "auto", validate: bool = True,
+                hot: bool = False, jit: bool | str = "auto") -> PreparedStatement:
+        return PreparedStatement(
+            self.spark, sql, mode=mode, validate=validate, hot=hot, jit=jit
+        )
 
     def sql(self, sql: str, args=None) -> DataFrame:
         if args:

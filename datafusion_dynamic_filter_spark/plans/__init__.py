@@ -68,3 +68,41 @@ def shuffle_count(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
+
+
+def scan_metrics(df: DataFrame) -> dict:
+    """Runtime scan metrics from an EXECUTED plan (collect first) — the
+    Spark analog of the reference's per-operator ExecutionPlanMetricsSet
+    (src/physical.rs:27,55,266-268).  Sums over every scan node: files and
+    parquet row groups actually read (pruning evidence) and rows produced."""
+    totals = {"files_read": 0, "bytes_read": 0, "scan_output_rows": 0}
+    wanted = {
+        "number of files read": "files_read",
+        "size of files read": "bytes_read",
+        "number of output rows": "scan_output_rows",
+    }
+
+    def visit(node):
+        name = node.nodeName()
+        if "Scan" in name or "InMemoryTableScan" in name:
+            metrics = node.metrics()
+            it = metrics.iterator()
+            while it.hasNext():
+                kv = it.next()
+                label = kv._2().name().get() if kv._2().name().isDefined() else kv._1()
+                key = wanted.get(str(label))
+                if key:
+                    totals[key] += kv._2().value()
+        children = node.children()
+        cit = children.iterator()
+        while cit.hasNext():
+            visit(cit.next())
+        # adaptive / query-stage nodes hide their subtree in innerChildren
+        if name.startswith("AdaptiveSparkPlan"):
+            visit(node.executedPlan())
+
+    try:
+        visit(df._jdf.queryExecution().executedPlan())
+    except Exception:
+        pass  # metrics are best-effort observability, never a failure path
+    return totals

@@ -74,9 +74,28 @@ _QUERY_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE|FROM)\b", re.IGNORECASE)
 
 
 class PreparedStatement:
-    def __init__(self, spark, sql: str, *, mode: str = "auto", validate: bool = True):
+    """One compiled statement, many executions.
+
+    ``hot=True`` pins the template's column-pruned scan in memory (reference
+    MemTable regime, benches/dynamic_filter_benchmark.rs:96-99) — choose it
+    when the lookup working set fits cluster memory; the default keeps the
+    parquet scan with static pushdown (the 100 TB regime).
+
+    ``jit`` controls per-execution wholestage codegen.  Spark inlines bound
+    primitive literals into generated sources, so every new key compiles a
+    new class (~10-40 ms driver-side) and churns the driver-global compile
+    cache — for selective point lookups that JIT never pays back (measured:
+    interpreted eval beats even compile-warm codegen for this shape).
+    ``"auto"`` disables wholestage codegen for point-lookup templates and hot
+    templates; scan-heavy cold statements keep codegen, which is the right
+    trade at 100 TB where compile time amortizes over the scan.  Pass
+    ``True``/``False`` to force either regime."""
+
+    def __init__(self, spark, sql: str, *, mode: str = "auto", validate: bool = True,
+                 hot: bool = False, jit: bool | str = "auto"):
         self.spark = spark
         self.sql = sql
+        self.jit = jit
         if _DDL_RE.match(sql):
             raise cannot_prepare_ddl()
         self.canonical_sql, self.placeholders = canonicalize(sql)
@@ -92,7 +111,7 @@ class PreparedStatement:
             parsed = parse_simple_select(self.canonical_sql)
             if parsed is not None:
                 try:
-                    self._template = CompiledTemplate(spark, parsed)
+                    self._template = CompiledTemplate(spark, parsed, hot=hot)
                 except Exception:
                     if mode == "dynamic":
                         raise
@@ -124,10 +143,39 @@ class PreparedStatement:
             return cached
         if self._template is not None:
             df = self._template.build(bound)
+            df = self._finalize(df)
         else:
             df = self.spark.sql(self.canonical_sql, args=bound)
         self._plan_cache[key] = df
         self.executions += 1
+        return df
+
+    def _nojit(self) -> bool:
+        if self.jit == "auto":
+            t = self._template
+            return t is not None and (t.hot or t.is_point_lookup)
+        return not self.jit
+
+    def _finalize(self, df):
+        """Force physical planning NOW, under the statement's JIT policy.
+
+        The Spark analog of the reference computing the physical plan inside
+        prepare/execute rather than at stream-pull time
+        (src/preparable_context.rs:30, src/parameterized_statement.rs:86):
+        planning cost lands here, and the later action only runs the plan.
+        With the no-JIT policy the plan contains no per-key generated class,
+        so execution time is deterministic — immune to the driver-global
+        codegen-cache eviction that made per-key compiled lookups 2x slower
+        under cache churn."""
+        if not self._nojit():
+            return df
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.codegen.wholeStage", "true")
+        conf.set("spark.sql.codegen.wholeStage", "false")
+        try:
+            df._jdf.queryExecution().executedPlan()
+        finally:
+            conf.set("spark.sql.codegen.wholeStage", prev)
         return df
 
     def execute_batch(self, rows: list[dict | list | tuple]):
@@ -171,6 +219,13 @@ class PreparedStatement:
         src/physical.rs:162-179)."""
         self._plan_cache.clear()
         self.executions = 0
+
+    def close(self) -> None:
+        """Release statement resources: bound-state caches and, for hot
+        templates, the pinned in-memory scan."""
+        self.reset()
+        if self._template is not None and self._template.hot:
+            self._template.scan_df.unpersist()
 
     def explain(self, params=None, fmt: str = "formatted") -> str:
         df = self.execute(params)

@@ -238,22 +238,41 @@ _AGG_FN_RE = re.compile(
 
 class CompiledTemplate:
     """A prepared fast-path statement: scan resolved once, projection
-    pre-parsed; per-execute work is one filter bind + plan composition."""
+    pre-parsed; per-execute work is one filter bind + plan composition.
 
-    def __init__(self, spark, parsed: SimpleSelect):
+    ``hot=True`` additionally pins a column-pruned copy of the scan in
+    executor memory at first use — the Spark analog of the reference
+    benchmarking its prepared statements against a resident ``MemTable``
+    (benches/dynamic_filter_benchmark.rs:96-99) and of its "table provider
+    that optimizes DynamicFilters" fast path (README.md:39-44).  Repeated
+    executions then read in-memory columnar batches instead of re-reading
+    parquet.  Intended for lookup working sets that fit cluster memory; the
+    default (cold) path keeps parquet scan + static filter pushdown, which
+    is the correct regime for a 100 TB table."""
+
+    def __init__(self, spark, parsed: SimpleSelect, *, hot: bool = False):
         from pyspark.sql import functions as F
 
         self.spark = spark
         self.parsed = parsed
+        self.hot = hot
         # Aggregating/DISTINCT templates change meaning under a batched
         # semi-join (one global result vs one result per parameter row), so
         # execute_batch must not take the semi-join fast path for them.
         self.is_aggregating = bool(parsed.group_by) or any(
             _AGG_FN_RE.search(item) for item in parsed.select_items
         )
+        # Point-lookup shape: every parameterized WHERE conjunct is a plain
+        # equality / IN on a column.  Used by the JIT policy (see
+        # PreparedStatement): per-key wholestage compilation never pays for
+        # this shape.
+        self.is_point_lookup = _is_point_lookup(parsed)
         df = spark.table(parsed.table)
         if parsed.alias:
             df = df.alias(parsed.alias)
+        if hot:
+            needed = _referenced_columns(parsed, df.columns)
+            df = df.select(*needed).persist()
         self.scan_df = df
         self._F = F
         # Pre-parse static pieces once (prepare-time, not execute-time).
@@ -337,6 +356,33 @@ class CompiledTemplate:
         if p.limit is not None:
             df = df.limit(p.limit)
         return df
+
+
+_EQ_CONJUNCT_RE = re.compile(
+    r"^\s*[A-Za-z_][\w.]*\s*(=|IN)\s*(?::[A-Za-z_]\w*|\$\d+)\s*$", re.IGNORECASE
+)
+
+
+def _is_point_lookup(parsed: SimpleSelect) -> bool:
+    if not parsed.where or not parsed.where_placeholders:
+        return False
+    return all(
+        _EQ_CONJUNCT_RE.match(c) or not find_placeholders(c)
+        for c in _split_conjuncts(parsed.where)
+    )
+
+
+def _referenced_columns(parsed: SimpleSelect, all_columns: list[str]) -> list[str]:
+    """Columns of the table mentioned anywhere in the statement — the
+    projection to pin in memory for a hot template (cache only the width the
+    statement can touch)."""
+    pieces = list(parsed.select_items) + list(parsed.group_by)
+    pieces += [o.expr for o in parsed.order_by]
+    if parsed.where:
+        pieces.append(parsed.where)
+    words = set(re.findall(r"[A-Za-z_]\w*", " ".join(pieces).lower()))
+    needed = [c for c in all_columns if c.lower() in words]
+    return needed or list(all_columns)
 
 
 def _split_conjuncts(where: str) -> list[str]:

@@ -111,6 +111,43 @@ def test_partitioned_sink_prunes_partitions(spark):
     ), plan
 
 
+def test_hot_prepared_reads_in_memory_and_skips_jit(engine, testdata):
+    """Hot template: column-pruned scan pinned in memory (reference MemTable
+    regime) and NO per-key generated class — execution cost deterministic,
+    immune to driver codegen-cache churn."""
+    stmt = engine.prepare(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1", hot=True
+    )
+    try:
+        df = stmt.execute({"$1": 42})
+        rows = df.collect()
+        plan = executed_plan(df)
+        assert "InMemoryTableScan" in plan, plan
+        assert "WholeStageCodegen" not in plan, plan
+        # same answer as the cold (pushdown) path
+        cold = engine.prepare(
+            "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1"
+        )
+        assert rows == cold.execute({"$1": 42}).collect()
+        # cached projection is column-pruned: only the referenced columns
+        cached_cols = set(stmt._template.scan_df.columns)
+        assert cached_cols == {"o_orderkey", "o_totalprice"}, cached_cols
+    finally:
+        stmt.close()
+
+
+def test_scan_metrics_reports_files_and_rows(engine, testdata):
+    from datafusion_dynamic_filter_spark.plans import scan_metrics
+
+    stmt = engine.prepare(
+        "SELECT o_orderkey FROM orders WHERE o_orderkey = $1"
+    )
+    df = stmt.execute({"$1": 7})
+    df.collect()
+    m = scan_metrics(df)
+    assert m["files_read"] >= 1 and m["bytes_read"] > 0, m
+
+
 def test_whole_stage_codegen_covers_q1(spark):
     """The hot path must be inside WholeStageCodegen (JVM, vectorized), not
     interpreted row-at-a-time.  AQE finalizes codegen stages only at
