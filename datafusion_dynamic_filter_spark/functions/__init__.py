@@ -79,57 +79,105 @@ def token_jaccard(a: Column, b: Column) -> Column:
 # 10 MB task binaries and ~20 s compile-dominated runtimes); the exploded
 # form keeps codegen tiny at the cost of one well-keyed shuffle on doc_id,
 # which scales linearly on a cluster.
+#
+# All sketch hashing is built on ONE cross-engine primitive so every sketch
+# operator has a DuckDB-computable oracle (round-2 verdict item 4): a 60-bit
+# content hash from the md5 hex prefix, then cheap affine transforms
+# (universal-hash family) for positional variety.  xxhash64 was abandoned —
+# it has no DuckDB twin, which made the sketch operators unverifiable.
+
+import random as _random
+
+#: modulus for the affine hash family: 2^31 - 1 (Mersenne prime).  Inputs
+#: are reduced mod P first, so a*x+b stays < 2^62 — no int64 overflow in
+#: either engine.
+HASH_P = 2147483647
+
+_rng = _random.Random(20260813)
+MINHASH_A = [_rng.randrange(1, HASH_P) for _ in range(64)]
+MINHASH_B = [_rng.randrange(0, HASH_P) for _ in range(64)]
 
 
-def minhash_agg_columns(shingle_col: str, num_hashes: int = 32) -> list[Column]:
+def h60(col: Column | str) -> Column:
+    """Cross-engine 60-bit content hash: int value of the first 15 hex
+    digits of md5.  DuckDB twin: ``h60_sql``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB SQL computing exactly ``h60`` of the given expression."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_agg_columns(hp_col: str, num_hashes: int = 32) -> list[Column]:
     """Aggregate columns computing a MinHash signature over exploded
-    (doc_id, shingle) rows: position i = min(xxhash64(shingle, i))."""
+    (doc_id, shingle) rows.  ``hp_col`` is the shingle's ``h60 % HASH_P``;
+    position i = min((A_i * hp + B_i) % HASH_P) — the standard single-hash
+    universal family, one md5 per shingle total (not per position)."""
+    hp = F.col(hp_col)
     return [
-        F.min(F.xxhash64(F.col(shingle_col), F.lit(i))).alias(f"mh{i}")
+        F.min((hp * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(HASH_P)).alias(
+            f"mh{i}"
+        )
         for i in range(num_hashes)
     ]
 
 
 def band_bucket_array(num_hashes: int, bands: int) -> Column:
-    """Bucket keys after minhash aggregation: band b hashes its
-    rows_per_band signature columns into one 64-bit key."""
+    """Bucket keys after minhash aggregation: band b joins its
+    rows_per_band signature minima into one string key.  Key equality is
+    all LSH needs; the string form has an exact SQL twin."""
     rows_per_band = num_hashes // bands
     return F.array(
         *[
-            F.xxhash64(
-                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                F.lit(b),
+            F.concat_ws(
+                ":", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
             )
             for b in range(bands)
         ]
     )
 
 
+#: SimHash signature width: 60 bits (all from one h60), blocked as 4 chunks
+#: of 15 bits — pigeonhole still guarantees any pair with Hamming <= 3
+#: shares a chunk.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+
+
 def simhash_agg_columns(hash_col: str = "h") -> list[Column]:
     """Aggregate columns for SimHash over exploded (doc_id, token-hash)
-    rows: per bit position, the +-1 vote sum."""
+    rows: per bit position, the +-1 vote sum.  ``hash_col`` is h60 (non-
+    negative), so plain right-shift is safe."""
     cols = []
-    for j in range(64):
-        # bit 63 of a signed long is the sign bit; 1<<63 overflows a JVM
-        # long literal, so use its two's-complement value.
-        mask = (1 << j) if j < 63 else -(1 << 63)
+    for j in range(SIMHASH_BITS):
         vote = F.when(
-            F.col(hash_col).bitwiseAND(F.lit(mask).cast("long")) != 0, 1
+            F.shiftright(F.col(hash_col), j).bitwiseAND(F.lit(1).cast("long")) == 1, 1
         ).otherwise(-1)
         cols.append(F.sum(vote).alias(f"v{j}"))
     return cols
 
 
 def simhash_from_votes() -> Column:
-    """Fold the 64 vote sums (v0..v63) into the signature long."""
+    """Fold the vote sums (v0..v59) into the signature long."""
     out = None
-    for j in range(64):
-        mask = (1 << j) if j < 63 else -(1 << 63)
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(mask).cast("long")).otherwise(
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         out = bit if out is None else out.bitwiseOR(bit)
     return out
+
+
+def lsh_plane_signs(n_planes: int, max_dims: int = 128, seed: int = 20260813) -> list[list[int]]:
+    """Deterministic +-1 hyperplane matrix for sign-random-projection LSH.
+    Generated from a fixed seed and embedded as literals on BOTH engines
+    (12 x 128 ints — trivially shippable), so the bucket assignment has an
+    exact SQL twin."""
+    rng = _random.Random(seed)
+    return [[rng.choice((1, -1)) for _ in range(max_dims)] for _ in range(n_planes)]
 
 
 def hamming64(a: Column, b: Column) -> Column:

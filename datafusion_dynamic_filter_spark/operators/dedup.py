@@ -17,10 +17,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import (
+    HASH_P,
+    MINHASH_A,
+    MINHASH_B,
+    SIMHASH_BITS,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNKS,
     band_bucket_array,
     distinct_tokens,
     fan_out,
     fingerprint_md5,
+    h60,
+    h60_sql,
     hamming64,
     minhash_agg_columns,
     simhash_agg_columns,
@@ -29,6 +37,89 @@ from ..functions import (
     word_shingles,
 )
 from ..registry import query, tables
+
+# DuckDB fragments mirroring functions.distinct_tokens / word_shingles
+# exactly (1-based list ops; sequence/range bounds shifted accordingly).
+# Shingling runs over the RAW token sequence — n-grams are order-sensitive
+# and DuckDB's list_distinct does not preserve order; the shingle SET is
+# distinct-ed afterwards on both engines.
+_TOK_SQL = r"list_distinct(string_split_regex(lower(trim(text)), '\s+'))"
+_RAWTOK_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+_SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, greatest(len(tok)-3, 0)+2), "
+    "i -> array_to_string(list_slice(tok, i, i+2), ' ')))"
+)
+
+
+def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    mh_cols = ",\n".join(
+        f"CAST(min((hp * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_P}) AS BIGINT) AS mh{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band_idx, concat_ws(':', {cols}) AS bucket FROM sig".format(
+            b=b,
+            cols=", ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH tk AS (
+    SELECT doc_id, {_RAWTOK_SQL} AS tok FROM documents
+    ), docs AS (
+    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tk
+    ), sh AS (
+    SELECT doc_id, unnest(shingles) AS s FROM docs WHERE len(shingles) > 0
+    ), hp AS (
+    SELECT doc_id, {h60_sql('s')} % {HASH_P} AS hp FROM sh
+    ), sig AS (
+    SELECT doc_id, {mh_cols} FROM hp GROUP BY doc_id
+    ), buckets AS (
+    {band_rows}
+    ), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+    round(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+    / len(list_distinct(list_concat(da.shingles, db.shingles))), 4) AS jaccard
+    FROM cand c
+    JOIN docs da ON da.doc_id = c.doc_a
+    JOIN docs db ON db.doc_id = c.doc_b
+    WHERE round(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+    / len(list_distinct(list_concat(da.shingles, db.shingles))), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    return f"""
+    WITH tk AS (
+    SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+    ), toks AS (
+    SELECT doc_id, unnest(tok) AS t FROM tk WHERE len(tok) > 0
+    ), th AS (
+    SELECT doc_id, {h60_sql('t')} AS h FROM toks
+    ), votes AS (
+    SELECT doc_id, r.j, SUM(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM th CROSS JOIN range({SIMHASH_BITS}) r(j) GROUP BY doc_id, r.j
+    ), sigs AS (
+    SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS BIGINT) AS sig
+    FROM votes GROUP BY doc_id
+    ), chunks AS (
+    SELECT doc_id, sig, r.c AS chunk_idx, (sig >> ({SIMHASH_CHUNK_BITS} * r.c)) & {mask} AS chunk
+    FROM sigs CROSS JOIN range({SIMHASH_CHUNKS}) r(c)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
 
 
 @query(
@@ -137,23 +228,28 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh")  # no SQL oracle: xxhash64-based sketch is Spark-native
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
     """MinHash + LSH near-dup candidate pairs with exact Jaccard verify.
 
     Pipeline (all joins/aggs on uniform hash keys — no skew at scale):
       1. shingle: distinct word 3-grams per doc
-      2. signature: 32 minhashes (xxhash64 seeded per position)
-      3. banding: 8 bands x 4 rows -> per-band bucket hash
+      2. signature: 32 minhashes — ONE cross-engine 60-bit md5-prefix hash
+         per shingle + per-position affine transforms mod 2^31-1 (so the
+         whole sketch has an exact DuckDB oracle)
+      3. banding: 8 bands x 4 rows -> per-band bucket key
       4. candidates: explode bands, equi-join on (band_idx, bucket)
       5. verify: exact shingle Jaccard >= 0.5 on candidates only
     """
+    from ..functions import tokens
+
     t = tables(spark, sf_dir)
     exploded_sh = (
         fan_out(t["documents"])
-        .select("doc_id", word_shingles(distinct_tokens("text"), 3).alias("shingles"))
+        .select("doc_id", word_shingles(tokens("text"), 3).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .select("doc_id", F.explode("shingles").alias("shingle"))
+        .withColumn("hp", h60("shingle") % F.lit(HASH_P))
     )
     # ONE scan + ONE doc_id shuffle builds BOTH the signature and the
     # shingle set; every downstream branch (bucketing, both verify sides)
@@ -164,7 +260,7 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
     from pyspark.storagelevel import StorageLevel
 
     sig = exploded_sh.groupBy("doc_id").agg(
-        *minhash_agg_columns("shingle", num_hashes),
+        *minhash_agg_columns("hp", num_hashes),
         F.collect_set("shingle").alias("shingles"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = sig.select(
@@ -254,12 +350,13 @@ def dedup_embedding_cosine(spark, sf_dir, *, per_label: int = 3):
     )
 
 
-@query("dedup_simhash")  # no SQL oracle: xxhash64-based sketch is Spark-native
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
-    """SimHash near-dup pairs: 64-bit signatures, 16-bit chunk blocking.
+    """SimHash near-dup pairs: 60-bit signatures (cross-engine md5-prefix
+    token hash, see functions.h60), 15-bit chunk blocking.
 
     Pigeonhole: any pair with Hamming distance <= 3 shares at least one of
-    the four 16-bit chunks, so blocking on chunks finds all such pairs with
+    the four 15-bit chunks, so blocking on chunks finds all such pairs with
     an equi-join instead of a cross join.
     """
     t = tables(spark, sf_dir)
@@ -268,19 +365,20 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     ).filter(F.size("tok") > 0)
     # Exploded vote aggregation (see functions/: avoids codegen blowup).
     tok_hashes = docs.select("doc_id", F.explode("tok").alias("t")).select(
-        "doc_id", F.xxhash64("t").alias("h")
+        "doc_id", h60("t").alias("h")
     )
     votes = tok_hashes.groupBy("doc_id").agg(*simhash_agg_columns("h"))
     sigs = votes.select("doc_id", simhash_from_votes().alias("sig"))
+    chunk_mask = F.lit((1 << SIMHASH_CHUNK_BITS) - 1).cast("long")
     chunks = sigs.select(
         "doc_id",
         "sig",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sig"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF).cast("long"))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col("sig"), SIMHASH_CHUNK_BITS * i)
+                    .bitwiseAND(chunk_mask)
+                    for i in range(SIMHASH_CHUNKS)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
@@ -297,7 +395,7 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).cast("int").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)

@@ -79,7 +79,15 @@ def multimodal_decode_stats(spark, sf_dir):
     )
 
 
-@query("multimodal_resize_batch")  # rows-only: stubbed pixel op has no SQL twin
+@query(
+    "multimodal_resize_batch",
+    oracle="""
+    SELECT doc_id, 32 AS target_w, 32 AS target_h,
+    md5('32:' || text) AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
 def multimodal_resize_batch(spark, sf_dir, *, target: int = 32):
     """Resize/feature-extract stage shape: batch in, batch out with new
     metadata; the pixel work is stubbed (no codec in container), the

@@ -758,15 +758,34 @@ def conditional_agg_pivot(spark, sf_dir):
     )
 
 
-@query("approx_count_distinct")  # no oracle: HLL sketches differ across engines
+@query(
+    "approx_count_distinct",
+    oracle="""
+    SELECT event_type,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+    TRUE AS within_bounds
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def approx_count_distinct(spark, sf_dir):
+    """HLL++ sketches are engine-specific, so the verifiable contract is the
+    error bound: emit the exact count plus a boolean asserting the sketch
+    estimate is within 3 relative standard deviations (rsd=0.05) of it —
+    deterministic per input, and TRUE is what the oracle expects."""
     t = tables(spark, sf_dir)
     from pyspark.sql import functions as F
 
+    approx = F.approx_count_distinct("user_id", rsd=0.05)
+    exact = F.count_distinct(F.col("user_id"))
     return (
         t["events"]
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+        .agg(
+            exact.alias("exact_users"),
+            (F.abs(approx - exact) / exact <= 0.15).alias("within_bounds"),
+        )
         .orderBy("event_type")
     )
 

@@ -11,8 +11,49 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot, fan_out, l2_norm, vec_double
+from ..functions import cosine, dot, fan_out, l2_norm, lsh_plane_signs, vec_double
 from ..registry import query, tables
+
+_N_PLANES = 12
+_PLANES = lsh_plane_signs(_N_PLANES)  # deterministic +-1 matrix, seed-fixed
+
+
+def _lsh_topk_oracle(k: int = 5) -> str:
+    proj_cols = ",\n".join(
+        "round(SUM(x * ([{signs}])[pos]), 6) AS proj{p}".format(
+            signs=", ".join(str(s) for s in _PLANES[p]), p=p
+        )
+        for p in range(_N_PLANES)
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(_N_PLANES)
+    )
+    return f"""
+    WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), ed AS (
+    SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), pr AS (
+    SELECT vec_id, {proj_cols} FROM ed GROUP BY vec_id
+    ), bk AS (
+    SELECT vec_id, {bucket_expr} AS bucket FROM pr
+    ), corpus AS (
+    SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)
+    ), q AS (
+    SELECT vec_id AS q_id, v AS qv, bucket AS q_bucket FROM corpus WHERE vec_id % 100 = 0
+    ), scored AS (
+    SELECT q.q_id, c.vec_id AS neighbor_id,
+    round(list_dot_product(q.qv, c.v)
+    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 3) AS cos_sim
+    FROM q JOIN corpus c ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id
+    ), ranked AS (
+    SELECT q_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {k}
+    ORDER BY q_id, cos_sim DESC, neighbor_id
+    """
 
 
 @query(
@@ -71,15 +112,18 @@ def similarity_brute_topk(spark, sf_dir, *, k: int = 5):
     )
 
 
-@query("similarity_lsh_topk")  # no SQL oracle: hyperplane sketch is Spark-native
-def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = 12):
+@query("similarity_lsh_topk", oracle=_lsh_topk_oracle())
+def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = _N_PLANES):
     """LSH-bucketed ANN: sign-random-projection signatures, candidates from
     matching buckets only, exact cosine re-rank on candidates.
 
-    Hyperplanes are derived deterministically from xxhash64(dim, plane) so
-    executors regenerate them locally — nothing is shipped, nothing random.
-    At scale this replaces the full cross product with an equi-join whose
-    right side is ~corpus/2^planes per bucket.
+    Hyperplanes are a seed-fixed +-1 literal matrix (functions.
+    lsh_plane_signs) shipped with the plan (12 x 128 ints — trivial) and
+    embedded identically in the DuckDB oracle, so bucket assignment is
+    verifiable cross-engine.  Projections are rounded to 6 decimals before
+    the sign test on BOTH engines so float summation order cannot flip a
+    bucket bit.  At 100 TB this replaces the full cross product with an
+    equi-join whose right side is ~corpus/2^planes per bucket.
     """
     t = tables(spark, sf_dir)
     emb = fan_out(t["embeddings"]).select("vec_id", vec_double("embedding").alias("v"))
@@ -87,18 +131,15 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = 12):
     # Exploded projection: one (vec_id, dim, x) pass computes ALL plane
     # projections as plain agg columns — the per-plane zip_with/aggregate
     # lambda form compiles 12 O(dims) codegen pipelines per row and was
-    # measured 10x slower than brute force at sf0.1.  Plane component
-    # (dim, p) = +-1 by parity of xxhash64(dim, p), regenerated locally on
-    # every executor — nothing shipped, nothing random.
+    # measured 10x slower than brute force at sf0.1.
+    plane_arrays = [
+        F.array(*[F.lit(s) for s in _PLANES[p]]) for p in range(n_planes)
+    ]
     exploded = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
     projs = exploded.groupBy("vec_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.xxhash64(F.col("dim"), F.lit(p)).bitwiseAND(F.lit(1).cast("long"))
-                    == 0,
-                    F.col("x"),
-                ).otherwise(-F.col("x"))
+            F.round(
+                F.sum(F.col("x") * F.element_at(plane_arrays[p], F.col("dim") + 1)), 6
             ).alias(f"proj{p}")
             for p in range(n_planes)
         ]

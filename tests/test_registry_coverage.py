@@ -66,14 +66,6 @@ def test_oracle_coverage_ratio():
     # Rows-only is acceptable ONLY for genuinely non-SQL-expressible ops
     # (custom stateful streaming); every name added here needs a reason.
     allowed = {name for name in no_oracle if name.startswith("streaming_")}
-    # Pending (round-2 task: replace xxhash64 with a DuckDB-computable hash):
-    allowed |= {
-        "approx_count_distinct",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "multimodal_resize_batch",
-        "similarity_lsh_topk",
-    }
     unexpected = [n for n in no_oracle if n not in allowed]
     assert not unexpected, (
         f"queries without oracles (round-1 verdict: sketch ops must gain "
