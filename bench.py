@@ -176,6 +176,27 @@ def main() -> None:
     stmt.execute_batch([[k] for k in batch_keys]).collect()
     timings["prepared_inlist_1000"] = time.perf_counter() - t0
 
+    # Prepared parameterized JOIN (reference prepares any non-DDL plan,
+    # src/preparable_context.rs:15-30): same 50 keys through a customer x
+    # orders point join, prepared template vs per-execute spark.sql(args=).
+    join_sql = (
+        "SELECT o_orderkey, o_orderdate, c_name, o_totalprice "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "WHERE o_orderkey = :p1"
+    )
+    join_stmt = eng.prepare(join_sql, hot=True)
+    for k in warm_keys:
+        spark.sql(join_sql, args={"p1": k}).collect()
+        join_stmt.execute({"p1": k}).collect()
+    t0 = time.perf_counter()
+    for k in keys:
+        spark.sql(join_sql, args={"p1": k}).collect()
+    timings["sqlargs_join_50keys"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for k in keys:
+        join_stmt.execute({"p1": k}).collect()
+    timings["prepared_join_50keys"] = time.perf_counter() - t0
+
     # --- headline analytics queries ---
     for name in HEADLINE:
         fn = registry.QUERIES[name]
@@ -205,6 +226,9 @@ def main() -> None:
         ),
         "speedup_prepared_cold_vs_unprepared": round(
             timings["fstring_50keys"] / timings["prepared_cold_50keys"], 3
+        ),
+        "speedup_prepared_join_vs_sqlargs": round(
+            timings["sqlargs_join_50keys"] / timings["prepared_join_50keys"], 3
         ),
         "plan_exec_split": plan_exec_split,
         "scan_metrics": scan_evidence,

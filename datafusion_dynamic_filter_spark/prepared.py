@@ -224,8 +224,9 @@ class PreparedStatement:
         """Release statement resources: bound-state caches and, for hot
         templates, the pinned in-memory scan."""
         self.reset()
-        if self._template is not None and self._template.hot:
-            self._template.scan_df.unpersist()
+        if self._template is not None:
+            for df in self._template._persisted:
+                df.unpersist()
 
     def explain(self, params=None, fmt: str = "formatted") -> str:
         df = self.execute(params)

@@ -1,21 +1,26 @@
 """Clause splitter for the plan-reuse ("dynamic") execution path.
 
 The reference's ``DynamicFilterRule`` only rewrites placeholders that occur
-inside a ``Filter`` predicate (src/rule.rs:32-49); anything fancier falls off
-the fast path.  We mirror that scope: statements of the shape
+inside a ``Filter`` predicate (src/rule.rs:32-49), while ``prepare()``
+accepts any plannable statement — joins included
+(src/preparable_context.rs:15-30).  We mirror that scope: statements of the
+shape
 
-    SELECT [DISTINCT] <items> FROM <table> [WHERE <pred>]
-    [GROUP BY <exprs>] [ORDER BY <items>] [LIMIT n]
+    SELECT [DISTINCT] <items>
+    FROM <table> [[INNER|LEFT|RIGHT|FULL|CROSS|LEFT SEMI|LEFT ANTI] JOIN
+                  <table> ON <cond>]...
+    [WHERE <pred>] [GROUP BY <exprs>] [ORDER BY <items>] [LIMIT n]
 
-compile to a reusable DataFrame *template*: the scan DataFrame is resolved
-once at prepare time, and each ``execute`` only binds the WHERE predicate
-(literal substitution -> ``df.filter``) and re-applies the pre-parsed
-projection/aggregation.  No SQL statement parse happens per execution — the
-Spark analog of re-executing a cached physical plan with
-``DynamicFilterPhysicalExpr::update`` (reference src/physical.rs:247-255).
-Statements outside this grammar return ``None`` and the caller falls back to
-Spark parameterized SQL (the reference's own "logical plan" baseline,
-benches/dynamic_filter_benchmark.rs:146-183).
+compile to a reusable DataFrame *template*: every scan DataFrame and join
+condition is resolved/pre-parsed once at prepare time, and each ``execute``
+only binds the WHERE predicate (literal substitution -> ``df.filter``) and
+re-applies the pre-parsed join/projection/aggregation composition.  No SQL
+statement parse happens per execution — the Spark analog of re-executing a
+cached physical plan with ``DynamicFilterPhysicalExpr::update`` (reference
+src/physical.rs:247-255).  Placeholders outside WHERE (e.g. in a join
+condition) and statements outside this grammar return ``None`` and the
+caller falls back to Spark parameterized SQL (the reference's own "logical
+plan" baseline, benches/dynamic_filter_benchmark.rs:146-183).
 """
 
 from __future__ import annotations
@@ -27,10 +32,28 @@ from .params import Placeholder, bind_text, find_placeholders
 
 _CLAUSE_KEYWORDS = ["FROM", "WHERE", "GROUP BY", "ORDER BY", "LIMIT"]
 _UNSUPPORTED = re.compile(
-    r"\b(JOIN|UNION|INTERSECT|EXCEPT|HAVING|QUALIFY|WITH|LATERAL|PIVOT|UNPIVOT)\b",
+    r"\b(UNION|INTERSECT|EXCEPT|HAVING|QUALIFY|WITH|LATERAL|PIVOT|UNPIVOT)\b",
     re.IGNORECASE,
 )
 _IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*(\s+(AS\s+)?[A-Za-z_]\w*)?$", re.IGNORECASE)
+_JOIN_KW = re.compile(
+    r"\b(?:(INNER|LEFT\s+OUTER|LEFT\s+SEMI|LEFT\s+ANTI|LEFT|RIGHT\s+OUTER|RIGHT|"
+    r"FULL\s+OUTER|FULL|CROSS)\s+)?JOIN\b",
+    re.IGNORECASE,
+)
+_JOIN_HOW = {
+    None: "inner",
+    "INNER": "inner",
+    "LEFT": "left",
+    "LEFT OUTER": "left",
+    "LEFT SEMI": "left_semi",
+    "LEFT ANTI": "left_anti",
+    "RIGHT": "right",
+    "RIGHT OUTER": "right",
+    "FULL": "full",
+    "FULL OUTER": "full",
+    "CROSS": "cross",
+}
 
 
 def _depth0_positions(sql: str, word: str) -> list[int]:
@@ -100,6 +123,14 @@ class OrderItem:
 
 
 @dataclass
+class JoinPart:
+    table: str
+    alias: str | None
+    how: str  # pyspark join type string
+    cond: str | None  # ON condition text (None only for cross joins)
+
+
+@dataclass
 class SimpleSelect:
     """Parsed representation of a fast-path statement."""
 
@@ -112,6 +143,7 @@ class SimpleSelect:
     group_by: list[str] = field(default_factory=list)
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
+    joins: list[JoinPart] = field(default_factory=list)
 
 
 def parse_simple_select(sql: str) -> SimpleSelect | None:
@@ -159,13 +191,9 @@ def parse_simple_select(sql: str) -> SimpleSelect | None:
         return None
 
     from_body = clause_text["FROM"].strip()
-    if not _IDENT_RE.match(from_body):
+    table, alias, joins = _parse_from(from_body)
+    if table is None:
         return None
-    parts = re.split(r"\s+", from_body)
-    table = parts[0]
-    alias = None
-    if len(parts) > 1:
-        alias = parts[-1]
 
     where_body = clause_text.get("WHERE")
     where_placeholders: list[Placeholder] = []
@@ -225,7 +253,69 @@ def parse_simple_select(sql: str) -> SimpleSelect | None:
         group_by=group_by,
         order_by=order_items,
         limit=limit,
+        joins=joins,
     )
+
+
+def _parse_table_ref(text: str) -> tuple[str | None, str | None]:
+    text = text.strip()
+    if not _IDENT_RE.match(text):
+        return None, None
+    parts = re.split(r"\s+", text)
+    return parts[0], (parts[-1] if len(parts) > 1 else None)
+
+
+def _parse_from(from_body: str) -> tuple[str | None, str | None, list[JoinPart]]:
+    """FROM clause: base table plus zero or more JOIN ... [ON ...] parts.
+
+    Placeholders in join conditions are out of the reference's dynamic-
+    filter scope (only Filter predicates are rewritten, src/rule.rs:32-49),
+    so they reject the fast path here."""
+    matches = []
+    depth = 0
+    i = 0
+    while i < len(from_body):
+        c = from_body[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = _JOIN_KW.match(from_body, i)
+            if m:
+                matches.append(m)
+                i = m.end()
+                continue
+        i += 1
+    if not matches:
+        table, alias = _parse_table_ref(from_body)
+        return table, alias, []
+
+    table, alias = _parse_table_ref(from_body[: matches[0].start()])
+    if table is None:
+        return None, None, []
+    joins: list[JoinPart] = []
+    for idx, m in enumerate(matches):
+        seg_end = matches[idx + 1].start() if idx + 1 < len(matches) else len(from_body)
+        seg = from_body[m.end() : seg_end].strip()
+        how_word = m.group(1)
+        how = _JOIN_HOW.get(re.sub(r"\s+", " ", how_word.upper()) if how_word else None)
+        if how is None:
+            return None, None, []
+        on_m = re.search(r"\bON\b", seg, re.IGNORECASE)
+        if on_m is None:
+            if how != "cross":
+                return None, None, []  # NATURAL / USING forms -> fall back
+            ref, cond = seg, None
+        else:
+            ref, cond = seg[: on_m.start()], seg[on_m.end() :].strip()
+            if not cond or find_placeholders(cond):
+                return None, None, []
+        t, a = _parse_table_ref(ref)
+        if t is None:
+            return None, None, []
+        joins.append(JoinPart(table=t, alias=a, how=how, cond=cond))
+    return table, alias, joins
 
 
 _AGG_FN_RE = re.compile(
@@ -267,13 +357,27 @@ class CompiledTemplate:
         # PreparedStatement): per-key wholestage compilation never pays for
         # this shape.
         self.is_point_lookup = _is_point_lookup(parsed)
-        df = spark.table(parsed.table)
-        if parsed.alias:
-            df = df.alias(parsed.alias)
-        if hot:
-            needed = _referenced_columns(parsed, df.columns)
-            df = df.select(*needed).persist()
-        self.scan_df = df
+
+        def resolve(table: str, alias: str | None):
+            df = spark.table(table)
+            if hot:
+                needed = _referenced_columns(parsed, df.columns)
+                df = df.select(*needed).persist()
+            if alias:
+                df = df.alias(alias)
+            return df
+
+        self.scan_df = resolve(parsed.table, parsed.alias)
+        self._persisted = [self.scan_df] if hot else []
+        # Join scans + pre-parsed ON conditions, resolved once at prepare.
+        self.join_parts = []
+        for jp in parsed.joins:
+            jdf = resolve(jp.table, jp.alias)
+            if hot:
+                self._persisted.append(jdf)
+            self.join_parts.append(
+                (jdf, jp.how, F.expr(jp.cond) if jp.cond else None)
+            )
         self._F = F
         # Pre-parse static pieces once (prepare-time, not execute-time).
         self.select_cols = [F.expr(item) for item in parsed.select_items]
@@ -294,10 +398,17 @@ class CompiledTemplate:
         else:
             self.static_where = None
 
+    def _composed_scan(self):
+        """Base scan with all pre-resolved joins applied (FROM clause)."""
+        df = self.scan_df
+        for jdf, how, cond in self.join_parts:
+            df = df.join(jdf, on=cond, how=how) if cond is not None else df.crossJoin(jdf)
+        return df
+
     def build(self, bound: dict):
         """Compose the DataFrame for one execution with params bound."""
         p = self.parsed
-        df = self.scan_df
+        df = self._composed_scan()
         if p.where:
             if p.where_placeholders:
                 bound_where = bind_text(p.where, p.where_placeholders, bound)
@@ -342,9 +453,9 @@ class CompiledTemplate:
         )
         cond = None
         for col, name in eq_cols:
-            piece = self.scan_df[col] == params_df[name]
+            piece = F.col(col) == params_df[name]
             cond = piece if cond is None else (cond & piece)
-        df = self.scan_df.join(F.broadcast(params_df), cond, "left_semi")
+        df = self._composed_scan().join(F.broadcast(params_df), cond, "left_semi")
         if p.group_by:
             df = df.groupBy(*self.group_cols).agg(*self.agg_cols)
         else:
@@ -378,6 +489,7 @@ def _referenced_columns(parsed: SimpleSelect, all_columns: list[str]) -> list[st
     statement can touch)."""
     pieces = list(parsed.select_items) + list(parsed.group_by)
     pieces += [o.expr for o in parsed.order_by]
+    pieces += [jp.cond for jp in parsed.joins if jp.cond]
     if parsed.where:
         pieces.append(parsed.where)
     words = set(re.findall(r"[A-Za-z_]\w*", " ".join(pieces).lower()))

@@ -78,7 +78,11 @@ def test_simple_parser_accepts_reference_shapes():
 
 
 def test_simple_parser_rejects_out_of_scope():
-    assert parse_simple_select("SELECT * FROM a JOIN b ON a.x = b.x") is None
+    # joins parse (round 2); NATURAL/USING and comma joins still fall back
+    assert parse_simple_select("SELECT * FROM a JOIN b ON a.x = b.x") is not None
+    assert parse_simple_select("SELECT * FROM a NATURAL JOIN b") is None
+    assert parse_simple_select("SELECT * FROM a JOIN b USING (x)") is None
+    assert parse_simple_select("SELECT * FROM a, b WHERE a.x = b.x") is None
     assert parse_simple_select("SELECT * FROM (SELECT 1)") is None
     assert parse_simple_select("SELECT x FROM t WHERE x IN (SELECT y FROM u)") is None
     assert parse_simple_select("WITH c AS (SELECT 1) SELECT * FROM c") is None

@@ -163,14 +163,24 @@ def test_execute_batch_semi_join(engine, users):
     assert sorted(r.id for r in rows) == [1, 3, 5]
 
 
-def test_literal_mode_fallback_joins(engine, users):
-    # A statement outside the fast-path grammar still prepares + executes.
+def test_join_statement_takes_fast_path(engine, users):
+    # Joins are inside the fast-path grammar (round 2): template mode.
     stmt = engine.prepare(
         "SELECT u.id, u.name FROM users u JOIN users v ON u.id = v.id WHERE u.id = $1"
     )
-    assert stmt.mode == "literal"
+    assert stmt.mode == "dynamic"
     rows = stmt.execute({"$1": 4}).collect()
     assert [(r.id, r.name) for r in rows] == [(4, "diana")]
+
+
+def test_literal_mode_fallback_setops(engine, users):
+    # A statement outside the fast-path grammar still prepares + executes.
+    stmt = engine.prepare(
+        "SELECT id FROM users WHERE id = $1 UNION ALL SELECT id FROM users WHERE id = $1"
+    )
+    assert stmt.mode == "literal"
+    rows = stmt.execute({"$1": 4}).collect()
+    assert [r.id for r in rows] == [4, 4]
 
 
 def test_string_escaping_safe(engine, users):
