@@ -34,6 +34,7 @@ HEADLINE = [
     "left_outer_order_counts",
     "dedup_exact_normalized",
     "dedup_minhash_lsh",
+    "dedup_lsh_verified",
     "dedup_simhash",
     "text_quality_score",
     "token_frequencies",

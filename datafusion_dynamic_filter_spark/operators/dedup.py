@@ -51,7 +51,11 @@ _SHINGLES_SQL = (
 )
 
 
-def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
+def _minhash_lsh_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5, over: str = "shingles"
+) -> str:
+    """SQL mirror of the MinHash->bands->candidates->exact-verify pipeline,
+    over either the shingle set or the distinct-token set."""
     rows = num_hashes // bands
     mh_cols = ",\n".join(
         f"CAST(min((hp * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_P}) AS BIGINT) AS mh{i}"
@@ -64,13 +68,23 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-    WITH tk AS (
+    if over == "shingles":
+        elems = f"""tk AS (
     SELECT doc_id, {_RAWTOK_SQL} AS tok FROM documents
     ), docs AS (
-    SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM tk
-    ), sh AS (
-    SELECT doc_id, unnest(shingles) AS s FROM docs WHERE len(shingles) > 0
+    SELECT doc_id, {_SHINGLES_SQL} AS elems FROM tk
+    )"""
+    else:
+        elems = f"""docs AS (
+    SELECT doc_id, {_TOK_SQL} AS elems FROM documents
+    )"""
+    jac = (
+        "round(CAST(len(list_intersect(da.elems, db.elems)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(da.elems, db.elems))), 4)"
+    )
+    return f"""
+    WITH {elems}, sh AS (
+    SELECT doc_id, unnest(elems) AS s FROM docs WHERE len(elems) > 0
     ), hp AS (
     SELECT doc_id, {h60_sql('s')} % {HASH_P} AS hp FROM sh
     ), sig AS (
@@ -82,14 +96,11 @@ def _minhash_lsh_oracle(num_hashes: int = 32, bands: int = 8) -> str:
     FROM buckets a JOIN buckets b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-    round(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
-    / len(list_distinct(list_concat(da.shingles, db.shingles))), 4) AS jaccard
+    SELECT c.doc_a, c.doc_b, {jac} AS jaccard
     FROM cand c
     JOIN docs da ON da.doc_id = c.doc_a
     JOIN docs db ON db.doc_id = c.doc_b
-    WHERE round(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
-    / len(list_distinct(list_concat(da.shingles, db.shingles))), 4) >= 0.5
+    WHERE {jac} >= {threshold}
     ORDER BY doc_a, doc_b
     """
 
@@ -192,9 +203,11 @@ def dedup_exact_normalized(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by token-set Jaccard >= 0.8, blocked by language.
 
-    The lang block bounds the pair space; at 100 TB the block key would be an
-    LSH bucket (see dedup_minhash_lsh) — this operator is the exact
-    verifier used downstream of candidate generation.
+    DEMOTED to verifier/yardstick (round-2): all-pairs within a block is
+    O(n^2) per block and does not survive 100x data growth.  The headline
+    near-dup operator is dedup_lsh_verified (LSH candidates -> exact
+    verify); this exact formulation remains as its small-SF recall
+    yardstick (tests/test_dedup_quality.py) and as the verify kernel.
     """
     t = tables(spark, sf_dir)
     toks = fan_out(t["documents"]).select(
@@ -228,40 +241,38 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
-def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
-    """MinHash + LSH near-dup candidate pairs with exact Jaccard verify.
+def _minhash_verified_pairs(spark, sf_dir, *, elems_col, num_hashes, bands, threshold):
+    """Shared MinHash->LSH->exact-verify pipeline over a per-doc element-set
+    column expression (shingles or distinct tokens).
 
-    Pipeline (all joins/aggs on uniform hash keys — no skew at scale):
-      1. shingle: distinct word 3-grams per doc
-      2. signature: 32 minhashes — ONE cross-engine 60-bit md5-prefix hash
-         per shingle + per-position affine transforms mod 2^31-1 (so the
-         whole sketch has an exact DuckDB oracle)
-      3. banding: 8 bands x 4 rows -> per-band bucket key
+    All joins/aggs are on uniform hash keys — no skew at scale:
+      1. elements per doc (exploded)
+      2. signature: ONE cross-engine 60-bit md5-prefix hash per element +
+         per-position affine transforms mod 2^31-1 (so the whole sketch has
+         an exact DuckDB oracle)
+      3. banding: per-band bucket key from the band's signature minima
       4. candidates: explode bands, equi-join on (band_idx, bucket)
-      5. verify: exact shingle Jaccard >= 0.5 on candidates only
+      5. verify: exact element-set Jaccard >= threshold on candidates only
     """
-    from ..functions import tokens
+    from pyspark.storagelevel import StorageLevel
 
     t = tables(spark, sf_dir)
-    exploded_sh = (
+    exploded = (
         fan_out(t["documents"])
-        .select("doc_id", word_shingles(tokens("text"), 3).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
-        .withColumn("hp", h60("shingle") % F.lit(HASH_P))
+        .select("doc_id", elems_col.alias("elems"))
+        .filter(F.size("elems") > 0)
+        .select("doc_id", F.explode("elems").alias("elem"))
+        .withColumn("hp", h60("elem") % F.lit(HASH_P))
     )
     # ONE scan + ONE doc_id shuffle builds BOTH the signature and the
-    # shingle set; every downstream branch (bucketing, both verify sides)
+    # element set; every downstream branch (bucketing, both verify sides)
     # consumes this relation.  It is persisted because ReuseExchange only
     # sometimes unifies the three subtrees (the broadcast branch plans
     # separately) — and at any scale a sketch relation reused 3x is exactly
     # what you materialize (MEMORY_AND_DISK: spills, never recomputes).
-    from pyspark.storagelevel import StorageLevel
-
-    sig = exploded_sh.groupBy("doc_id").agg(
+    sig = exploded.groupBy("doc_id").agg(
         *minhash_agg_columns("hp", num_hashes),
-        F.collect_set("shingle").alias("shingles"),
+        F.collect_set("elem").alias("elems"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = sig.select(
         "doc_id", F.posexplode(band_bucket_array(num_hashes, bands)).alias("band_idx", "bucket")
@@ -278,20 +289,59 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Exact verify only on candidates: join shingle arrays back in.  The
+    # Exact verify only on candidates: join element arrays back in.  The
     # candidate pair set is orders of magnitude smaller than the corpus, so
     # broadcast IT — the array-bearing sig relation is consumed where the
     # agg left it, never reshuffled.
-    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("elems").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("elems").alias("sh_b"))
     return (
         F.broadcast(cand)
         .join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard", F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
-        .filter(F.col("jaccard") >= 0.5)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
+def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
+    """MinHash + LSH near-dup candidates over word-3-gram shingle sets with
+    exact Jaccard >= 0.5 verify (see _minhash_verified_pairs)."""
+    from ..functions import tokens
+
+    return _minhash_verified_pairs(
+        spark,
+        sf_dir,
+        elems_col=word_shingles(tokens("text"), 3),
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=0.5,
+    )
+
+
+@query(
+    "dedup_lsh_verified",
+    oracle=_minhash_lsh_oracle(num_hashes=32, bands=16, threshold=0.8, over="tokens"),
+)
+def dedup_lsh_verified(spark, sf_dir):
+    """HEADLINE near-dup operator: LSH candidates -> exact verify at token-
+    set Jaccard >= 0.8 — the scale-safe replacement for all-pairs
+    dedup_ngram_jaccard (which remains as its small-SF recall yardstick,
+    see tests/test_dedup_quality.py).
+
+    16 bands x 2 rows: P(candidate | J=0.8) = 1-(1-0.8^2)^16 ~ 0.99998, so
+    recall at the threshold is ~1 while candidate generation stays an
+    equi-join (no quadratic block)."""
+    return _minhash_verified_pairs(
+        spark,
+        sf_dir,
+        elems_col=distinct_tokens("text"),
+        num_hashes=32,
+        bands=16,
+        threshold=0.8,
     )
 
 
@@ -364,11 +414,17 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
         "doc_id", distinct_tokens("text").alias("tok")
     ).filter(F.size("tok") > 0)
     # Exploded vote aggregation (see functions/: avoids codegen blowup).
+    from pyspark.storagelevel import StorageLevel
+
     tok_hashes = docs.select("doc_id", F.explode("tok").alias("t")).select(
         "doc_id", h60("t").alias("h")
     )
     votes = tok_hashes.groupBy("doc_id").agg(*simhash_agg_columns("h"))
-    sigs = votes.select("doc_id", simhash_from_votes().alias("sig"))
+    # Tiny (doc_id, sig) relation consumed by BOTH self-join sides: persist
+    # so tokenize+hash+vote runs once, not once per side.
+    sigs = votes.select("doc_id", simhash_from_votes().alias("sig")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunk_mask = F.lit((1 << SIMHASH_CHUNK_BITS) - 1).cast("long")
     chunks = sigs.select(
         "doc_id",
@@ -385,12 +441,16 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     )
     a = chunks.alias("a")
     b = chunks.alias("b")
+    # The Hamming threshold rides IN the join condition (evaluated at hash-
+    # join probe time), so candidate pairs failing it are never materialized
+    # or shuffled into the pair-dedup — pure pruning, result set unchanged.
     return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (hamming64(F.col("a.sig"), F.col("b.sig")) <= max_hamming),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -398,6 +458,5 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
             hamming64(F.col("a.sig"), F.col("b.sig")).cast("int").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
