@@ -53,6 +53,64 @@ def text_token_stats(spark, sf_dir):
     )
 
 
+_BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=r"""
+    WITH pieces AS (
+    SELECT doc_id, lang, n_chars,
+    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS pc
+    FROM documents
+    ), stats AS (
+    SELECT doc_id, lang, n_chars,
+    CAST(len(pc) AS BIGINT) AS n_pieces,
+    CAST(list_sum(list_transform(pc, p -> CAST(ceil(strlen(p) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+    FROM pieces WHERE len(pc) > 0
+    )
+    SELECT doc_id, lang, n_pieces, n_subwords,
+    round(CAST(n_chars AS DOUBLE) / n_subwords, 4) AS chars_per_subword
+    FROM stats
+    ORDER BY doc_id
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish token counting: regexp word/number/punct pieces, each piece
+    contributing ceil(len/4) subword tokens (bounded-length subwords stand
+    in for a merges table — the batch shape of a real BPE pass).  Pure
+    JVM-side regexp + array exprs; no Python in the hot path."""
+    t = tables(spark, sf_dir)
+    pc = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PIECE_RE), 0)
+    d = t["documents"].select("doc_id", "lang", "n_chars", pc.alias("pc")).filter(
+        F.size("pc") > 0
+    )
+    subwords = F.aggregate(
+        F.transform("pc", lambda p: F.ceil(F.length(p) / 4.0)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.size("pc").cast("long").alias("n_pieces"),
+            subwords.alias("n_subwords"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_pieces",
+            "n_subwords",
+            F.round(F.col("n_chars").cast("double") / F.col("n_subwords"), 4).alias(
+                "chars_per_subword"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "text_quality_score",
     oracle="""

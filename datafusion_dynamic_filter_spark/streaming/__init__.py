@@ -96,6 +96,46 @@ def streaming_tumbling_counts(spark, sf_dir):
 
 
 @query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH starts AS (
+    SELECT value, time_bucket(INTERVAL '30 minutes', ts) AS s0 FROM events
+    ), expanded AS (
+    SELECT value, s0 AS wstart FROM starts
+    UNION ALL
+    SELECT value, s0 - INTERVAL '30 minutes' AS wstart FROM starts
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS total_value
+    FROM expanded
+    GROUP BY wstart
+    ORDER BY window_start
+    """,
+)
+def streaming_sliding_counts(spark, sf_dir):
+    """Watermarked SLIDING-window aggregation (1 h window, 30 min slide):
+    each event lands in exactly two overlapping windows.  The oracle
+    expands each event to its two window starts and aggregates — the
+    finite-input streaming result must equal that batch expansion."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "total_value",
+    ).orderBy("window_start")
+
+
+@query(
     "streaming_stateful_user_stats",
     oracle="""
     SELECT user_id,
