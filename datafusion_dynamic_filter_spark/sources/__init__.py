@@ -172,3 +172,59 @@ def sink_partitioned_parquet(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "source_bucketed_join",
+    oracle="""
+    SELECT c_nationkey,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def source_bucketed_join(spark, sf_dir):
+    """Bucketed tables + shuffle-free co-located join — THE repeated-join
+    strategy at 100 TB: both sides written bucketBy(custkey) + sortBy, so
+    the sort-merge join consumes bucket files directly with NO exchange and
+    NO sort on either side (asserted in tests/test_plan_quality.py).  The
+    only shuffle in the whole query is the final small agg on nationkey."""
+    t = tables(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    names = {}
+    for name, key in (("customer", "c_custkey"), ("orders", "o_custkey")):
+        tbl = f"ddf_bucketed_{name}_{tag}"
+        names[name] = tbl
+        if not spark.catalog.tableExists(tbl):
+            # A fresh session may find the managed location left over from a
+            # previous process (catalog metadata is per-session here); clear
+            # it so saveAsTable can claim the path.
+            import shutil
+
+            warehouse = spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse"
+            ).replace("file:", "")
+            shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
+            (
+                t[name]
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+    # MERGE hint: at 100 TB neither side broadcasts — the point is the
+    # bucket-aware sort-merge join reading bucket files with no exchange
+    # and no sort (at tiny SF Spark would otherwise pick broadcast).
+    cust = spark.table(names["customer"]).hint("merge")
+    orders = spark.table(names["orders"])
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )

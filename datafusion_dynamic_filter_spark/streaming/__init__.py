@@ -136,6 +136,51 @@ def streaming_sliding_counts(spark, sf_dir):
 
 
 @query(
+    "streaming_session_windows",
+    oracle="""
+    WITH gaps AS (
+    SELECT user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+    >= 1800000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_session
+    FROM events
+    ), sess AS (
+    SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+    FROM gaps
+    )
+    SELECT user_id,
+    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+    CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, seq
+    ORDER BY user_id, session_start
+    """,
+)
+def streaming_session_windows(spark, sf_dir):
+    """Native streaming session windows (F.session_window, 30-min gap) with
+    a watermark — Spark's built-in stateful session assignment, the
+    streaming twin of the batch gaps-and-islands sessionization.
+
+    Boundary note: session_window closes at start + gap EXCLUSIVE (an event
+    exactly 30 min after the previous one starts a NEW session), so the
+    batch oracle's flag uses >= on the microsecond gap."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
     "streaming_stateful_user_stats",
     oracle="""
     SELECT user_id,

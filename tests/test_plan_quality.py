@@ -102,6 +102,22 @@ def test_q1_shuffle_bounded(spark):
     assert shuffle_count(df) <= 2, executed_plan(df)
 
 
+def test_bucketed_join_shuffle_free(spark):
+    """Both sides bucketed+sorted on the join key: the sort-merge join must
+    consume bucket files directly — the ONLY exchange allowed is the final
+    nationkey agg (and its sort). At 100 TB this is the difference between
+    joining in place and re-shuffling the fact table every query."""
+    df = registry.QUERIES["source_bucketed_join"](spark, SF_DIR)
+    df.collect()
+    plan = executed_plan(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" in plan, plan
+    # join children (the text below the SMJ node) must contain no exchange:
+    # the bucket files ARE the join partitioning
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_part, plan
+    assert "Bucketed: true" in plan, plan
+
+
 def test_partitioned_sink_prunes_partitions(spark):
     """Reading one status partition must plan a partition-filtered scan."""
     df = registry.QUERIES["sink_partitioned_parquet"](spark, SF_DIR)
