@@ -334,6 +334,7 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
         num_hashes=num_hashes,
         bands=bands,
         threshold=0.5,
+        size_prune=True,
     )
 
 
