@@ -1,0 +1,262 @@
+"""Training-data pipeline operators over ``documents``: duplicate-cluster
+resolution (connected components), deterministic train/valid/test splitting,
+sequence packing, and stratified sampling.
+
+These extend the reference's query surface (SURVEY.md §2 Tier C admits any
+non-DDL plan) with the operations a 100 TB pretraining pipeline actually
+runs after near-dup detection:
+- connected components turn pairwise dup edges into keep/drop decisions;
+- hash-based splits must be deterministic and content-keyed (no RNG state,
+  reproducible across re-runs and engines);
+- packing groups documents into fixed token budgets per partition;
+- stratified sampling takes an exact per-stratum fraction.
+
+All of it is built-in column expressions + joins/windows (JVM-side,
+whole-stage codegen); the only iteration (CC label propagation) is a fixed
+unrolled chain of equi-joins — no driver-side actions in any builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import h60, h60_sql, tokens
+from ..registry import query, tables
+from .dedup import _simhash_oracle, dedup_simhash
+
+# Fixed label-propagation depth: covers any dup-cluster diameter <= _CC_ITERS.
+# Near-dup clusters are variants of a shared base document (near-cliques,
+# diameter 1-2); the sf0.01/sf0.1 parity gate against the EXACT recursive
+# oracle verifies convergence.  At 100 TB swap the unrolled min-propagation
+# for alternating large-star/small-star rounds (Kiveris et al., "Connected
+# Components in MapReduce and Beyond"), which converges in O(log d) rounds
+# with the same per-round shuffle shape (equi-join on node id).
+_CC_ITERS = 6
+
+
+@query(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_simhash_oracle()}),
+    edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk(node, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.b, w.comp FROM walk w JOIN edges e ON e.a = w.node
+    ),
+    comps AS (
+    SELECT node AS doc_id, min(comp) AS component FROM walk GROUP BY node
+    )
+    SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+    CAST(c.component AS BIGINT) AS component,
+    CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT) AS cluster_size,
+    c.doc_id = c.component AS is_keeper
+    FROM comps c
+    ORDER BY doc_id
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Resolve near-dup PAIRS (SimHash Hamming<=3, dedup_simhash) into
+    duplicate CLUSTERS: every document labeled with its component id
+    (= min doc_id reachable over dup edges), cluster size, and the
+    keep-this-one flag a dedup pipeline acts on.
+
+    Min-label propagation, unrolled ``_CC_ITERS`` times: each round is
+    label <- min(label, min over neighbors' labels), one equi-join + one
+    groupBy per round — every shuffle keys on doc id (uniform, unskewed).
+    The edge relation is persisted so the SimHash sketch pipeline runs
+    once, not once per round.  The DuckDB oracle computes the EXACT
+    components via a recursive CTE, so the parity gate proves the fixed
+    depth reached the fixpoint.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    t = tables(spark, sf_dir)
+    pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .toDF("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = t["documents"].select(
+        "doc_id", F.col("doc_id").alias("component")
+    )
+    for _ in range(_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        labels = (
+            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "component", F.coalesce("nbr_comp", "component")
+                ).alias("component"),
+            )
+        )
+    w = Window.partitionBy("component")
+    return (
+        labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "split_train_eval",
+    oracle=f"""
+    WITH b AS (
+    SELECT lang,
+    CASE WHEN {h60_sql('text')} % 1000 < 900 THEN 'train'
+    WHEN {h60_sql('text')} % 1000 < 950 THEN 'valid'
+    ELSE 'test' END AS split,
+    len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok,
+    length(text) AS nchars
+    FROM documents
+    )
+    SELECT lang, split,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+    round(avg(nchars), 4) AS avg_chars
+    FROM b GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+)
+def split_train_eval(spark, sf_dir):
+    """Deterministic content-hash train/valid/test split (90/5/5): the split
+    is a pure function of the document TEXT (not row order, not RNG state),
+    so re-runs, retries, and different cluster layouts assign identically —
+    the property a reproducible 100 TB pipeline needs.  Near-identical
+    copies land in the same split (hash of content), limiting train/eval
+    leakage from exact dups.  One scan, one groupBy on (lang, split)."""
+    t = tables(spark, sf_dir)
+    bucket = h60("text") % F.lit(1000)
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "valid").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            split.alias("split"),
+            F.size(tokens("text")).alias("ntok"),
+            F.length("text").alias("nchars"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(F.avg("nchars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH d AS (
+    SELECT lang, doc_id,
+    len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok
+    FROM documents
+    ), c AS (
+    SELECT lang, doc_id, ntok,
+    coalesce(sum(ntok) OVER (
+    PARTITION BY lang ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+    FROM d
+    )
+    SELECT lang, CAST(pre // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(ntok) AS BIGINT) AS pack_tokens,
+    CAST(min(doc_id) AS BIGINT) AS first_doc,
+    CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM c GROUP BY lang, pack_id
+    ORDER BY lang, pack_id
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing: assign documents to fixed token-budget packs
+    (budget ``_PACK_BUDGET`` = 2048 whitespace tokens) by running token
+    count within each ``lang`` partition, deterministic doc_id order.
+
+    The window partitions by ``lang`` — packing is per-partition-sequential
+    by nature, and partition-local windows are exactly how it distributes:
+    at 100 TB the partition key becomes (lang, shard) so no single window
+    partition exceeds an executor, while pack ids stay deterministic.
+    One scan, one shuffle on the partition key.
+    """
+    t = tables(spark, sf_dir)
+    d = t["documents"].select(
+        "lang", "doc_id", F.size(tokens("text")).alias("ntok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        d.withColumn("pre", F.coalesce(F.sum("ntok").over(w), F.lit(0)))
+        .withColumn("pack_id", F.floor(F.col("pre") / _PACK_BUDGET))
+        .groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    WITH r AS (
+    SELECT lang, doc_id,
+    row_number() OVER (
+    PARTITION BY lang ORDER BY {h60_sql("'sample:' || text")}, doc_id) AS rn,
+    count(*) OVER (PARTITION BY lang) AS n
+    FROM documents
+    )
+    SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+    FROM r WHERE rn <= ceil(n * 0.1)
+    ORDER BY lang, doc_id
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Exact-rate stratified sample: 10% of documents PER language, chosen
+    by content-hash order (deterministic, reproducible, engine-independent —
+    no RNG).  row_number over a salted content hash picks the sample;
+    count(*) over the stratum fixes the exact cutoff.  Both windows share
+    one partitioning on ``lang`` (one shuffle); at 100 TB the stratum key
+    stays the partition key and the sample is computed without any
+    driver-side pass."""
+    t = tables(spark, sf_dir)
+    h = h60(F.concat(F.lit("sample:"), F.col("text")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    wc = Window.partitionBy("lang")
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )

@@ -70,6 +70,7 @@ def load_all() -> None:
         events,
         functions_coverage,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,

@@ -48,6 +48,38 @@ def roundtrip_orc(df: DataFrame, path: str) -> DataFrame:
     return df.sparkSession.read.orc(path)
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True if the external spark-avro module is on the session classpath.
+
+    Avro is a DataFusion default-feature listing format (SURVEY.md §2 Tier C
+    row 1) but an EXTERNAL module in Spark (org.apache.spark:spark-avro);
+    this container ships only avro-core jars, so the datasource is probed,
+    not assumed."""
+    try:
+        # Ask Spark's own datasource resolver — classpath probes lie (the
+        # avro-core jars ship without the spark-avro datasource registration).
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsc.sc().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def roundtrip_avro(df: DataFrame, path: str) -> DataFrame:
+    """COPY ... TO Avro + read-back.  Raises a clear, actionable error when
+    the spark-avro package is not deployed (rather than Spark's generic
+    'Failed to find data source') — the engine's only gated format."""
+    if not avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "Avro source/sink requires the external spark-avro package "
+            "(org.apache.spark:spark-avro_2.13); it is not on this session's "
+            "classpath. Add it via spark.jars.packages to enable."
+        )
+    df.coalesce(1).write.mode("overwrite").format("avro").save(path)
+    return df.sparkSession.read.format("avro").load(path)
+
+
 @query(
     "source_csv_roundtrip",
     oracle="""
