@@ -66,6 +66,7 @@ def load_all() -> None:
     """Import every operator module so registrations run."""
     from . import sources, streaming  # noqa: F401
     from .operators import (  # noqa: F401
+        curation,
         dedup,
         events,
         functions_coverage,
