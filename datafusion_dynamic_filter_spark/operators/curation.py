@@ -70,11 +70,14 @@ def decontam_eval_overlap(spark, sf_dir):
             "is_eval"
         ),
     )
-    sh = d.select(
+    # tok materialized in its own projection (multi-referenced alias) so the
+    # interpreted transform() in word_shingles does not re-split the text
+    # once per shingle position.
+    sh = d.select("doc_id", "lang", "is_eval", tokens("text").alias("tok")).select(
         "doc_id",
         "lang",
         "is_eval",
-        F.explode(word_shingles(tokens("text"), 3)).alias("g"),
+        F.explode(word_shingles(F.col("tok"), 3)).alias("g"),
     )
     eval_grams = sh.filter("is_eval").select("g").distinct()
     return (
@@ -261,12 +264,13 @@ def repetition_dup_ngram(spark, sf_dir):
     explode; the bigram arrays never leave the row, so memory per task is
     bounded by the longest document, not the corpus."""
     t = tables(spark, sf_dir)
-    tok = tokens("text")
+    tok = F.col("tok")
     total = F.greatest(F.size(tok) - 1, F.lit(1))
     rep = F.lit(1.0) - F.size(word_shingles(tok, 2)).cast("double") / total
     return (
         t["documents"]
         .filter(F.col("n_chars") > 0)
+        .select("lang", tokens("text").alias("tok"))
         .select("lang", rep.alias("rep"))
         .groupBy("lang")
         .agg(

@@ -78,15 +78,19 @@ def _minhash_lsh_oracle(
         elems = f"""docs AS (
     SELECT doc_id, {_TOK_SQL} AS elems FROM documents
     )"""
+    # Verify runs on HASHED element sets (one h60 per element, shared with
+    # the signature) — both engines hash identically, so parity is exact
+    # even in the astronomically-unlikely 60-bit collision case.
     jac = (
-        "round(CAST(len(list_intersect(da.elems, db.elems)) AS DOUBLE)"
-        " / len(list_distinct(list_concat(da.elems, db.elems))), 4)"
+        "round(CAST(len(list_intersect(da.helems, db.helems)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(da.helems, db.helems))), 4)"
     )
     return f"""
-    WITH {elems}, sh AS (
-    SELECT doc_id, unnest(elems) AS s FROM docs WHERE len(elems) > 0
+    WITH {elems}, hdocs AS (
+    SELECT doc_id, list_distinct(list_transform(elems, s -> {h60_sql('s')})) AS helems
+    FROM docs WHERE len(elems) > 0
     ), hp AS (
-    SELECT doc_id, {h60_sql('s')} % {HASH_P} AS hp FROM sh
+    SELECT doc_id, unnest(helems) % {HASH_P} AS hp FROM hdocs
     ), sig AS (
     SELECT doc_id, {mh_cols} FROM hp GROUP BY doc_id
     ), buckets AS (
@@ -98,8 +102,8 @@ def _minhash_lsh_oracle(
     )
     SELECT c.doc_a, c.doc_b, {jac} AS jaccard
     FROM cand c
-    JOIN docs da ON da.doc_id = c.doc_a
-    JOIN docs db ON db.doc_id = c.doc_b
+    JOIN hdocs da ON da.doc_id = c.doc_a
+    JOIN hdocs db ON db.doc_id = c.doc_b
     WHERE {jac} >= {threshold}
     ORDER BY doc_a, doc_b
     """
@@ -244,8 +248,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def _minhash_verified_pairs(
     spark, sf_dir, *, elems_col, num_hashes, bands, threshold, size_prune=False
 ):
-    """Shared MinHash->LSH->exact-verify pipeline over a per-doc element-set
-    column expression (shingles or distinct tokens).
+    """Shared MinHash->LSH->exact-verify pipeline over a per-doc element
+    set.  ``elems_col`` is a pair ``(tok_expr, elems_from_tok)``: the token
+    array expression (materialized once per row) and a function building the
+    element-set column from that materialized array.
 
     All joins/aggs are on uniform hash keys — no skew at scale:
       1. elements per doc (exploded)
@@ -259,12 +265,17 @@ def _minhash_verified_pairs(
     from pyspark.storagelevel import StorageLevel
 
     t = tables(spark, sf_dir)
+    # Token array materialized in its OWN projection: higher-order funcs
+    # (transform/slice in word_shingles) are interpreted, not codegen'd, and
+    # an inlined split() would re-tokenize the full text once per shingle
+    # position (measured 1.5x total-query cost); multi-referenced aliases
+    # survive CollapseProject, so this stays a single split per row.
+    toked = fan_out(t["documents"]).select("doc_id", elems_col[0].alias("tok"))
     exploded = (
-        fan_out(t["documents"])
-        .select("doc_id", elems_col.alias("elems"))
-        .filter(F.size("elems") > 0)
+        toked.select("doc_id", elems_col[1](F.col("tok")).alias("elems"))
         .select("doc_id", F.explode("elems").alias("elem"))
-        .withColumn("hp", h60("elem") % F.lit(HASH_P))
+        .select("doc_id", h60("elem").alias("h"))
+        .withColumn("hp", F.col("h") % F.lit(HASH_P))
     )
     # ONE scan + ONE doc_id shuffle builds BOTH the signature and the
     # element set; every downstream branch (bucketing, both verify sides)
@@ -272,9 +283,12 @@ def _minhash_verified_pairs(
     # sometimes unifies the three subtrees (the broadcast branch plans
     # separately) — and at any scale a sketch relation reused 3x is exactly
     # what you materialize (MEMORY_AND_DISK: spills, never recomputes).
+    # The element set is kept as h60 HASHES (8-byte longs), not strings:
+    # 3-4x less shuffle/persist volume and a far cheaper array_intersect in
+    # the verify, with the oracle hashing identically (see _minhash_lsh_oracle).
     sig = exploded.groupBy("doc_id").agg(
         *minhash_agg_columns("hp", num_hashes),
-        F.collect_set("elem").alias("elems"),
+        F.collect_set("h").alias("elems"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     buckets = sig.select(
         "doc_id",
@@ -330,7 +344,7 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
     return _minhash_verified_pairs(
         spark,
         sf_dir,
-        elems_col=word_shingles(tokens("text"), 3),
+        elems_col=(tokens("text"), lambda tok: word_shingles(tok, 3)),
         num_hashes=num_hashes,
         bands=bands,
         threshold=0.5,
@@ -361,7 +375,7 @@ def dedup_lsh_verified(spark, sf_dir):
     return _minhash_verified_pairs(
         spark,
         sf_dir,
-        elems_col=word_shingles(tokens("text"), 3),
+        elems_col=(tokens("text"), lambda tok: word_shingles(tok, 3)),
         num_hashes=32,
         bands=16,
         threshold=0.8,
@@ -434,9 +448,12 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     an equi-join instead of a cross join.
     """
     t = tables(spark, sf_dir)
+    # No size(tok)>0 filter: split() of any non-NULL string yields >= 1
+    # element, so the filter is vacuous — and because Catalyst inlines
+    # single-use aliases into Filter, it would re-tokenize every row twice.
     docs = fan_out(t["documents"]).select(
         "doc_id", distinct_tokens("text").alias("tok")
-    ).filter(F.size("tok") > 0)
+    )
     # Exploded vote aggregation (see functions/: avoids codegen blowup).
     from pyspark.storagelevel import StorageLevel
 
