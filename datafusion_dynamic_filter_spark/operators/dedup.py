@@ -36,7 +36,7 @@ from ..functions import (
     token_jaccard,
     word_shingles,
 )
-from ..registry import query, tables
+from ..registry import query, tables, track_persist
 
 # DuckDB fragments mirroring functions.distinct_tokens / word_shingles
 # exactly (1-based list ops; sequence/range bounds shifted accordingly).
@@ -286,10 +286,13 @@ def _minhash_verified_pairs(
     # The element set is kept as h60 HASHES (8-byte longs), not strings:
     # 3-4x less shuffle/persist volume and a far cheaper array_intersect in
     # the verify, with the oracle hashing identically (see _minhash_lsh_oracle).
-    sig = exploded.groupBy("doc_id").agg(
-        *minhash_agg_columns("hp", num_hashes),
-        F.collect_set("h").alias("elems"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = track_persist(
+        exploded.groupBy("doc_id").agg(
+            *minhash_agg_columns("hp", num_hashes),
+            F.collect_set("h").alias("elems"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     buckets = sig.select(
         "doc_id",
         F.size("elems").alias("n_elems"),
@@ -463,8 +466,9 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     votes = tok_hashes.groupBy("doc_id").agg(*simhash_agg_columns("h"))
     # Tiny (doc_id, sig) relation consumed by BOTH self-join sides: persist
     # so tokenize+hash+vote runs once, not once per side.
-    sigs = votes.select("doc_id", simhash_from_votes().alias("sig")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs = track_persist(
+        votes.select("doc_id", simhash_from_votes().alias("sig")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     chunk_mask = F.lit((1 << SIMHASH_CHUNK_BITS) - 1).cast("long")
     chunks = sigs.select(

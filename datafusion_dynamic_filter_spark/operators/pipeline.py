@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import h60, h60_sql, tokens
-from ..registry import query, tables
+from ..registry import query, tables, track_persist
 from .dedup import _simhash_oracle, dedup_simhash
 
 # Fixed label-propagation depth: covers any dup-cluster diameter <= _CC_ITERS.
@@ -78,12 +78,11 @@ def dedup_connected_components(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     pairs = dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    edges = track_persist(
         pairs.union(
             pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .toDF("src", "dst")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).toDF("src", "dst"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     labels = t["documents"].select(
         "doc_id", F.col("doc_id").alias("component")

@@ -15,6 +15,7 @@ Conventions that keep the Spark/DuckDB comparison stable:
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 
@@ -26,15 +27,60 @@ ORACLES: dict[str, str] = {}
 _loaded: dict[tuple[int, str], dict[str, DataFrame]] = {}
 _current_sf: dict[int, str] = {}
 
+# Sketch relations (MinHash signatures, SimHash edges, ...) are persisted
+# mid-pipeline because they feed 2-3 downstream branches of the SAME query.
+# They must not outlive that query: in a long-lived session (driver gate,
+# bench, user REPL) never-released caches accumulate until storage memory is
+# all dead sketches (measured 2.8-4.6x inflation of later queries in r2).
+# The registry tracks every such persist and releases them all when the NEXT
+# top-level query build begins — by then the previous query's result has
+# been consumed (or, if not, it merely recomputes: unpersist never changes
+# results).
+_PERSISTED: list[DataFrame] = []
+_build_depth = 0
+
+
+def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """persist() a mid-pipeline relation and register it for release at the
+    start of the next top-level query build (see module comment)."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> None:
+    """Unpersist every tracked sketch relation (idempotent, non-blocking)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+
 
 def query(name: str, oracle: str | None = None):
-    """Register a query implementation and (optionally) its DuckDB oracle."""
+    """Register a query implementation and (optionally) its DuckDB oracle.
+
+    The registered callable releases the PREVIOUS query's tracked persists
+    on entry (outermost call only — queries may compose other queries)."""
 
     def deco(fn):
-        QUERIES[name] = fn
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir, **kwargs):
+            global _build_depth
+            if _build_depth == 0:
+                release_persisted()
+            _build_depth += 1
+            try:
+                return fn(spark, sf_dir, **kwargs)
+            finally:
+                _build_depth -= 1
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = _dedent(oracle)
-        return fn
+        return wrapped
 
     return deco
 
