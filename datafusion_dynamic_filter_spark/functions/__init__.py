@@ -5,6 +5,8 @@ no row-at-a-time Python UDFs) so it survives whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -221,3 +223,34 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def lsh_bucket_udf(packed_signs: list[int], n_planes: int):
+    """Arrow-vectorized sign-random-projection bucketer: one numpy matmul
+    per batch computes ALL plane projections and packs the sign bits into
+    a single int bucket key.
+
+    This is the scale-correct signature path: a pure per-row map over the
+    corpus — no explode, no groupBy shuffle, no join-back of the bucket onto
+    the vector (the exploded JVM form shuffles the corpus arrays twice).
+    Cross-engine parity: projections are rounded to 6 decimals before the
+    sign test on both engines, absorbing summation-order float differences
+    (~1e-13, five orders below the rounding granularity).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    signs = np.array(
+        [
+            [1.0 if (packed_signs[d] >> p) & 1 else -1.0 for p in range(n_planes)]
+            for d in range(len(packed_signs))
+        ]
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("int")
+    def _bucket(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # batch_rows x dims
+        proj = np.round(mat @ signs[: mat.shape[1]], 6)
+        return pd.Series(((proj > 0) @ weights).astype("int32"))
+
+    return _bucket

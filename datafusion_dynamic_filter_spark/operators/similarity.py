@@ -11,18 +11,34 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dot, fan_out, l2_norm, lsh_plane_signs, vec_double
+from ..functions import (
+    cosine,
+    dot,
+    fan_out,
+    l2_norm,
+    lsh_bucket_udf,
+    lsh_plane_signs,
+    vec_double,
+)
 from ..registry import query, tables
 
 _N_PLANES = 12
 _PLANES = lsh_plane_signs(_N_PLANES)  # deterministic +-1 matrix, seed-fixed
+# The 12 plane signs of each dimension packed into ONE 12-bit int (bit p set
+# iff plane p's sign at that dim is +1): the per-row projection work becomes
+# a single array lookup + bit tests instead of 12 interpreted element_at
+# calls on 128-literal arrays (measured: the 12-lookup form made the index
+# 1.4x SLOWER than brute force at sf0.1).
+_PACKED_SIGNS = [
+    sum((1 << p) for p in range(_N_PLANES) if _PLANES[p][d] > 0)
+    for d in range(len(_PLANES[0]))
+]
 
 
 def _lsh_topk_oracle(k: int = 5) -> str:
+    packed = ", ".join(str(v) for v in _PACKED_SIGNS)
     proj_cols = ",\n".join(
-        "round(SUM(x * ([{signs}])[pos]), 6) AS proj{p}".format(
-            signs=", ".join(str(s) for s in _PLANES[p]), p=p
-        )
+        f"round(SUM(x * (((pk >> {p}) & 1) * 2 - 1)), 6) AS proj{p}"
         for p in range(_N_PLANES)
     )
     bucket_expr = " + ".join(
@@ -33,8 +49,10 @@ def _lsh_topk_oracle(k: int = 5) -> str:
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
     ), ed AS (
     SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), edp AS (
+    SELECT vec_id, x, ([{packed}])[pos] AS pk FROM ed
     ), pr AS (
-    SELECT vec_id, {proj_cols} FROM ed GROUP BY vec_id
+    SELECT vec_id, {proj_cols} FROM edp GROUP BY vec_id
     ), bk AS (
     SELECT vec_id, {bucket_expr} AS bucket FROM pr
     ), corpus AS (
@@ -124,32 +142,27 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = _N_PLANES)
     the sign test on BOTH engines so float summation order cannot flip a
     bucket bit.  At 100 TB this replaces the full cross product with an
     equi-join whose right side is ~corpus/2^planes per bucket.
+
+    The signature is ONE Arrow-vectorized numpy matmul per batch
+    (functions.lsh_bucket_udf) — a pure map over the corpus with no
+    explode, no groupBy shuffle, and no join-back of buckets onto vectors.
+    Two earlier JVM-side forms lost to brute force at sf0.1: 12 per-plane
+    aggregate/zip_with lambdas (interpreted, 10x slower) and an exploded
+    (vec_id, dim, x) agg (right compute, but 2 extra corpus shuffles).
     """
     t = tables(spark, sf_dir)
-    emb = fan_out(t["embeddings"]).select("vec_id", vec_double("embedding").alias("v"))
-
-    # Exploded projection: one (vec_id, dim, x) pass computes ALL plane
-    # projections as plain agg columns — the per-plane zip_with/aggregate
-    # lambda form compiles 12 O(dims) codegen pipelines per row and was
-    # measured 10x slower than brute force at sf0.1.
-    plane_arrays = [
-        F.array(*[F.lit(s) for s in _PLANES[p]]) for p in range(n_planes)
-    ]
-    exploded = emb.select("vec_id", F.posexplode("v").alias("dim", "x"))
-    projs = exploded.groupBy("vec_id").agg(
-        *[
-            F.round(
-                F.sum(F.col("x") * F.element_at(plane_arrays[p], F.col("dim") + 1)), 6
-            ).alias(f"proj{p}")
-            for p in range(n_planes)
-        ]
-    )
-    bucket = None
-    for p in range(n_planes):
-        bit = F.when(F.col(f"proj{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
-    buckets = projs.select("vec_id", bucket.alias("bucket"))
-    corpus = emb.join(buckets, "vec_id")
+    # No fan_out here: the signature is one vectorized numpy matmul per
+    # Arrow batch (microseconds for thousands of rows), so repartitioning
+    # a small corpus to core count just buys 32 Python-worker round trips
+    # and a shuffle.  On a real cluster the scan's own partitioning carries
+    # the parallelism (fan_out would be a no-op there anyway), and the
+    # candidate scoring after the bucket equi-join is small BY DESIGN —
+    # that is what the index is for.
+    emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
+    bucket_of = lsh_bucket_udf(_PACKED_SIGNS, n_planes)
+    corpus = emb.select("vec_id", "v", bucket_of("v").alias("bucket"))
+    # The vec_id filter commutes below the deterministic UDF projection, so
+    # the broadcast side only buckets corpus/100 rows.
     queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
