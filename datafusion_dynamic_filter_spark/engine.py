@@ -122,9 +122,11 @@ class Engine:
     # -- statements ----------------------------------------------------------
 
     def prepare(self, sql: str, *, mode: str = "auto", validate: bool = True,
-                hot: bool = False, jit: bool | str = "auto") -> PreparedStatement:
+                hot: bool = False, jit: bool | str = "auto",
+                bind: str = "literal") -> PreparedStatement:
         return PreparedStatement(
-            self.spark, sql, mode=mode, validate=validate, hot=hot, jit=jit
+            self.spark, sql, mode=mode, validate=validate, hot=hot, jit=jit,
+            bind=bind,
         )
 
     def sql(self, sql: str, args=None) -> DataFrame:

@@ -74,7 +74,13 @@ def scan_metrics(df: DataFrame) -> dict:
     """Runtime scan metrics from an EXECUTED plan (collect first) — the
     Spark analog of the reference's per-operator ExecutionPlanMetricsSet
     (src/physical.rs:27,55,266-268).  Sums over every scan node: files and
-    parquet row groups actually read (pruning evidence) and rows produced."""
+    parquet row groups actually read (pruning evidence) and rows produced.
+
+    CAVEAT: probe after the plan's FIRST execution.  Driver-side file
+    metrics (number/size of files read) are set once when the scan
+    materializes its file listing; re-executing the same DataFrame resets
+    all metrics and only task-side ones (output rows) repopulate, so a
+    re-collected plan reports files_read=0."""
     totals = {"files_read": 0, "bytes_read": 0, "scan_output_rows": 0}
     wanted = {
         "number of files read": "files_read",

@@ -89,13 +89,29 @@ class PreparedStatement:
     ``"auto"`` disables wholestage codegen for point-lookup templates and hot
     templates; scan-heavy cold statements keep codegen, which is the right
     trade at 100 TB where compile time amortizes over the scan.  Pass
-    ``True``/``False`` to force either regime."""
+    ``True``/``False`` to force either regime.
+
+    ``bind`` picks how execute() attaches single-key parameters to the plan:
+    ``"literal"`` (default) binds them as plan literals, which reach the
+    scan as pushed filters — parquet row-group pruning cold, in-memory
+    batch-stats pruning hot; ``"data"`` binds them as a 1-row broadcast
+    relation so the plan and generated code are key-independent (the
+    reference's fixed-plan mechanism) at the cost of scan pruning —
+    measured slower for single keys on Spark, see execute().  Batched
+    executions (``execute_batch``) always bind as data.
+
+    NOTE: the jit policy's wholestage-codegen toggle is session-global for
+    the duration of one physical planning call; plan concurrently from one
+    driver thread (the normal Spark driver regime) or pass ``jit=True``."""
 
     def __init__(self, spark, sql: str, *, mode: str = "auto", validate: bool = True,
-                 hot: bool = False, jit: bool | str = "auto"):
+                 hot: bool = False, jit: bool | str = "auto", bind: str = "literal"):
+        if bind not in ("literal", "data"):
+            raise ValueError(f"bind must be 'literal' or 'data', got {bind!r}")
         self.spark = spark
         self.sql = sql
         self.jit = jit
+        self.bind = bind
         if _DDL_RE.match(sql):
             raise cannot_prepare_ddl()
         self.canonical_sql, self.placeholders = canonicalize(sql)
@@ -136,14 +152,41 @@ class PreparedStatement:
     def execute(self, params: dict | list | tuple | None = None):
         """Bind parameters and return the result DataFrame (lazy)."""
         bound = normalize_params(params, self.placeholders)
+        if not _QUERY_RE.match(self.canonical_sql):
+            # Non-query statements (INSERT, forwarded DDL, ...) run eagerly
+            # inside spark.sql(); caching by param key would silently skip
+            # re-running the side effect on a repeat execute.  Mirrors the
+            # validate-time check above.
+            self.executions += 1
+            return self.spark.sql(self.canonical_sql, args=bound)
         key = _cache_key(bound)
         cached = self._plan_cache.get(key)
         if cached is not None:
             self.executions += 1
             return cached
         if self._template is not None:
-            df = self._template.build(bound)
-            df = self._finalize(df)
+            t = self._template
+            if self.bind == "data" and t.semi_eq_cols is not None:
+                # Params-as-data (the reference's update-one-physical-plan
+                # mechanism, src/physical.rs:247-255): the key rides in a
+                # 1-row broadcast relation, never as a plan literal, so the
+                # generated code is byte-identical across keys.  MEASURED
+                # slower than literal binding for single keys at sf0.1 in
+                # BOTH regimes (cold 8.7s vs 5.0s, hot 5.3s vs 3.0s per 50
+                # keys): the per-query broadcast exchange + AQE overhead
+                # exceeds the saved JIT, and the join key cannot reach the
+                # scan as a pushed filter (parquet row-group pruning,
+                # in-memory batch-stats pruning both lost).  Kept as an
+                # explicit opt-in for plan-stability-sensitive callers;
+                # the batch regime where params-as-data DOES win is
+                # execute_batch (81x on 1000 keys).  Single-key semantics
+                # are exact (incl. aggregates: GROUP BY over semi-joined
+                # rows == GROUP BY over filtered rows).
+                df = t.build_semi_join([bound])
+                df = self._finalize(df, nojit=(self.jit is False))
+            else:
+                df = t.build(bound)
+                df = self._finalize(df, nojit=self._nojit())
         else:
             df = self.spark.sql(self.canonical_sql, args=bound)
         self._plan_cache[key] = df
@@ -151,12 +194,17 @@ class PreparedStatement:
         return df
 
     def _nojit(self) -> bool:
+        """JIT policy for the literal-binding path ONLY: bound primitive
+        literals are inlined into generated sources, so every new key
+        compiles a new class (~10-40 ms driver-side) that never pays back
+        for selective lookups.  The params-as-data path keeps JIT on — its
+        generated code carries no key literal and is cache-hit per key."""
         if self.jit == "auto":
             t = self._template
             return t is not None and (t.hot or t.is_point_lookup)
         return not self.jit
 
-    def _finalize(self, df):
+    def _finalize(self, df, *, nojit: bool):
         """Force physical planning NOW, under the statement's JIT policy.
 
         The Spark analog of the reference computing the physical plan inside
@@ -167,7 +215,8 @@ class PreparedStatement:
         so execution time is deterministic — immune to the driver-global
         codegen-cache eviction that made per-key compiled lookups 2x slower
         under cache churn."""
-        if not self._nojit():
+        if not nojit:
+            df._jdf.queryExecution().executedPlan()
             return df
         conf = self.spark.conf
         prev = conf.get("spark.sql.codegen.wholeStage", "true")

@@ -194,3 +194,59 @@ def test_plan_cache_hit(engine, users):
     d1 = stmt.execute({"$1": 1})
     d2 = stmt.execute({"$1": 1})
     assert d1 is d2  # repeated key returns the cached DataFrame
+
+
+def test_dml_repeat_execute_not_cached(engine, spark, tmp_path):
+    # A repeat execute() with equal params must RE-RUN side-effecting
+    # statements: spark.sql() executes DML eagerly, so serving the cached
+    # DataFrame would silently skip the second INSERT.
+    spark.sql(
+        f"CREATE TABLE dml_sink (k INT) USING parquet LOCATION '{tmp_path}/dml_sink'"
+    )
+    try:
+        stmt = engine.prepare(
+            "INSERT INTO dml_sink VALUES (:k)", validate=False
+        )
+        stmt.execute({"k": 7})
+        stmt.execute({"k": 7})  # equal params — must still insert again
+        assert spark.table("dml_sink").count() == 2
+        assert stmt.executions == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_sink")
+
+
+def test_bind_data_matches_literal_results(engine, users):
+    lit = engine.prepare("SELECT id, name, amount FROM users WHERE id = $1")
+    dat = engine.prepare(
+        "SELECT id, name, amount FROM users WHERE id = $1", bind="data"
+    )
+    for k in (1, 3, 99):
+        assert sorted(map(tuple, lit.execute({"$1": k}).collect())) == sorted(
+            map(tuple, dat.execute({"$1": k}).collect())
+        )
+
+
+def test_bind_data_aggregate_single_key(engine, users):
+    # Single-key semantics are exact for aggregating templates too.
+    stmt = engine.prepare(
+        "SELECT count(*) AS n FROM users WHERE id = $1", bind="data"
+    )
+    assert stmt.execute({"$1": 3}).collect()[0].n == 1
+    assert stmt.execute({"$1": 99}).collect()[0].n == 0
+
+
+def test_bind_data_generated_code_key_independent(engine, users):
+    # The point of bind="data": no key literal in the physical plan, so
+    # the generated code / plan shape is identical across keys.
+    import re
+
+    stmt = engine.prepare(
+        "SELECT id, name FROM users WHERE id = $1", bind="data"
+    )
+    def norm(df):
+        s = df._jdf.queryExecution().executedPlan().toString()
+        return re.sub(r"plan_id=\d+", "plan_id=N", re.sub(r"#\d+", "#N", s))
+    p1 = norm(stmt.execute({"$1": 1}))
+    p2 = norm(stmt.execute({"$1": 5}))
+    assert p1 == p2
+    assert "1" not in p1 or "5" not in p2  # keys are data, not plan text
