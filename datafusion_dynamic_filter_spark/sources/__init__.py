@@ -109,6 +109,51 @@ def source_csv_roundtrip(spark, sf_dir):
     )
 
 
+def _avro_jar_on_classpath() -> bool:
+    """Registration-time probe (no session exists when modules import): the
+    spark-avro datasource jar in pyspark's jars dir.  Weaker than
+    avro_available()'s resolver probe — used only to decide whether the
+    avro round-trip query joins the registry (absent jar -> no registered
+    query -> no driver row, rather than a guaranteed-red error row)."""
+    import glob
+
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "spark-avro*.jar")))
+
+
+def source_avro_roundtrip(spark, sf_dir):
+    """region -> Avro -> read back -> aggregate; completes Tier C row 1's
+    format surface.  Registered only when the spark-avro module is on the
+    classpath (see _avro_jar_on_classpath); calling it without the module
+    raises the actionable gating error from roundtrip_avro."""
+    t = tables(spark, sf_dir)
+    reg = roundtrip_avro(
+        t["region"].select("r_regionkey", "r_name"),
+        _sink_dir(sf_dir, "region_avro"),
+    )
+    return (
+        reg.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_regions"),
+            F.min("r_name").alias("first_region"),
+            F.max("r_name").alias("last_region"),
+        )
+    )
+
+
+_AVRO_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_regions,
+min(r_name) AS first_region,
+max(r_name) AS last_region
+FROM region
+"""
+
+if _avro_jar_on_classpath():
+    query("source_avro_roundtrip", oracle=_AVRO_ORACLE)(source_avro_roundtrip)
+
+
 @query(
     "source_json_roundtrip",
     oracle="""
@@ -232,12 +277,18 @@ def source_bucketed_join(spark, sf_dir):
         if not spark.catalog.tableExists(tbl):
             # A fresh session may find the managed location left over from a
             # previous process (catalog metadata is per-session here); clear
-            # it so saveAsTable can claim the path.
+            # it so saveAsTable can claim the path.  Strip the URI scheme
+            # with a real parser — naive str.replace('file:') mangles any
+            # path CONTAINING 'file:' and mishandles file://host prefixes.
+            # The table name is tagged per scale factor, and only a path
+            # that is stale BY CONSTRUCTION (present on disk, absent from
+            # this session's catalog) is ever removed.
             import shutil
+            from urllib.parse import urlparse
 
-            warehouse = spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).replace("file:", "")
+            raw = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            parsed = urlparse(raw)
+            warehouse = parsed.path if parsed.scheme else raw
             shutil.rmtree(os.path.join(warehouse, tbl), ignore_errors=True)
             (
                 t[name]
