@@ -204,43 +204,82 @@ def dedup_exact_normalized(spark, sf_dir):
     ORDER BY doc_a, doc_b
     """,
 )
-def dedup_ngram_jaccard(spark, sf_dir):
-    """Near-dup pairs by token-set Jaccard >= 0.8, blocked by language.
+def dedup_ngram_jaccard(spark, sf_dir, *, threshold: float = 0.8):
+    """EXACT token-set Jaccard >= 0.8 near-dup pairs via prefix filtering
+    (SSJoin/PPJoin, Xiao et al. 2008 — published work, also the source of
+    the length-ratio prune below).
 
-    DEMOTED to verifier/yardstick (round-2): all-pairs within a block is
-    O(n^2) per block and does not survive 100x data growth.  The headline
-    near-dup operator is dedup_lsh_verified (LSH candidates -> exact
-    verify); this exact formulation remains as its small-SF recall
-    yardstick (tests/test_dedup_quality.py) and as the verify kernel.
-    """
+    Round-2 shipped this as an all-pairs join per language block —
+    O(n^2)/block, the one quadratic plan in the repo.  Prefix filtering
+    makes the exact computation scale-shaped without changing the result
+    set (the DuckDB oracle is untouched):
+
+      1. order every doc's token set by GLOBAL token rarity (one linear
+         agg for frequencies; rarest first, ties by token),
+      2. emit only the first |A| - ceil(t*|A|) + 1 tokens as blocking
+         keys — the prefix-filter lemma guarantees any pair with
+         J >= t shares a prefix token, so recall is exactly 1,
+      3. candidates = equi-join on (prefix token, lang) with the
+         PPJoin length-ratio prune riding in the join condition,
+      4. exact Jaccard verify on the candidate pairs only.
+
+    Every shuffle keys on doc_id or a token; prefix tokens are each doc's
+    rarest, so blocking buckets stay small by construction (a token that
+    is globally common is in nobody's prefix)."""
     t = tables(spark, sf_dir)
-    toks = fan_out(t["documents"]).select(
-        "doc_id", "lang", distinct_tokens("text").alias("tok")
-    ).withColumn("ntok", F.size("tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    jac = F.round(token_jaccard(F.col("a.tok"), F.col("b.tok")), 4)
-    # Length-ratio pruning (PPJoin-style): Jaccard(A,B) >= t implies
-    # |A| >= t*|B| and |B| >= t*|A|, so the size predicate rides in the JOIN
-    # condition and the expensive array_intersect never runs on pairs the
-    # threshold already excludes.  Pure pruning — the result set is
-    # unchanged, so the oracle stays the plain formulation.
-    size_ok = (F.col("a.ntok") * 10 >= F.col("b.ntok") * 8) & (
-        F.col("b.ntok") * 10 >= F.col("a.ntok") * 8
+    toks = track_persist(
+        fan_out(t["documents"])
+        .select("doc_id", "lang", distinct_tokens("text").alias("tok"))
+        .withColumn("ntok", F.size("tok"))
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_ok,
-        )
+    ex = toks.select("doc_id", F.explode("tok").alias("token"))
+    freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    by_rarity = (
+        ex.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("tf", "token"))).alias("pairs"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            "doc_id",
+            F.transform("pairs", lambda s: s.getField("token")).alias("sorted_tok"),
         )
-        .filter(F.col("jaccard") >= 0.8)
+    )
+    plen = (
+        F.col("ntok") - F.ceil(F.lit(threshold) * F.col("ntok")).cast("int") + 1
+    )
+    pref = (
+        toks.join(by_rarity, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "ntok",
+            F.explode(F.slice("sorted_tok", F.lit(1), plen)).alias("ptok"),
+        )
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    scale = int(threshold * 10)
+    pair_cond = (
+        (F.col("a.ptok") == F.col("b.ptok"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        # PPJoin length-ratio prune: J >= t implies t|A| <= |B| <= |A|/t.
+        & (F.col("a.ntok") * 10 >= F.col("b.ntok") * scale)
+        & (F.col("b.ntok") * 10 >= F.col("a.ntok") * scale)
+    )
+    cand = (
+        a.join(b, pair_cond)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh_a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
+    sh_b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    jac = F.round(token_jaccard(F.col("tok_a"), F.col("tok_b")), 4)
+    return (
+        F.broadcast(cand)
+        .join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 

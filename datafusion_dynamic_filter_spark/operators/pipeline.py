@@ -87,7 +87,12 @@ def dedup_connected_components(spark, sf_dir):
     labels = t["documents"].select(
         "doc_id", F.col("doc_id").alias("component")
     )
-    for _ in range(_CC_ITERS):
+    # _CC_ITERS propagation rounds + ONE guard round: if the guard round
+    # still changes any label (cluster diameter > _CC_ITERS), assert_true
+    # fails the JOB with a diagnosis instead of silently returning split
+    # components — the runtime fixpoint signal the fixed unroll otherwise
+    # lacks.  The guard costs one extra equi-join+agg, same shuffle shape.
+    for _ in range(_CC_ITERS + 1):
         nbr = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
@@ -97,14 +102,28 @@ def dedup_connected_components(spark, sf_dir):
             labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
             .select(
                 "doc_id",
+                F.col("component").alias("prev_component"),
                 F.least(
                     "component", F.coalesce("nbr_comp", "component")
                 ).alias("component"),
             )
         )
+    converged_guard = F.assert_true(
+        F.col("prev_component") == F.col("component"),
+        F.lit(
+            "dedup_connected_components: label still changing after "
+            f"{_CC_ITERS} rounds (cluster diameter exceeds the unroll depth); "
+            "raise _CC_ITERS or switch to large-star/small-star rounds"
+        ),
+    )
     w = Window.partitionBy("component")
     return (
-        labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        # coalesce(assert, true) keeps every row while forcing the assert
+        # to evaluate per row (a bare `assert | true` would be folded away
+        # by BooleanSimplification and never run).
+        labels.filter(F.coalesce(converged_guard.cast("boolean"), F.lit(True)))
+        .select("doc_id", "component")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
         .orderBy("doc_id")
     )
