@@ -94,6 +94,14 @@ import random as _random
 #: are reduced mod P first, so a*x+b stays < 2^62 — no int64 overflow in
 #: either engine.
 HASH_P = 2147483647
+# Word-hash shingle family: a word-n-gram's hash is a linear combination of
+# its words' (h60 % HASH_P) values — hw1*C1 + hw2*C2 + hw3.  Max value
+# ~2^31 * 2e6 < 2^52, so the arithmetic is exact in signed 64-bit on BOTH
+# engines (the cross-engine invariant).  One md5 per WORD instead of one
+# per constructed shingle string: no interpreted concat per position, and
+# the shingle explode carries longs, not strings (measured 4x cheaper).
+SHINGLE_C1 = 1000003
+SHINGLE_C2 = 1000033
 
 _rng = _random.Random(20260813)
 MINHASH_A = [_rng.randrange(1, HASH_P) for _ in range(64)]

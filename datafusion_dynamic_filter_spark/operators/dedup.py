@@ -22,6 +22,8 @@ from ..functions import (
     MINHASH_B,
     SIMHASH_BITS,
     SIMHASH_CHUNK_BITS,
+    SHINGLE_C1,
+    SHINGLE_C2,
     SIMHASH_CHUNKS,
     band_bucket_array,
     distinct_tokens,
@@ -34,6 +36,7 @@ from ..functions import (
     simhash_agg_columns,
     simhash_from_votes,
     token_jaccard,
+    tokens,
     word_shingles,
 )
 from ..registry import query, tables, track_persist
@@ -69,25 +72,34 @@ def _minhash_lsh_oracle(
         for b in range(bands)
     )
     if over == "shingles":
+        # Word-hash shingle family (functions.SHINGLE_C1/C2): one h60 per
+        # WORD, shingle hash = hw[i]*C1 + hw[i+1]*C2 + hw[i+2] — exact
+        # 64-bit arithmetic on both engines, mirroring the Spark pipeline.
         elems = f"""tk AS (
     SELECT doc_id, {_RAWTOK_SQL} AS tok FROM documents
+    ), wh AS (
+    SELECT doc_id, list_transform(tok, w -> {h60_sql('w')} % {HASH_P}) AS hws FROM tk
     ), docs AS (
-    SELECT doc_id, {_SHINGLES_SQL} AS elems FROM tk
+    SELECT doc_id, CASE WHEN len(hws) >= 3 THEN list_transform(range(1, len(hws)-1),
+    i -> hws[i]*{SHINGLE_C1} + hws[i+1]*{SHINGLE_C2} + hws[i+2])
+    ELSE []::BIGINT[] END AS elems FROM wh
     )"""
+        helems = "list_distinct(elems)"
     else:
         elems = f"""docs AS (
     SELECT doc_id, {_TOK_SQL} AS elems FROM documents
     )"""
-    # Verify runs on HASHED element sets (one h60 per element, shared with
-    # the signature) — both engines hash identically, so parity is exact
-    # even in the astronomically-unlikely 60-bit collision case.
+        helems = f"list_distinct(list_transform(elems, s -> {h60_sql('s')}))"
+    # Verify runs on HASHED element sets (shared with the signature) — both
+    # engines hash identically, so parity is exact even in the
+    # astronomically-unlikely collision case.
     jac = (
         "round(CAST(len(list_intersect(da.helems, db.helems)) AS DOUBLE)"
         " / len(list_distinct(list_concat(da.helems, db.helems))), 4)"
     )
     return f"""
     WITH {elems}, hdocs AS (
-    SELECT doc_id, list_distinct(list_transform(elems, s -> {h60_sql('s')})) AS helems
+    SELECT doc_id, {helems} AS helems
     FROM docs WHERE len(elems) > 0
     ), hp AS (
     SELECT doc_id, unnest(helems) % {HASH_P} AS hp FROM hdocs
@@ -225,7 +237,13 @@ def dedup_ngram_jaccard(spark, sf_dir, *, threshold: float = 0.8):
 
     Every shuffle keys on doc_id or a token; prefix tokens are each doc's
     rarest, so blocking buckets stay small by construction (a token that
-    is globally common is in nobody's prefix)."""
+    is globally common is in nobody's prefix) — on any realistic corpus
+    vocabulary.  The synthetic test corpus is adversarial (31 distinct
+    tokens across 5000 docs at sf0.1, and 759k TRUE pairs at J >= 0.8, so
+    the exact answer is inherently ~6% of all-pairs there); lang rides in
+    the equi-join key, which bounds buckets at (token x lang).  For
+    approximate-but-scalable near-dup on such corpora use
+    dedup_lsh_verified."""
     t = tables(spark, sf_dir)
     toks = track_persist(
         fan_out(t["documents"])
@@ -285,37 +303,57 @@ def dedup_ngram_jaccard(spark, sf_dir, *, threshold: float = 0.8):
 
 
 def _minhash_verified_pairs(
-    spark, sf_dir, *, elems_col, num_hashes, bands, threshold, size_prune=False
+    spark, sf_dir, *, num_hashes, bands, threshold, size_prune=False
 ):
-    """Shared MinHash->LSH->exact-verify pipeline over a per-doc element
-    set.  ``elems_col`` is a pair ``(tok_expr, elems_from_tok)``: the token
-    array expression (materialized once per row) and a function building the
-    element-set column from that materialized array.
+    """Shared MinHash->LSH->exact-verify pipeline over per-doc word-3-gram
+    shingle-hash sets.
 
     All joins/aggs are on uniform hash keys — no skew at scale:
-      1. elements per doc (exploded)
-      2. signature: ONE cross-engine 60-bit md5-prefix hash per element +
-         per-position affine transforms mod 2^31-1 (so the whole sketch has
-         an exact DuckDB oracle)
-      3. banding: per-band bucket key from the band's signature minima
-      4. candidates: explode bands, equi-join on (band_idx, bucket)
-      5. verify: exact element-set Jaccard >= threshold on candidates only
+      1. ONE cross-engine 60-bit md5-prefix hash per WORD (codegen'd
+         column over posexploded words — not per constructed shingle
+         string: the interpreted concat-per-position form plus a string
+         explode was measured 4x slower at sf0.1)
+      2. shingle hash per position i = hw[i]*C1 + hw[i+1]*C2 + hw[i+2]
+         (pure 64-bit-exact arithmetic, identical in DuckDB — see
+         functions.SHINGLE_C1/C2)
+      3. signature: per-position affine transforms of shingle-hash mod
+         2^31-1 (so the whole sketch has an exact DuckDB oracle)
+      4. banding: per-band bucket key from the band's signature minima
+      5. candidates: explode bands, equi-join on (band_idx, bucket)
+      6. verify: exact shingle-hash-set Jaccard >= threshold on
+         candidates only
     """
     from pyspark.storagelevel import StorageLevel
 
     t = tables(spark, sf_dir)
-    # Token array materialized in its OWN projection: higher-order funcs
-    # (transform/slice in word_shingles) are interpreted, not codegen'd, and
-    # an inlined split() would re-tokenize the full text once per shingle
-    # position (measured 1.5x total-query cost); multi-referenced aliases
-    # survive CollapseProject, so this stays a single split per row.
-    toked = fan_out(t["documents"]).select("doc_id", elems_col[0].alias("tok"))
-    exploded = (
-        toked.select("doc_id", elems_col[1](F.col("tok")).alias("elems"))
-        .select("doc_id", F.explode("elems").alias("elem"))
-        .select("doc_id", h60("elem").alias("h"))
-        .withColumn("hp", F.col("h") % F.lit(HASH_P))
+    toked = fan_out(t["documents"]).select("doc_id", tokens("text").alias("tok"))
+    wordh = toked.select(
+        "doc_id", F.posexplode("tok").alias("pos", "w")
+    ).select("doc_id", "pos", (h60("w") % F.lit(HASH_P)).alias("hw"))
+    # Word hashes back to a positional array (one doc_id shuffle of longs),
+    # then every shingle hash is three element_at's + two multiply-adds.
+    hws = (
+        wordh.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "hw"))).alias("ph"))
+        .select("doc_id", F.transform("ph", lambda x: x.getField("hw")).alias("hws"))
     )
+    shingled = hws.select(
+        "doc_id",
+        F.when(
+            F.size("hws") >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size("hws") - 2),
+                lambda i: F.element_at(F.col("hws"), i) * F.lit(SHINGLE_C1)
+                + F.element_at(F.col("hws"), i + 1) * F.lit(SHINGLE_C2)
+                + F.element_at(F.col("hws"), i + 2),
+            ),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("elems"),
+    )
+    exploded = shingled.select(
+        "doc_id", F.explode("elems").alias("h")
+    ).withColumn("hp", F.col("h") % F.lit(HASH_P))
     # ONE scan + ONE doc_id shuffle builds BOTH the signature and the
     # element set; every downstream branch (bucketing, both verify sides)
     # consumes this relation.  It is persisted because ReuseExchange only
@@ -379,14 +417,11 @@ def _minhash_verified_pairs(
 
 @query("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
-    """MinHash + LSH near-dup candidates over word-3-gram shingle sets with
-    exact Jaccard >= 0.5 verify (see _minhash_verified_pairs)."""
-    from ..functions import tokens
-
+    """MinHash + LSH near-dup candidates over word-3-gram shingle-hash
+    sets with exact Jaccard >= 0.5 verify (see _minhash_verified_pairs)."""
     return _minhash_verified_pairs(
         spark,
         sf_dir,
-        elems_col=(tokens("text"), lambda tok: word_shingles(tok, 3)),
         num_hashes=num_hashes,
         bands=bands,
         threshold=0.5,
@@ -412,12 +447,9 @@ def dedup_lsh_verified(spark, sf_dir):
     11.8M of 12.5M possible candidate pairs), while 3-gram diversity keeps
     buckets small.  A PPJoin size-ratio implication of the threshold rides
     in the candidate join as extra pruning."""
-    from ..functions import tokens
-
     return _minhash_verified_pairs(
         spark,
         sf_dir,
-        elems_col=(tokens("text"), lambda tok: word_shingles(tok, 3)),
         num_hashes=32,
         bands=16,
         threshold=0.8,
