@@ -296,6 +296,110 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
 
 
 @query(
+    "similarity_ivf_multiprobe",
+    oracle="""
+    WITH e AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    ), bydim AS (
+    SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
+    ), cent AS (
+    SELECT label, i, avg(x) AS cx FROM bydim GROUP BY label, i
+    ), centv AS (
+    SELECT label AS cell, list(cx ORDER BY i) AS c FROM cent GROUP BY label
+    ), scored_cells AS (
+    SELECT e.vec_id, e.v, cv.cell,
+    row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round(list_dot_product(e.v, cv.c)
+    / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(cv.c, cv.c))), 4) DESC,
+    cv.cell
+    ) AS rn
+    FROM e CROSS JOIN centv cv
+    ), assigned AS (
+    SELECT vec_id, v, cell FROM scored_cells WHERE rn = 1
+    ), q AS (
+    SELECT vec_id AS q_id, v AS qv, cell AS probe_cell
+    FROM scored_cells WHERE vec_id % 100 = 0 AND rn <= 2
+    ), scored AS (
+    SELECT q.q_id, a.vec_id AS neighbor_id,
+    round(list_dot_product(q.qv, a.v)
+    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 3) AS cos_sim
+    FROM q JOIN assigned a ON a.cell = q.probe_cell AND a.vec_id <> q.q_id
+    ), ranked AS (
+    SELECT q_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+    ORDER BY q_id, cos_sim DESC, neighbor_id
+    """,
+)
+def similarity_ivf_multiprobe(spark, sf_dir, *, k: int = 5, nprobe: int = 2):
+    """IVF ANN with multi-probe: the corpus stays single-cell-assigned, but
+    each QUERY searches its ``nprobe`` nearest cells — the standard recall
+    lever for IVF (a query near a cell boundary finds neighbors across it)
+    at ``nprobe``x the candidate cost, still an equi-join on the cell key.
+    Plan shape is identical to similarity_ivf_topk; only the probe set
+    grows, so the 100 TB story is unchanged (broadcast centroids, no
+    corpus reshuffle)."""
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    emb = fan_out(t["embeddings"]).select("vec_id", vec_double("embedding").alias("v"))
+    by_dim = t["embeddings"].select(
+        "label", F.posexplode(vec_double("embedding")).alias("i", "x")
+    )
+    centv = (
+        by_dim.groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda s: s.getField("cx")).alias("c"),
+        )
+    )
+    cell_sim = F.round(cosine(F.col("v"), F.col("c")), 4)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    scored_cells = (
+        emb.crossJoin(F.broadcast(centv))
+        .select("vec_id", "v", "cell", cell_sim.alias("cell_sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assigned = scored_cells.filter(F.col("rn") == 1).select("vec_id", "v", "cell")
+    probes = (
+        scored_cells.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("rn") <= nprobe)
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("cell").alias("probe_cell"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(
+            assigned,
+            (F.col("cell") == F.col("probe_cell")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos_sim")
+        .orderBy("q_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+@query(
     "embedding_norm_stats",
     oracle="""
     SELECT label,

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import distinct_tokens, fingerprint_md5, tokens
+from ..functions import distinct_tokens, fan_out, fingerprint_md5, tokens
 from ..registry import query, tables
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
@@ -259,5 +259,53 @@ def token_frequencies(spark, sf_dir):
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
         .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "bpe_merge_pair_stats",
+    oracle=r"""
+    WITH d AS (
+    SELECT string_split_regex(lower(trim(text)), '\s+') AS tok
+    FROM documents WHERE n_chars > 0
+    ), p AS (
+    SELECT unnest(list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i+1])) AS pair
+    FROM d WHERE len(tok) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS freq
+    FROM p GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 20
+    """,
+)
+def bpe_merge_pair_stats(spark, sf_dir):
+    """The first step of BPE tokenizer training: count every ADJACENT token
+    pair occurrence (not distinct-per-doc — merge priority is corpus-wide
+    occurrence mass) and rank the top merge candidates.
+
+    Scale shape: per-row position transform (arrays never leave the row),
+    explode, partial-aggregated groupBy on the pair string, top-k via
+    TakeOrdered — one shuffle keyed on the pair, skew absorbed by map-side
+    combine exactly as token_frequencies."""
+    t = tables(spark, sf_dir)
+    tok = F.col("tok")
+    pairs = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tok, i), F.element_at(tok, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select(tokens("text").alias("tok"))
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "pair")
         .limit(20)
     )
