@@ -37,7 +37,6 @@ from ..functions import (
     simhash_from_votes,
     token_jaccard,
     tokens,
-    word_shingles,
 )
 from ..registry import query, tables, track_persist
 
