@@ -173,3 +173,40 @@ def test_whole_stage_codegen_covers_q1(spark):
     df = registry.QUERIES["q1_pricing_summary"](spark, SF_DIR)
     df.collect()
     assert codegen_stage_count(df) >= 1, executed_plan(df)
+
+
+def test_lsh_similarity_no_cartesian_no_corpus_reshuffle(spark):
+    """The ANN index plan: bucket equi-join (never a cartesian product) and
+    the signature computed as a per-row map — no explode/groupBy shuffle of
+    the corpus arrays, so shuffles stay bounded to the final rank/sort."""
+    df = registry.QUERIES["similarity_lsh_topk"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert shuffle_count(df) <= 3, executed_plan(df)
+
+
+def test_ngram_jaccard_is_equi_join(spark):
+    """Prefix filtering must plan the candidate join as a hash/sort-merge
+    EQUI join on (prefix token, lang) — an all-pairs nested-loop join here
+    is the quadratic plan the operator was rewritten to eliminate."""
+    df = registry.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bpe_pair_stats_single_agg_shuffle(spark):
+    """Pair counting = per-row transform + explode + one pair-keyed
+    aggregation; top-k rides TakeOrdered, not a global sort shuffle."""
+    df = registry.QUERIES["bpe_merge_pair_stats"](spark, SF_DIR)
+    assert shuffle_count(df) <= 2, executed_plan(df)
+    assert "TakeOrderedAndProject" in executed_plan(df), executed_plan(df)
+
+
+def test_minhash_signature_built_from_word_hash_arithmetic(spark):
+    """The sketch's md5 runs per WORD in codegen; shingle hashes are
+    arithmetic (no concat'd shingle strings in the plan)."""
+    df = registry.QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
