@@ -20,7 +20,7 @@ from ..functions import (
     lsh_plane_signs,
     vec_double,
 )
-from ..registry import query, tables
+from ..registry import query, tables, track_persist
 
 _N_PLANES = 12
 _PLANES = lsh_plane_signs(_N_PLANES)  # deterministic +-1 matrix, seed-fixed
@@ -160,9 +160,13 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = _N_PLANES)
     # that is what the index is for.
     emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
     bucket_of = lsh_bucket_udf(_PACKED_SIGNS, n_planes)
-    corpus = emb.select("vec_id", "v", bucket_of("v").alias("bucket"))
-    # The vec_id filter commutes below the deterministic UDF projection, so
-    # the broadcast side only buckets corpus/100 rows.
+    # The bucketed corpus IS the ANN index — materialize it so the query
+    # side probes the same structure instead of re-scanning and re-hashing
+    # the corpus (released by the registry on the next query build; at
+    # scale a resident index is precisely what an ANN service keeps).
+    corpus = track_persist(
+        emb.select("vec_id", "v", bucket_of("v").alias("bucket"))
+    )
     queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
