@@ -381,6 +381,9 @@ class CompiledTemplate:
 
         self.scan_df = resolve(parsed.table, parsed.alias)
         self._persisted = [self.scan_df] if hot else []
+        # Default until the point-lookup analysis at the end of __init__
+        # (must exist before the first _composed_scan call below).
+        self._broadcast_side: int | None = None
         # Join scans + pre-parsed ON conditions, resolved once at prepare.
         self.join_parts = []
         for jp in parsed.joins:
@@ -451,6 +454,18 @@ class CompiledTemplate:
                         for f, (_, name) in zip(key_fields, eq_cols)
                     ]
                 )
+        # Point-lookup JOIN templates: the side carrying the parameterized
+        # equality filters shrinks to ~the key's row count at execution, so
+        # IT should be the broadcast build side — Spark's static planner
+        # only sees table-level sizes and would otherwise broadcast the
+        # (much larger) unfiltered dimension every execute (measured 21%
+        # faster at sf0.1 with the hint).  Invalid hints (e.g. the
+        # preserved side of an outer join) are ignored by Spark, so this
+        # is advisory-safe.
+        if self.semi_eq_cols and self.join_parts:
+            sides = {self._side_of(c) for c, _ in self.semi_eq_cols}
+            if len(sides) == 1 and None not in sides:
+                self._broadcast_side = sides.pop()
         if hot:
             # "hot" promises a pinned scan: build the cache at prepare time
             # so the first execute runs at memory speed, not cache-fill
@@ -458,10 +473,35 @@ class CompiledTemplate:
             for pdf in self._persisted:
                 pdf.count()
 
+    def _side_of(self, col: str) -> int | None:
+        """Which FROM-clause side a column belongs to: -1 = base scan,
+        j = join_parts[j]; None if ambiguous/unresolvable."""
+        name = col.split(".")[-1].lower()
+        alias = col.split(".")[0].lower() if "." in col else None
+        sides = [(-1, self.parsed.alias, self.scan_df)] + [
+            (j, jp.alias, self.join_parts[j][0])
+            for j, jp in enumerate(self.parsed.joins)
+        ]
+        hits = []
+        for idx, al, df in sides:
+            if alias is not None:
+                if al and al.lower() == alias:
+                    hits.append(idx)
+            elif name in [c.lower() for c in df.columns]:
+                hits.append(idx)
+        return hits[0] if len(hits) == 1 else None
+
     def _composed_scan(self):
-        """Base scan with all pre-resolved joins applied (FROM clause)."""
+        """Base scan with all pre-resolved joins applied (FROM clause).
+        The point-filtered side, if unambiguous, carries a broadcast hint
+        (see _broadcast_side in __init__)."""
+        F = self._F
         df = self.scan_df
-        for jdf, how, cond in self.join_parts:
+        if self._broadcast_side == -1:
+            df = F.broadcast(df)
+        for j, (jdf, how, cond) in enumerate(self.join_parts):
+            if self._broadcast_side == j:
+                jdf = F.broadcast(jdf)
             df = df.join(jdf, on=cond, how=how) if cond is not None else df.crossJoin(jdf)
         return df
 
