@@ -245,3 +245,77 @@ def streaming_stateful_user_stats(spark, sf_dir):
         .select("user_id", "n_events", "total_value", "n_types")
         .orderBy("user_id")
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+    CAST(a.user_id AS BIGINT) AS user_id
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    AND a.event_type = 'click' AND b.event_type = 'purchase'
+    AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def streaming_stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join: clicks joined to purchases by the same
+    user within 30 minutes, both sides watermarked so the state store can
+    expire rows (the core Structured Streaming join capability; state per
+    side is bounded by the watermark + time-range condition).  On finite
+    input the appended result equals the batch interval join, which is the
+    oracle."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = _run_to_memory(joined, "append")
+    return out.select("click_id", "purchase_id", "user_id").orderBy(
+        "click_id", "purchase_id"
+    )
+
+
+@query(
+    "streaming_dedup_watermarked",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+)
+def streaming_dedup_watermarked(spark, sf_dir):
+    """Streaming deduplication: first occurrence per (user_id, event_type)
+    key, watermarked so dedup state ages out — the streaming analog of the
+    batch exact-dedup operator.  Only the KEY columns are emitted (which
+    duplicate row arrives 'first' is execution-order-dependent; the key
+    set is deterministic and equals batch DISTINCT, the oracle)."""
+    ded = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    out = _run_to_memory(ded, "append")
+    return out.select("user_id", "event_type").orderBy("user_id", "event_type")
