@@ -109,3 +109,15 @@ def test_join_template_execute_batch(engine, testdata):
     df = stmt.execute_batch([[42], [43], [42]])
     singles = [r for k in (42, 43) for r in stmt.execute({"$1": k}).collect()]
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, singles))
+
+
+def test_execute_batch_on_join_template(engine, testdata):
+    """N parameter rows through a JOIN template in one semi-join job must
+    equal the union of single-key executes (reference README.md:46-51
+    batch regime, applied to a prepared join)."""
+    stmt = engine.prepare(SQL_2WAY)
+    keys = [1, 2, 3, 7]
+    batch = stmt.execute_batch([[k] for k in keys]).collect()
+    singles = [r for k in keys for r in stmt.execute({"$1": k}).collect()]
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, singles))
+    assert len(batch) > 0
