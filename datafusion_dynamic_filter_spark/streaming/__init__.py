@@ -18,6 +18,7 @@ becomes a continuous trigger; watermarks and state semantics are unchanged.
 from __future__ import annotations
 
 import itertools
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -46,19 +47,37 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _checkpoint_root() -> str:
+    """Checkpoint parent dir: tmpfs when the host has one (state-store and
+    offset-log writes are pure bookkeeping for these finite streams, and
+    putting them on disk made identical runs vary 1.8s-15s under page-cache
+    pressure), else the regular temp dir."""
+    import tempfile
+
+    shm = "/dev/shm"
+    return shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else tempfile.gettempdir()
+
+
 def _run_to_memory(df: DataFrame, output_mode: str, timeout_s: int = 300) -> DataFrame:
     """Run a finite stream to a memory sink and return the sink table."""
+    import shutil
+
     name = f"ddf_stream_sink_{next(_sink_ids)}"
+    ckpt = os.path.join(_checkpoint_root(), f"ddf_ckpt_{os.getpid()}_{name}")
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
-    if q.exception() is not None:
-        raise q.exception()
+    try:
+        q.awaitTermination(timeout_s)
+        if q.exception() is not None:
+            raise q.exception()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(name)
 
 
