@@ -94,14 +94,20 @@ import random as _random
 #: are reduced mod P first, so a*x+b stays < 2^62 — no int64 overflow in
 #: either engine.
 HASH_P = 2147483647
-# Word-hash shingle family: a word-n-gram's hash is a linear combination of
-# its words' (h60 % HASH_P) values — hw1*C1 + hw2*C2 + hw3.  Max value
-# ~2^31 * 2e6 < 2^52, so the arithmetic is exact in signed 64-bit on BOTH
-# engines (the cross-engine invariant).  One md5 per WORD instead of one
-# per constructed shingle string: no interpreted concat per position, and
-# the shingle explode carries longs, not strings (measured 4x cheaper).
-SHINGLE_C1 = 1000003
-SHINGLE_C2 = 1000033
+# Word-hash shingle family: a word-n-gram's hash mixes its words'
+# (h60 % HASH_P) values as (hw1*K1) XOR (hw2*K2) XOR (hw3*K3) with three
+# distinct odd 31-bit constants.  Products stay < 2^62 so the arithmetic is
+# exact in signed 64-bit on BOTH engines (DuckDB BIGINT errors on overflow;
+# this never overflows), and XOR-of-products has no additive structured
+# collisions (the earlier hw1*C1+hw2*C2+hw3 form collided under
+# (hw2-1, hw3+C2) <-> (hw2, hw3) shifts); birthday collisions appear around
+# 2^31 distinct shingles, vs 2^26 for the linear form.  One md5 per WORD
+# instead of one per constructed shingle string: no interpreted concat per
+# position, and the shingle explode carries longs, not strings (measured 4x
+# cheaper).
+SHINGLE_K1 = 1789372199
+SHINGLE_K2 = 1357904773
+SHINGLE_K3 = 2043953717
 
 _rng = _random.Random(20260813)
 MINHASH_A = [_rng.randrange(1, HASH_P) for _ in range(64)]
@@ -243,7 +249,10 @@ def lsh_bucket_udf(packed_signs: list[int], n_planes: int):
     the vector (the exploded JVM form shuffles the corpus arrays twice).
     Cross-engine parity: projections are rounded to 6 decimals before the
     sign test on both engines, absorbing summation-order float differences
-    (~1e-13, five orders below the rounding granularity).
+    (~1e-13, five orders below the rounding granularity).  The rounding is
+    half-AWAY-from-zero (trunc(p*1e6 + copysign(0.5, p))), matching
+    DuckDB's round() — np.round is half-to-even and can flip a bucket bit
+    on exactly-half boundaries.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -258,7 +267,8 @@ def lsh_bucket_udf(packed_signs: list[int], n_planes: int):
     @pandas_udf("int")
     def _bucket(v: pd.Series) -> pd.Series:
         mat = np.vstack(v.to_numpy())  # batch_rows x dims
-        proj = np.round(mat @ signs[: mat.shape[1]], 6)
+        raw = mat @ signs[: mat.shape[1]]
+        proj = np.trunc(raw * 1e6 + np.copysign(0.5, raw)) / 1e6
         return pd.Series(((proj > 0) @ weights).astype("int32"))
 
     return _bucket

@@ -22,8 +22,9 @@ from ..functions import (
     MINHASH_B,
     SIMHASH_BITS,
     SIMHASH_CHUNK_BITS,
-    SHINGLE_C1,
-    SHINGLE_C2,
+    SHINGLE_K1,
+    SHINGLE_K2,
+    SHINGLE_K3,
     SIMHASH_CHUNKS,
     band_bucket_array,
     distinct_tokens,
@@ -71,8 +72,8 @@ def _minhash_lsh_oracle(
         for b in range(bands)
     )
     if over == "shingles":
-        # Word-hash shingle family (functions.SHINGLE_C1/C2): one h60 per
-        # WORD, shingle hash = hw[i]*C1 + hw[i+1]*C2 + hw[i+2] — exact
+        # Word-hash shingle family (functions.SHINGLE_K1/K2/K3): one h60
+        # per WORD, shingle hash = xor of hw[i+j]*Kj products — exact
         # 64-bit arithmetic on both engines, mirroring the Spark pipeline.
         elems = f"""tk AS (
     SELECT doc_id, {_RAWTOK_SQL} AS tok FROM documents
@@ -80,7 +81,7 @@ def _minhash_lsh_oracle(
     SELECT doc_id, list_transform(tok, w -> {h60_sql('w')} % {HASH_P}) AS hws FROM tk
     ), docs AS (
     SELECT doc_id, CASE WHEN len(hws) >= 3 THEN list_transform(range(1, len(hws)-1),
-    i -> hws[i]*{SHINGLE_C1} + hws[i+1]*{SHINGLE_C2} + hws[i+2])
+    i -> xor(xor(hws[i]*{SHINGLE_K1}, hws[i+1]*{SHINGLE_K2}), hws[i+2]*{SHINGLE_K3}))
     ELSE []::BIGINT[] END AS elems FROM wh
     )"""
         helems = "list_distinct(elems)"
@@ -312,9 +313,9 @@ def _minhash_verified_pairs(
          column over posexploded words — not per constructed shingle
          string: the interpreted concat-per-position form plus a string
          explode was measured 4x slower at sf0.1)
-      2. shingle hash per position i = hw[i]*C1 + hw[i+1]*C2 + hw[i+2]
-         (pure 64-bit-exact arithmetic, identical in DuckDB — see
-         functions.SHINGLE_C1/C2)
+      2. shingle hash per position i = (hw[i]*K1) xor (hw[i+1]*K2) xor
+         (hw[i+2]*K3) (pure 64-bit-exact arithmetic, identical in DuckDB
+         — see functions.SHINGLE_K1/K2/K3)
       3. signature: per-position affine transforms of shingle-hash mod
          2^31-1 (so the whole sketch has an exact DuckDB oracle)
       4. banding: per-band bucket key from the band's signature minima
@@ -342,9 +343,9 @@ def _minhash_verified_pairs(
             F.size("hws") >= 3,
             F.transform(
                 F.sequence(F.lit(1), F.size("hws") - 2),
-                lambda i: F.element_at(F.col("hws"), i) * F.lit(SHINGLE_C1)
-                + F.element_at(F.col("hws"), i + 1) * F.lit(SHINGLE_C2)
-                + F.element_at(F.col("hws"), i + 2),
+                lambda i: (F.element_at(F.col("hws"), i) * F.lit(SHINGLE_K1))
+                .bitwiseXOR(F.element_at(F.col("hws"), i + 1) * F.lit(SHINGLE_K2))
+                .bitwiseXOR(F.element_at(F.col("hws"), i + 2) * F.lit(SHINGLE_K3)),
             ),
         )
         .otherwise(F.array().cast("array<bigint>"))
