@@ -33,6 +33,7 @@ HEADLINE = [
     "window_topk_per_group",
     "left_outer_order_counts",
     "dedup_exact_normalized",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_simhash",
@@ -149,7 +150,13 @@ def main() -> None:
     # exactly once: driver-side file metrics are set only on a plan's first
     # execution (re-collecting a cached DataFrame resets them to 0, the r2
     # files_read=0 artifact).
+    # The probe key must be FRESH: a collision with an already-executed key
+    # returns the plan-cached DataFrame, whose driver-side file metrics
+    # report files_read=0 (the r2 artifact this probe exists to avoid).
+    used = set(keys) | set(warm_keys)
     probe_key = rng.sample(range(0, int(max_key) + 1), 1)[0]
+    while probe_key in used:
+        probe_key = rng.sample(range(0, int(max_key) + 1), 1)[0]
     df_cold = stmt_cold.execute({"$1": probe_key})
     df_cold.collect()
     df_un = spark.sql(

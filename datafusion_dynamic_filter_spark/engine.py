@@ -51,10 +51,15 @@ def default_spark_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
-        # Driver testdata writes events.ts as TIMESTAMP(NANOS); Spark has no
-        # nanosecond timestamp type, so read it as a long and convert (the
-        # DuckDB oracle truncates ns -> us the same way).
+        # Driver testdata has written events.ts as TIMESTAMP(NANOS) in some
+        # rounds (no Spark nanosecond type -> read as long and convert) and
+        # as plain TIMESTAMP(MICROS, isAdjustedToUTC=false) in others.  Read
+        # the latter as LTZ instead of NTZ: under the UTC session timezone
+        # the wall-clock values are identical, timestamp arithmetic
+        # (unix_micros etc.) stays valid, and the DuckDB oracle — which has
+        # no tz-awareness on these columns — sees the same values either way.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         # Keep tiny-file scans from exploding into one task per row at small
         # SF while leaving large-scan parallelism to maxPartitionBytes.
         "spark.sql.files.maxPartitionBytes": "134217728",
@@ -159,6 +164,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     tables as temp views on an existing session."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass  # static conf on some builds; events load will fail loudly then
     out = {}

@@ -73,9 +73,17 @@ def _run_to_memory(df: DataFrame, output_mode: str, timeout_s: int = 300) -> Dat
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
         if q.exception() is not None:
             raise q.exception()
+        if not finished:
+            # Still running: stop it BEFORE the checkpoint is deleted out
+            # from under it, and surface the timeout instead of returning a
+            # partial sink as if it were the complete result.
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {name!r} did not finish within {timeout_s}s"
+            )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return df.sparkSession.table(name)
@@ -327,14 +335,20 @@ def streaming_stream_stream_join(spark, sf_dir):
 )
 def streaming_dedup_watermarked(spark, sf_dir):
     """Streaming deduplication: first occurrence per (user_id, event_type)
-    key, watermarked so dedup state ages out — the streaming analog of the
-    batch exact-dedup operator.  Only the KEY columns are emitted (which
-    duplicate row arrives 'first' is execution-order-dependent; the key
-    set is deterministic and equals batch DISTINCT, the oracle)."""
+    key via ``dropDuplicatesWithinWatermark``, so dedup state genuinely ages
+    out with the event-time watermark (plain ``dropDuplicates`` on a key
+    subset that excludes the event-time column never expires state —
+    unbounded at scale).  The trade: a key can be re-emitted once its state
+    has expired, i.e. exact-once-per-key holds only within the watermark
+    horizon.  On this finite input the file source delivers one micro-batch
+    (the watermark only advances after it), so no state expires mid-run and
+    the emitted key set equals batch DISTINCT — the oracle.  Only the KEY
+    columns are emitted (which duplicate row arrives 'first' is
+    execution-order-dependent; the key set is deterministic)."""
     ded = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
     out = _run_to_memory(ded, "append")
     return out.select("user_id", "event_type").orderBy("user_id", "event_type")
