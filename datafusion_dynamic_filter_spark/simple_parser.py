@@ -466,6 +466,33 @@ class CompiledTemplate:
             sides = {self._side_of(c) for c, _ in self.semi_eq_cols}
             if len(sides) == 1 and None not in sides:
                 self._broadcast_side = sides.pop()
+        # Pre-compose the static FROM clause (scan + joins + broadcast hint)
+        # ONCE — it is key-independent, so re-resolving the joins on every
+        # execute was pure per-key overhead.
+        self._from_df = self._composed_scan()
+        # Pre-split the parameterized WHERE into per-conjunct binders:
+        #   eq/in  — `col = :p` / `col IN :p`: bind as a Column against
+        #            F.lit()/isin() per key, NO SQL text parse per execute
+        #            (lit also sidesteps string-escaping concerns);
+        #   text   — any other parameterized conjunct: re-bind text per key
+        #            (general fallback, same semantics as before);
+        #   static — parsed to a Column once here.
+        self._where_binders = None
+        if parsed.where and parsed.where_placeholders:
+            binders = []
+            for c in _split_conjuncts(parsed.where):
+                phs = find_placeholders(c)
+                if not phs:
+                    binders.append(("static", F.expr(c), None))
+                    continue
+                m = _BIND_EQ_RE.match(c)
+                if m:
+                    col, op = m.group(1), m.group(2).upper()
+                    name = m.group(3) or ("p" + m.group(4))
+                    binders.append(("in" if op == "IN" else "eq", col, name))
+                else:
+                    binders.append(("text", c, phs))
+            self._where_binders = binders
         if hot:
             # "hot" promises a pinned scan: build the cache at prepare time
             # so the first execute runs at memory speed, not cache-fill
@@ -505,14 +532,31 @@ class CompiledTemplate:
             df = df.join(jdf, on=cond, how=how) if cond is not None else df.crossJoin(jdf)
         return df
 
+    def _bound_filter(self, bound: dict):
+        """AND of the pre-split WHERE conjuncts with params bound — Column
+        construction only for the eq/in shapes, text re-bind for the rest."""
+        F = self._F
+        out = None
+        for kind, a, b in self._where_binders:
+            if kind == "static":
+                piece = a
+            elif kind == "eq":
+                piece = F.col(a) == F.lit(bound[b])
+            elif kind == "in":
+                v = bound[b]
+                piece = F.col(a).isin(list(v) if isinstance(v, (list, tuple)) else [v])
+            else:  # text
+                piece = F.expr(bind_text(a, b, bound))
+            out = piece if out is None else (out & piece)
+        return out
+
     def build(self, bound: dict):
         """Compose the DataFrame for one execution with params bound."""
         p = self.parsed
-        df = self._composed_scan()
+        df = self._from_df
         if p.where:
             if p.where_placeholders:
-                bound_where = bind_text(p.where, p.where_placeholders, bound)
-                df = df.filter(bound_where)
+                df = df.filter(self._bound_filter(bound))
             else:
                 df = df.filter(self.static_where)
         if p.group_by:
@@ -550,7 +594,7 @@ class CompiledTemplate:
         for col, name in self.semi_eq_cols:
             piece = F.col(col) == params_df[name]
             cond = piece if cond is None else (cond & piece)
-        df = self._composed_scan()
+        df = self._from_df
         for c in self.semi_static:
             df = df.filter(c)
         df = df.join(F.broadcast(params_df), cond, "left_semi")
@@ -569,6 +613,10 @@ class CompiledTemplate:
 
 _EQ_CONJUNCT_RE = re.compile(
     r"^\s*[A-Za-z_][\w.]*\s*(=|IN)\s*(?::[A-Za-z_]\w*|\$\d+)\s*$", re.IGNORECASE
+)
+# Capturing variant for the per-key Column binder: col, op, :name / $N.
+_BIND_EQ_RE = re.compile(
+    r"^\s*([A-Za-z_][\w.]*)\s*(=|IN)\s*(?::([A-Za-z_]\w*)|\$(\d+))\s*$", re.IGNORECASE
 )
 # Strict `col = :param` conjunct (the params-as-data join shape; IN-list
 # params go through execute_batch's explicit key-row expansion instead).
