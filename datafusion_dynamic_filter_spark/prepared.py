@@ -40,6 +40,7 @@ Execution strategies (why, not a port of DynamicFilterExec):
 from __future__ import annotations
 
 import re
+import threading
 
 from .errors import cannot_prepare_ddl
 from .params import bind_text, canonicalize, normalize_params
@@ -73,6 +74,17 @@ _DDL_RE = re.compile(
 _QUERY_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE|FROM)\b", re.IGNORECASE)
 
 
+# Serializes physical planning across PreparedStatements so the jit policy's
+# session-global wholestage toggle can never leak into a concurrently-planning
+# statement (r3 review: the bare toggle was a cross-thread correctness
+# hazard).  Scope: statements planned THROUGH this module are mutually safe;
+# a thread running raw spark.sql() planning concurrently is outside the
+# guarantee — Spark SQL confs are session-global, which is the same shared-
+# state boundary the reference hits with its partition-0 filter state
+# (src/parameterized_statement.rs:86).
+_plan_lock = threading.Lock()
+
+
 class PreparedStatement:
     """One compiled statement, many executions.
 
@@ -100,9 +112,11 @@ class PreparedStatement:
     measured slower for single keys on Spark, see execute().  Batched
     executions (``execute_batch``) always bind as data.
 
-    NOTE: the jit policy's wholestage-codegen toggle is session-global for
-    the duration of one physical planning call; plan concurrently from one
-    driver thread (the normal Spark driver regime) or pass ``jit=True``."""
+    Thread-safety: physical planning is serialized across PreparedStatements
+    (module ``_plan_lock``), so the jit policy's wholestage toggle cannot
+    leak into another statement planning concurrently.  Raw ``spark.sql()``
+    planning on a separate thread is outside that guarantee (session-global
+    conf)."""
 
     def __init__(self, spark, sql: str, *, mode: str = "auto", validate: bool = True,
                  hot: bool = False, jit: bool | str = "auto", bind: str = "literal"):
@@ -215,16 +229,17 @@ class PreparedStatement:
         so execution time is deterministic — immune to the driver-global
         codegen-cache eviction that made per-key compiled lookups 2x slower
         under cache churn."""
-        if not nojit:
-            df._jdf.queryExecution().executedPlan()
-            return df
-        conf = self.spark.conf
-        prev = conf.get("spark.sql.codegen.wholeStage", "true")
-        conf.set("spark.sql.codegen.wholeStage", "false")
-        try:
-            df._jdf.queryExecution().executedPlan()
-        finally:
-            conf.set("spark.sql.codegen.wholeStage", prev)
+        with _plan_lock:
+            if not nojit:
+                df._jdf.queryExecution().executedPlan()
+                return df
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.codegen.wholeStage", "true")
+            conf.set("spark.sql.codegen.wholeStage", "false")
+            try:
+                df._jdf.queryExecution().executedPlan()
+            finally:
+                conf.set("spark.sql.codegen.wholeStage", prev)
         return df
 
     def execute_batch(self, rows: list[dict | list | tuple]):
