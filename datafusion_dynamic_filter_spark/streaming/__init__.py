@@ -123,6 +123,50 @@ def streaming_tumbling_counts(spark, sf_dir):
 
 
 @query(
+    "streaming_tumbling_append",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+    event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS total_value
+    FROM events
+    WHERE date_trunc('hour', ts) <= (SELECT max(ts) FROM events) - INTERVAL 2 hour
+    GROUP BY 1, 2
+    ORDER BY hour_start, event_type
+    """,
+)
+def streaming_tumbling_append(spark, sf_dir):
+    """Tumbling-window aggregation in APPEND mode: only watermark-CLOSED
+    windows are emitted, so state is dropped as the watermark passes — the
+    bounded-state regime a continuous 100 TB/day feed requires (the
+    complete-mode variant keeps every window resident forever and exists as
+    the finite-input test harness).
+
+    Emission rule measured on this engine: a window is emitted once
+    ``window.end <= watermark`` where the final watermark of an
+    AvailableNow run is ``max(ts) - delay``; with a 1 h window and 1 h
+    delay that is ``hour_start <= max(ts) - 2 h``, which is the oracle's
+    restriction (boundary-exact only when max(ts) is not itself on a whole
+    hour, true of this corpus's microsecond timestamps)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("hour_start", "event_type")
+
+
+@query(
     "streaming_sliding_counts",
     oracle="""
     WITH starts AS (
