@@ -193,3 +193,70 @@ def events_range_join_bins(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
         .orderBy("bin_id")
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+    SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id
+    ), active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), joined AS (
+    SELECT f.cohort_week, CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS BIGINT) AS week_offset,
+    a.user_id
+    FROM active a JOIN first_seen f USING (user_id)
+    ), per AS (
+    SELECT cohort_week, week_offset, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+    FROM joined GROUP BY 1, 2
+    ), sizes AS (
+    SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size FROM first_seen GROUP BY 1
+    )
+    SELECT strftime(p.cohort_week, '%Y-%m-%d') AS cohort_week, p.week_offset, p.n_active,
+    round(p.n_active / CAST(s.cohort_size AS DOUBLE), 4) AS retention
+    FROM per p JOIN sizes s USING (cohort_week)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-seen week; for each
+    (cohort week, weeks-since-cohort) cell, the distinct users still active
+    and the retained fraction of the cohort.
+
+    Scale shape: both the first-seen reduction and the distinct-activity
+    projection shuffle on user_id (co-partitioned join, no broadcast of the
+    user dimension needed at any scale); the cell rollup shuffles on the
+    (cohort_week, offset) key, whose cardinality is weeks^2 — tiny.  Week
+    offsets are exact multiples of 7 days because both sides are
+    week-truncated, so the integer division is exact."""
+    t = tables(spark, sf_dir)
+    ev = t["events"]
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    joined = active.join(first_seen, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    per = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    sizes = first_seen.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        per.join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size").cast("double"), 4).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

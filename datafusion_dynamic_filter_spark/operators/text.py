@@ -309,3 +309,67 @@ def bpe_merge_pair_stats(spark, sf_dir):
         .orderBy(F.desc("freq"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH d AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+    FROM documents WHERE n_chars > 0
+    ), tfc AS (
+    SELECT doc_id, unnest(tok) AS term FROM d
+    ), tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tfc GROUP BY 1, 2
+    ), dfc AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n_docs FROM d
+    ), ranked AS (
+    SELECT t.doc_id, t.term,
+    t.tf * ln(CAST(n.n_docs AS DOUBLE) / d2.df) AS tfidf,
+    row_number() OVER (PARTITION BY t.doc_id
+    ORDER BY t.tf * ln(CAST(n.n_docs AS DOUBLE) / d2.df) DESC, t.term) AS rnk
+    FROM tf t JOIN dfc d2 USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, round(tfidf, 4) AS tfidf, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-3 terms by TF-IDF (tf * ln(N/df)) — the classic
+    salient-term extraction a curation pipeline uses for topic tagging and
+    near-dup triage.
+
+    Scale shape: explode -> one groupBy keyed (doc_id, term) for TF (map-side
+    combined), one groupBy keyed term for DF, the corpus size N rides in as a
+    1-row broadcast, and the re-join to TF is keyed on term — no all-pairs
+    structure anywhere; the final top-3 is a bounded row_number window
+    per doc_id.  Ties broken by term so ranking is deterministic on both
+    engines."""
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    docs = fan_out(t["documents"]).filter(F.col("n_chars") > 0)
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"), "rnk")
+        .orderBy("doc_id", "rnk")
+    )
