@@ -19,6 +19,7 @@ from datafusion_dynamic_filter_spark import registry
 from datafusion_dynamic_filter_spark.plans import (
     broadcast_join_count,
     executed_plan,
+    explain_formatted,
     pushed_filters,
     scan_columns,
     shuffle_count,
@@ -210,3 +211,28 @@ def test_minhash_signature_built_from_word_hash_arithmetic(spark):
     df = registry.QUERIES["dedup_minhash_lsh"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tfidf_bounded_shuffles_and_broadcast_n(spark):
+    """TF-IDF: the corpus size N must enter as a broadcast 1-row relation
+    (BroadcastNestedLoopJoin with a single-row build is the intended shape,
+    NOT a shuffle), and the keyed groupBys/joins must keep the shuffle count
+    bounded — no all-pairs structure anywhere."""
+    df = registry.QUERIES["text_tfidf_top_terms"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # TF groupBy, DF groupBy (recomputed branch), the term-keyed join's two
+    # sides, per-doc window, 1-row N agg, final sort — all KEYED exchanges,
+    # none all-pairs; the window is WindowGroupLimit-capped to top-3 before
+    # its shuffle.
+    assert shuffle_count(df) <= 10, explain_formatted(df)
+
+
+def test_retention_cohorts_scan_pruning_and_shape(spark):
+    """Retention cohorts touch only user_id/ts of events; both reductions
+    key on user_id and the cell rollup on (cohort_week, offset) — bounded
+    shuffles, no broadcast of the user dimension required."""
+    df = registry.QUERIES["events_retention_cohorts"](spark, SF_DIR)
+    cols = set(scan_columns(df))
+    assert cols <= {"user_id", "ts"}, cols
+    assert shuffle_count(df) <= 7, explain_formatted(df)
