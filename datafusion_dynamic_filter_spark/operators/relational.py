@@ -920,3 +920,79 @@ def percentile_stats(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "grouping_sets_explicit",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+    coalesce(o_orderpriority, 'ALL') AS priority,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY status, priority
+    """,
+)
+def grouping_sets_explicit(spark, sf_dir):
+    """Arbitrary GROUPING SETS — the general form behind rollup/cube
+    (reference Tier C aggregation surface): per-(status, priority) cells,
+    per-status subtotals, and the grand total in ONE expand + hash-agg pass
+    (one shuffle regardless of set count).  Nullable group keys are
+    COALESCE'd to 'ALL' before the ORDER BY so row order is engine-neutral
+    (Spark sorts NULLS FIRST by default, DuckDB NULLS LAST)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY status, priority
+        """
+    )
+
+
+@query(
+    "window_analytic_values",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+    first_value(o_totalprice) OVER w AS first_price,
+    last_value(o_totalprice) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+    nth_value(o_totalprice, 2) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+    FROM orders
+    WHERE o_custkey < 20
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_analytic_values(spark, sf_dir):
+    """Analytic value window functions (first_value / last_value /
+    nth_value) with explicit frames — last_value and nth_value need the
+    full-partition frame, since the default frame stops at CURRENT ROW and
+    would return the running last/2nd instead.  Partition order is by the
+    unique o_orderkey, so results are deterministic on both engines."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        t["orders"]
+        .filter(F.col("o_custkey") < 20)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.last("o_totalprice").over(wfull).alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
