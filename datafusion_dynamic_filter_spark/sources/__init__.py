@@ -311,3 +311,64 @@ def source_bucketed_join(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "prepared_dpp_partition_pruning",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (11, 22, 33)
+    ORDER BY o_orderkey
+    """,
+)
+def prepared_dpp_partition_pruning(spark, sf_dir):
+    """Fixed-plan point lookups whose SCAN still prunes — the Spark-native
+    twin of the reference updating one physical plan's filter state in place
+    (src/physical.rs:247-255), closing the r3 'what's missing #1' gap for
+    partitioned layouts.
+
+    Mechanism: orders is laid out hash-partitioned on pk_bucket =
+    pmod(o_orderkey, 64) (the write happens once per sf_dir; at 100 TB this
+    is the table's standing layout).  Parameter keys are bound as DATA — a
+    tiny parquet relation carrying (k, kb=pmod(k,64)) — and semi-joined on
+    (pk_bucket = kb AND o_orderkey = k).  Catalyst's Dynamic Partition
+    Pruning inserts dynamicpruningexpression(pk_bucket IN <subquery>) into
+    the scan's PartitionFilters (asserted in tests/test_plan_quality.py),
+    so only the buckets named by the CURRENT parameter batch are read, while
+    the plan and its generated code stay byte-identical across batches.
+
+    Two DPP preconditions discovered by measurement: the filtering side
+    must be a SCAN carrying a LIKELY-SELECTIVE predicate — a bare
+    LocalRelation of literals never triggers the PartitionPruning rule
+    (hence keys go through parquet), and an IsNotNull-only filter does not
+    qualify either (it always exists from join constraints), so the params
+    read carries a real comparison.  The join may be left_semi with the
+    partitioned side streaming.  Catalyst's DPP cost model also declines
+    the subquery when the partitioned table is only a few hundred KB
+    (sf0.001) — correct at that size; the plan gate runs at sf0.01."""
+    t = tables(spark, sf_dir)
+    part_path = _sink_dir(sf_dir, "orders_by_pk_bucket")
+    if not os.path.exists(os.path.join(part_path, "_SUCCESS")):
+        (
+            t["orders"]
+            .withColumn("pk_bucket", F.pmod("o_orderkey", F.lit(64)).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("pk_bucket")
+            .parquet(part_path)
+        )
+    orders = spark.read.parquet(part_path)
+    keys_path = _sink_dir(sf_dir, "dpp_param_keys")
+    keys = [11, 22, 33]
+    spark.createDataFrame(
+        [(k, k % 64) for k in keys], "k bigint, kb int"
+    ).write.mode("overwrite").parquet(keys_path)
+    params = spark.read.parquet(keys_path).filter(F.col("k") >= 0)
+    return (
+        orders.join(
+            F.broadcast(params),
+            (F.col("pk_bucket") == F.col("kb")) & (F.col("o_orderkey") == F.col("k")),
+            "left_semi",
+        )
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
