@@ -110,7 +110,11 @@ class PreparedStatement:
     relation so the plan and generated code are key-independent (the
     reference's fixed-plan mechanism) at the cost of scan pruning —
     measured slower for single keys on Spark, see execute().  Batched
-    executions (``execute_batch``) always bind as data.
+    executions (``execute_batch``) always bind as data.  On a
+    PARTITION-keyed layout the data-bound path regains scan pruning with
+    the plan still fixed: Dynamic Partition Pruning injects the runtime
+    partition filter (see sources.prepared_dpp_partition_pruning and its
+    plan gate).
 
     Thread-safety: physical planning is serialized across PreparedStatements
     (module ``_plan_lock``), so the jit policy's wholestage toggle cannot
