@@ -193,6 +193,17 @@ def main() -> None:
     df_hot.collect()
     scan_evidence["prepared_hot"] = scan_metrics(df_hot)
 
+    # Fixed-plan + runtime-pruned regime: params-as-data over the hash-
+    # bucket-partitioned layout; DPP should read ~3 of 64 bucket dirs.
+    df_dpp = registry.QUERIES["prepared_dpp_partition_pruning"](spark, SF_DIR)
+    df_dpp.collect()
+    dpp_metrics = scan_metrics(df_dpp)
+    dpp_metrics["dpp_in_plan"] = (
+        "dynamicpruning"
+        in df_dpp._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    scan_evidence["prepared_dpp_partitioned"] = dpp_metrics
+
     # IN-list batch: 1000 keys in ONE broadcast semi-join job
     # (reference README.md:46-51 benchmarked 1000 keys via IN).
     batch_keys = rng.sample(range(0, int(max_key) + 1), min(1000, int(max_key)))

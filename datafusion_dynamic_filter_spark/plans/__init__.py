@@ -103,9 +103,13 @@ def scan_metrics(df: DataFrame) -> dict:
         cit = children.iterator()
         while cit.hasNext():
             visit(cit.next())
-        # adaptive / query-stage nodes hide their subtree in innerChildren
+        # adaptive / query-stage nodes hide their subtree in innerChildren:
+        # AdaptiveSparkPlan exposes it via executedPlan(), every
+        # *QueryStage (Result/Shuffle/Broadcast/TableCache) via plan()
         if name.startswith("AdaptiveSparkPlan"):
             visit(node.executedPlan())
+        elif name.endswith("QueryStage"):
+            visit(node.plan())
 
     try:
         visit(df._jdf.queryExecution().executedPlan())
