@@ -278,3 +278,74 @@ def sample_stratified(spark, sf_dir):
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+@query(
+    "shuffle_deterministic",
+    oracle=f"""
+    WITH ranked AS (
+    SELECT doc_id,
+    row_number() OVER (ORDER BY {h60_sql("'epoch7:' || text")}, doc_id) AS pos
+    FROM documents
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos
+    FROM ranked WHERE pos <= 20 ORDER BY pos
+    """,
+)
+def shuffle_deterministic(spark, sf_dir):
+    """Seeded deterministic corpus shuffle — the epoch-reshuffle a training
+    pipeline needs WITHOUT RNG state: global order = content hash of
+    (seed || text), tie-broken by doc_id.  Same seed -> identical order on
+    any cluster layout, any retry; new seed -> a fresh permutation.
+
+    Scale shape: the order key is computed per-row (one md5), and the
+    global ordering is Spark's distributed range sort — the same exchange
+    any epoch shuffle pays.  The registered result keeps the first 20
+    positions (deterministic witness of the full permutation); a real
+    pipeline would write the sorted corpus instead of limiting."""
+    t = tables(spark, sf_dir)
+    skey = h60(F.concat(F.lit("epoch7:"), F.col("text")))
+    w = Window.orderBy(skey, "doc_id")
+    return (
+        t["documents"]
+        .select("doc_id", F.row_number().over(w).cast("long").alias("pos"))
+        .filter(F.col("pos") <= 20)
+        .orderBy("pos")
+    )
+
+
+@query(
+    "dedup_keeper_by_quality",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+    CAST(count(*) AS BIGINT) AS n_copies,
+    arg_max(doc_id, n_chars * 10000000 + doc_id) AS keeper_doc_id,
+    CAST(max(n_chars) AS BIGINT) AS keeper_nchars
+    FROM documents
+    GROUP BY 1
+    ORDER BY fingerprint
+    """,
+)
+def dedup_keeper_by_quality(spark, sf_dir):
+    """Exact-dup resolution with a QUALITY-keyed keeper policy: within each
+    normalized-content group, keep the doc with the highest quality signal
+    (here n_chars; any scalar score slots in) instead of the arbitrary
+    min-id — the policy real curation pipelines use so the best-formatted
+    copy survives.  The ranking key is score * 10^7 + doc_id, unique by
+    construction, so max_by/arg_max is deterministic on both engines.
+    Single hash-groupBy on the fingerprint: same one-shuffle shape as
+    dedup_exact."""
+    from ..functions import fingerprint_md5
+
+    t = tables(spark, sf_dir)
+    rank = F.col("n_chars") * F.lit(10_000_000) + F.col("doc_id")
+    return (
+        t["documents"]
+        .groupBy(fingerprint_md5("text").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max_by("doc_id", rank).alias("keeper_doc_id"),
+            F.max("n_chars").alias("keeper_nchars"),
+        )
+        .orderBy("fingerprint")
+    )
