@@ -11,6 +11,14 @@ under three strategies —
   fstring    : spark.sql(f"...") per key (the reference's unprepared baseline)
 plus the engine's headline analytics queries (scan-heavy agg, joins, windows,
 dedup, text, similarity) at SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Methodology (r4): the cold strategies run INTERLEAVED round-robin on
+DISJOINT key sets — host-load drift hits every strategy equally, and no
+strategy rides another's codegen cache.  The hot (pinned-scan) template is
+a trailing section by necessity: once it exists, CacheManager substitutes
+the in-memory relation into later matching plans, which would corrupt the
+cold measurements.  Its ratio is therefore cross-section and inherits any
+load drift between sections (see README).
 """
 
 from __future__ import annotations
@@ -80,17 +88,32 @@ def main() -> None:
     #                 regime a 100 TB table runs in)
     max_key = spark.table("orders").selectExpr("max(o_orderkey) k").first()["k"]
     rng = random.Random(SEED)
-    keys = rng.sample(range(0, int(max_key) + 1), N_KEYS)
     sql = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = $1"
-
-    warm_keys = rng.sample(range(0, int(max_key) + 1), 10)
     canon = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = :p1"
 
-    # ORDER MATTERS: the cold (parquet) regime must be prepared, measured,
-    # and metrics-probed BEFORE any hot template exists — once a hot
-    # statement pins orders' columns, Spark's CacheManager substitutes the
-    # InMemoryRelation into every LATER-planned plan, silently turning the
-    # "cold" path into a cache read (r2's files_read=0 metrics bug).
+    # DISJOINT key sets per strategy, run INTERLEAVED round-robin.  Two
+    # r1-r3 artifacts motivated this layout: (a) host load drifts over the
+    # bench's lifetime, so back-to-back sections bill the drift to whichever
+    # strategy runs later (r3's phantom 4x "hot collapse"); interleaving
+    # spreads drift evenly.  (b) With SHARED keys, spark.sql(args=) re-binds
+    # to the same optimized plan an earlier f-string loop already compiled,
+    # so the sqlargs strategy was silently codegen-cache-warm; disjoint keys
+    # make every strategy pay its own compile.
+    STRATS = ["fstring", "sqlargs", "prepared_cold", "prepared"]
+    pool = rng.sample(range(0, int(max_key) + 1), len(STRATS) * (N_KEYS + 10))
+    ks = {
+        name: pool[i * (N_KEYS + 10) : (i + 1) * (N_KEYS + 10)]
+        for i, name in enumerate(STRATS)
+    }
+    warm_keys = ks["prepared"][:10]  # hot section's warm slice (see below)
+    keys = ks["prepared"][10:]
+
+    # The HOT template stays a trailing section, NOT interleaved: once it
+    # pins orders' pruned projection, Spark's CacheManager substitutes the
+    # InMemoryRelation into every LATER-planned matching plan, which would
+    # silently turn the "cold" strategies into cache reads (r2's
+    # files_read=0 metrics bug).  Cold regimes are measured and
+    # metrics-probed strictly before any hot template exists.
     def run_fstring(k):
         t0 = time.perf_counter()
         df = spark.sql(
@@ -107,31 +130,6 @@ def main() -> None:
         df.collect()
         return t1 - t0, time.perf_counter() - t1
 
-    plan_exec_split: dict[str, dict[str, float]] = {}
-
-    def measure(name, fn):
-        plan_s = exec_s = 0.0
-        t0 = time.perf_counter()
-        for k in keys:
-            p, e = fn(k)
-            plan_s += p
-            exec_s += e
-        timings[name] = time.perf_counter() - t0
-        # "plan" = statement -> DataFrame (parse/bind + planning for the
-        # prepared path, which planifies eagerly); "exec" = the action.
-        plan_exec_split[name] = {
-            "plan_sec": round(plan_s, 4),
-            "exec_sec": round(exec_s, 4),
-        }
-
-    from datafusion_dynamic_filter_spark.plans import scan_metrics
-
-    for k in warm_keys:
-        run_fstring(k)
-        run_sqlargs(k)
-    measure("fstring_50keys", run_fstring)
-    measure("sqlargs_50keys", run_sqlargs)
-
     stmt_cold = eng.prepare(sql)
 
     def run_prepared_cold(k):
@@ -141,19 +139,43 @@ def main() -> None:
         df.collect()
         return t1 - t0, time.perf_counter() - t1
 
-    for k in warm_keys:
-        run_prepared_cold(k)
-    measure("prepared_cold_50keys", run_prepared_cold)
+    plan_exec_split: dict[str, dict[str, float]] = {}
+
+    from datafusion_dynamic_filter_spark.plans import scan_metrics
+
+    INTERLEAVED = [
+        ("fstring_50keys", "fstring", run_fstring),
+        ("sqlargs_50keys", "sqlargs", run_sqlargs),
+        ("prepared_cold_50keys", "prepared_cold", run_prepared_cold),
+    ]
+    for i in range(10):  # warm: plan caches, page cache, JIT
+        for _, kset, fn in INTERLEAVED:
+            fn(ks[kset][i])
+    spark.sparkContext._jvm.System.gc()
+    acc = {name: [0.0, 0.0, 0.0] for name, _, _ in INTERLEAVED}
+    for i in range(N_KEYS):
+        for name, kset, fn in INTERLEAVED:
+            t0 = time.perf_counter()
+            p, e = fn(ks[kset][10 + i])
+            acc[name][0] += time.perf_counter() - t0
+            acc[name][1] += p
+            acc[name][2] += e
+    for name, _, _ in INTERLEAVED:
+        timings[name] = acc[name][0]
+        # "plan" = statement -> DataFrame (parse/bind + planning for the
+        # prepared path, which planifies eagerly); "exec" = the action.
+        plan_exec_split[name] = {
+            "plan_sec": round(acc[name][1], 4),
+            "exec_sec": round(acc[name][2], 4),
+        }
+
     # Scan-pruning evidence (reference exposes per-operator metrics,
     # src/physical.rs:266-268): what one executed lookup actually read —
     # probed while the plans still read parquet, with a FRESH key collected
     # exactly once: driver-side file metrics are set only on a plan's first
     # execution (re-collecting a cached DataFrame resets them to 0, the r2
     # files_read=0 artifact).
-    # The probe key must be FRESH: a collision with an already-executed key
-    # returns the plan-cached DataFrame, whose driver-side file metrics
-    # report files_read=0 (the r2 artifact this probe exists to avoid).
-    used = set(keys) | set(warm_keys)
+    used = set(pool)
     probe_key = rng.sample(range(0, int(max_key) + 1), 1)[0]
     while probe_key in used:
         probe_key = rng.sample(range(0, int(max_key) + 1), 1)[0]
@@ -179,7 +201,18 @@ def main() -> None:
 
     for k in warm_keys:
         run_prepared(k)
-    measure("prepared_50keys", run_prepared)
+    spark.sparkContext._jvm.System.gc()
+    plan_s = exec_s = 0.0
+    t0 = time.perf_counter()
+    for k in keys:
+        p, e = run_prepared(k)
+        plan_s += p
+        exec_s += e
+    timings["prepared_50keys"] = time.perf_counter() - t0
+    plan_exec_split["prepared_50keys"] = {
+        "plan_sec": round(plan_s, 4),
+        "exec_sec": round(exec_s, 4),
+    }
 
     # Steady-state regime: re-executing the SAME prepared statement+params
     # skips analysis/optimization entirely (plan cache) — the reference's
@@ -258,9 +291,12 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # Headline cites the COLD (parquet-scan) regime — the general case.
-        # The hot (pinned MemTable-analog) regime is reported separately so
-        # neither can be mistaken for the other.
+        # The reference's 13.3x headline benchmarks prepared statements over
+        # a RESIDENT MemTable (BASELINE.md) — the analog here is the HOT
+        # ratio.  The cold parquet ratio is reported under fair interleaved
+        # measurement and sits at ~1.0x by structure (single-row-group file:
+        # every strategy pays the same scan; see README).
+        "baseline_headline_analog": "speedup_prepared_hot_vs_unprepared",
         "speedup_prepared_vs_unprepared": round(
             timings["fstring_50keys"] / timings["prepared_cold_50keys"], 3
         ),
