@@ -157,3 +157,64 @@ def multimodal_frame_sample(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "multimodal_audio_window_energy",
+    oracle="""
+    WITH chars AS (
+    SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
+    FROM documents, unnest(range(0, strlen(text))) AS t(i)
+    ), w AS (
+    SELECT doc_id, i // 25 AS widx,
+    sum(v * v) AS energy
+    FROM chars GROUP BY 1, 2 HAVING count(*) = 25
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+    CAST(sum(energy) AS BIGINT) AS total_energy,
+    CAST(max(energy) AS BIGINT) AS peak_energy
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def multimodal_audio_window_energy(spark, sf_dir):
+    """Audio-pipeline shape: treat the payload as a PCM-like uint8 sample
+    stream, frame it into fixed 25-sample windows (trailing partial window
+    dropped), and report per-clip window count + total/peak energy.  This
+    is the framing+energy front end of any audio featurizer (VAD, MFCC);
+    the numbers are integer-exact so the DuckDB oracle reproduces them
+    byte-for-byte from the same text payload.
+
+    The frame math runs as ONE numpy reshape per Arrow batch inside
+    mapInPandas — no per-sample Python, no explode: a clip's samples never
+    leave its row, so the only shuffle is the final orderBy.  A real
+    implementation swaps np.frombuffer for the codec's decode and keeps
+    the identical window arithmetic."""
+    import numpy as np
+
+    bin_docs = binary_documents(spark, sf_dir)
+
+    def frame_energy(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = (len(a) // 25) * 25
+                if n == 0:
+                    continue
+                w = a[:n].astype(np.int64).reshape(-1, 25)
+                energy = (w * w).sum(axis=1)
+                rows.append(
+                    (doc_id, len(energy), int(energy.sum()), int(energy.max()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_windows", "total_energy", "peak_energy"]
+            )
+
+    return (
+        fan_out(bin_docs.select("doc_id", "payload"))
+        .mapInPandas(
+            frame_energy,
+            "doc_id long, n_windows long, total_energy long, peak_energy long",
+        )
+        .orderBy("doc_id")
+    )
