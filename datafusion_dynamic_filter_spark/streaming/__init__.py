@@ -396,3 +396,48 @@ def streaming_dedup_watermarked(spark, sf_dir):
     )
     out = _run_to_memory(ded, "append")
     return out.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+@query(
+    "streaming_sliding_append",
+    oracle="""
+    WITH starts AS (
+    SELECT value, time_bucket(INTERVAL '30 minutes', ts) AS s0 FROM events
+    ), expanded AS (
+    SELECT value, s0 AS wstart FROM starts
+    UNION ALL
+    SELECT value, s0 - INTERVAL '30 minutes' AS wstart FROM starts
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS total_value
+    FROM expanded
+    WHERE wstart + INTERVAL 1 hour <= (SELECT max(ts) FROM events) - INTERVAL 1 hour
+    GROUP BY wstart
+    ORDER BY window_start
+    """,
+)
+def streaming_sliding_append(spark, sf_dir):
+    """Sliding windows (1 h window, 30 min slide) in APPEND mode: only
+    watermark-closed windows are emitted and their state dropped — the
+    bounded-state twin of streaming_sliding_counts (complete mode keeps
+    every window resident forever).  Emission rule as measured for the
+    tumbling variant: window.end <= max(ts) - delay; the oracle expands
+    each event to its two window starts and keeps windows with
+    wstart + 1 h <= max(ts) - 1 h (boundary-exact while max(ts) is not on
+    a whole half-hour, true of this corpus's microsecond timestamps)."""
+    agg = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_events",
+        "total_value",
+    ).orderBy("window_start")
