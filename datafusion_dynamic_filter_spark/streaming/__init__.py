@@ -32,6 +32,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet (schema from the footer via a
     batch read; ts arrives as nanos-long under nanosAsLong and is converted
     to a microsecond timestamp exactly like engine._normalize_nanos)."""
+    # Self-sufficient timestamp handling: a fresh driver session may run a
+    # streaming query BEFORE any batch query has called load_tables (which
+    # sets these confs); set them here so ts never surfaces as NTZ/long
+    # unexpectedly regardless of invocation order.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(batch.schema)
