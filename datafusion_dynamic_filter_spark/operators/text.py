@@ -373,3 +373,49 @@ def text_tfidf_top_terms(spark, sf_dir):
         .select("doc_id", "term", F.round("tfidf", 4).alias("tfidf"), "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle=r"""
+    WITH tf AS (
+    SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+    FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+    FROM documents WHERE n_chars > 0
+    ) u GROUP BY 1, 2
+    )
+    SELECT doc_id,
+    CAST(sum(tf) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_unique,
+    round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 4) AS token_entropy
+    FROM tf GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_token_entropy(spark, sf_dir):
+    """Per-document Shannon entropy of the token distribution — the
+    classic repetitiveness/quality signal (low entropy = boilerplate or
+    degenerate repetition; filters of this shape appear in the Gopher
+    rules).  H = ln(n) - sum(tf*ln(tf))/n via one (doc_id, term) count and
+    one per-doc rollup: two keyed map-side-combined shuffles, arrays never
+    leave their rows before the explode."""
+    t = tables(spark, sf_dir)
+    tf = (
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    n = F.sum("tf")
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.round(
+                F.log(n) - F.sum(F.col("tf") * F.log("tf")) / n, 4
+            ).alias("token_entropy"),
+        )
+        .orderBy("doc_id")
+    )
