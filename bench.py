@@ -99,7 +99,7 @@ def main() -> None:
     # to the same optimized plan an earlier f-string loop already compiled,
     # so the sqlargs strategy was silently codegen-cache-warm; disjoint keys
     # make every strategy pay its own compile.
-    STRATS = ["fstring", "sqlargs", "prepared_cold", "prepared"]
+    STRATS = ["fstring", "sqlargs", "prepared_cold", "prepared", "fstring_b"]
     pool = rng.sample(range(0, int(max_key) + 1), len(STRATS) * (N_KEYS + 10))
     ks = {
         name: pool[i * (N_KEYS + 10) : (i + 1) * (N_KEYS + 10)]
@@ -199,16 +199,29 @@ def main() -> None:
         df.collect()
         return t1 - t0, time.perf_counter() - t1
 
-    for k in warm_keys:
-        run_prepared(k)
+    # The hot loop interleaves with a FRESH f-string key set so the hot
+    # ratio is computed within one phase (drift-fair, like the cold
+    # ratios).  Safe w.r.t. CacheManager: the hot template caches a PRUNED
+    # Project(Relation) subtree, which does not appear beneath an f-string
+    # plan's Filter, so the baseline keeps reading parquet (verified: no
+    # InMemoryTableScan in its plan).
+    for i in range(10):
+        run_prepared(warm_keys[i])
+        run_fstring(ks["fstring_b"][i])
     spark.sparkContext._jvm.System.gc()
     plan_s = exec_s = 0.0
-    t0 = time.perf_counter()
-    for k in keys:
-        p, e = run_prepared(k)
+    hot_t = fsb_t = 0.0
+    for i in range(N_KEYS):
+        t0 = time.perf_counter()
+        p, e = run_prepared(keys[i])
+        hot_t += time.perf_counter() - t0
         plan_s += p
         exec_s += e
-    timings["prepared_50keys"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_fstring(ks["fstring_b"][10 + i])
+        fsb_t += time.perf_counter() - t0
+    timings["prepared_50keys"] = hot_t
+    timings["fstring_50keys_hotphase"] = fsb_t
     plan_exec_split["prepared_50keys"] = {
         "plan_sec": round(plan_s, 4),
         "exec_sec": round(exec_s, 4),
@@ -292,16 +305,22 @@ def main() -> None:
         "queries": {k: round(v, 4) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # The reference's 13.3x headline benchmarks prepared statements over
-        # a RESIDENT MemTable (BASELINE.md) — the analog here is the HOT
-        # ratio.  The cold parquet ratio is reported under fair interleaved
-        # measurement and sits at ~1.0x by structure (single-row-group file:
-        # every strategy pays the same scan; see README).
-        "baseline_headline_analog": "speedup_prepared_hot_vs_unprepared",
+        # a RESIDENT MemTable with criterion re-running the SAME seed-42
+        # keys every iteration (benches/dynamic_filter_benchmark.rs:18-21,
+        # sample_size 10) — i.e. its measured regime is repeat execution of
+        # known keys, which maps to the steady-state row here (plan-cache
+        # hit over the pinned scan).  Fresh-key hot and cold parquet ratios
+        # are reported under fair interleaved measurement; cold sits at
+        # ~1.0x by structure (single-row-group file: every strategy pays
+        # the same scan; see README).
+        "baseline_headline_analog": "speedup_prepared_steady_state",
         "speedup_prepared_vs_unprepared": round(
             timings["fstring_50keys"] / timings["prepared_cold_50keys"], 3
         ),
+        # Hot ratio uses the f-string set measured IN the hot phase
+        # (drift-fair; both strategies see the same host-load window).
         "speedup_prepared_hot_vs_unprepared": round(
-            timings["fstring_50keys"] / timings["prepared_50keys"], 3
+            timings["fstring_50keys_hotphase"] / timings["prepared_50keys"], 3
         ),
         "speedup_prepared_steady_state": round(
             timings["fstring_50keys"] / timings["prepared_50keys_repeat"], 3
