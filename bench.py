@@ -46,7 +46,10 @@ HEADLINE = [
     "dedup_lsh_verified",
     "dedup_simhash",
     "text_quality_score",
+    "text_tfidf_top_terms",
     "token_frequencies",
+    "events_retention_cohorts",
+    "multimodal_audio_window_energy",
     "similarity_brute_topk",
     "similarity_lsh_topk",
     "embedding_centroid_distance",

@@ -11,13 +11,14 @@ shape
                   <table> ON <cond>]...
     [WHERE <pred>] [GROUP BY <exprs>] [ORDER BY <items>] [LIMIT n]
 
-compile to a reusable DataFrame *template*: every scan DataFrame and join
-condition is resolved/pre-parsed once at prepare time, and each ``execute``
-only binds the WHERE predicate (literal substitution -> ``df.filter``) and
-re-applies the pre-parsed join/projection/aggregation composition.  No SQL
-statement parse happens per execution — the Spark analog of re-executing a
-cached physical plan with ``DynamicFilterPhysicalExpr::update`` (reference
-src/physical.rs:247-255).  Placeholders outside WHERE (e.g. in a join
+compile to a reusable DataFrame *template*: the scan+joins composition is
+resolved ONCE at prepare time (``_from_df``), projections/orderings are
+pre-parsed, and the WHERE is pre-split into per-conjunct binders — eq/IN
+conjuncts bind per execute as Column expressions (``F.col() == F.lit()``,
+no SQL text parse), irregular parameterized conjuncts re-bind text, static
+conjuncts parse once.  No SQL statement parse happens per execution — the
+Spark analog of re-executing a cached physical plan with
+``DynamicFilterPhysicalExpr::update`` (reference src/physical.rs:247-255).  Placeholders outside WHERE (e.g. in a join
 condition) and statements outside this grammar return ``None`` and the
 caller falls back to Spark parameterized SQL (the reference's own "logical
 plan" baseline, benches/dynamic_filter_benchmark.rs:146-183).
