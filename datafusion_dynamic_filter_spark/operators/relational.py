@@ -996,3 +996,35 @@ def window_analytic_values(spark, sf_dir):
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "lateral_topn_per_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey = c.c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey < 20
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def lateral_topn_per_customer(spark, sf_dir):
+    """Correlated LATERAL subquery — top-2 orders per customer expressed as
+    a per-row dependent subquery instead of a window (the other idiom for
+    top-N-per-key; Catalyst decorrelates it into a ranked join).  Inner
+    ORDER BY carries the unique o_orderkey tiebreak so the LIMIT cut is
+    deterministic on both engines."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_custkey < 20
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey
+        """
+    )
