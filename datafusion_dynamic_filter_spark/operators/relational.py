@@ -1028,3 +1028,36 @@ def lateral_topn_per_customer(spark, sf_dir):
         ORDER BY c_custkey, o_totalprice DESC, o_orderkey
         """
     )
+
+
+@query(
+    "filtered_agg_with_offset",
+    oracle="""
+    SELECT o_orderpriority,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+    round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS finished_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    LIMIT 3 OFFSET 1
+    """,
+)
+def filtered_agg_with_offset(spark, sf_dir):
+    """FILTER (WHERE ...) aggregate modifiers — per-aggregate predicates in
+    one hash-agg pass (no self-join, no CASE pyramid) — plus LIMIT/OFFSET
+    pagination on the sorted output (both Tier C surface rows the coverage
+    map promised but no query exercised)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS finished_price
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        LIMIT 3 OFFSET 1
+        """
+    )
