@@ -162,13 +162,14 @@ def multimodal_frame_sample(spark, sf_dir):
 @query(
     "multimodal_audio_window_energy",
     oracle="""
-    WITH chars AS (
-    SELECT doc_id, i, ascii(substr(text, CAST(i + 1 AS INT), 1)) AS v
-    FROM documents, unnest(range(0, strlen(text))) AS t(i)
+    WITH bytes AS (
+    SELECT doc_id, i,
+    CAST(concat('0x', substr(hex(encode(text)), CAST(2 * i + 1 AS INT), 2)) AS INT) AS v
+    FROM documents, unnest(range(0, octet_length(encode(text)))) AS t(i)
     ), w AS (
     SELECT doc_id, i // 25 AS widx,
     sum(v * v) AS energy
-    FROM chars GROUP BY 1, 2 HAVING count(*) = 25
+    FROM bytes GROUP BY 1, 2 HAVING count(*) = 25
     )
     SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
     CAST(sum(energy) AS BIGINT) AS total_energy,

@@ -207,6 +207,12 @@ class PreparedStatement:
                 df = self._finalize(df, nojit=self._nojit())
         else:
             df = self.spark.sql(self.canonical_sql, args=bound)
+            # Literal-mode statements plan lazily at first action; force
+            # planning under the same lock so a concurrent nojit planning
+            # call can never leak wholeStage=false into them (the docstring's
+            # "serialized across PreparedStatements" claim covers this path
+            # too, not just template mode).
+            df = self._finalize(df, nojit=(self.jit is False))
         self._plan_cache[key] = df
         self.executions += 1
         return df

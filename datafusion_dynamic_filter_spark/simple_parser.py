@@ -648,17 +648,35 @@ def _referenced_columns(parsed: SimpleSelect, all_columns: list[str]) -> list[st
 
 
 def _split_conjuncts(where: str) -> list[str]:
+    """Split a WHERE into top-level AND conjuncts (quote- and paren-aware).
+
+    A top-level OR makes AND-splitting change precedence — SQL parses
+    ``a OR b AND c`` as ``a OR (b AND c)``, while re-ANDing split pieces
+    would yield ``(a OR b) AND c`` — so the whole text is returned as one
+    piece in that case (callers then bind/parse it atomically)."""
+    if _depth0_positions(where, "OR"):
+        stripped = where.strip()
+        return [stripped] if stripped else []
     parts, depth, cur = [], 0, []
     i, n = 0, len(where)
     while i < n:
         c = where[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if where[j] == "'" and not (j + 1 < n and where[j + 1] == "'"):
+                    break
+                j += 2 if where[j] == "'" else 1
+            cur.append(where[i : min(j + 1, n)])
+            i = j + 1
+            continue
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
         if depth == 0:
-            m = re.match(r"\bAND\b", where[i:], re.IGNORECASE)
-            if m and (i == 0 or not where[i - 1].isalnum()):
+            m = re.match(r"AND\b", where[i:], re.IGNORECASE)
+            if m and (i == 0 or not (where[i - 1].isalnum() or where[i - 1] == "_")):
                 parts.append("".join(cur).strip())
                 cur = []
                 i += m.end()

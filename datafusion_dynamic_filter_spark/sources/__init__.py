@@ -30,6 +30,40 @@ def _sink_dir(sf_dir: str, name: str) -> str:
     return os.path.join(_ROOT, tag, name)
 
 
+def _source_fingerprint(path: str) -> str:
+    """size+mtime fingerprint of a parquet file-or-directory.  Derived
+    layouts cached under _ROOT must be invalidated when the base testdata
+    is regenerated in place (same path, new contents), or the cached copy
+    silently diverges from the oracle's fresh table."""
+    entries = []
+    if os.path.isdir(path):
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                entries.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    return ";".join(entries)
+
+
+def _cached_layout_stale(sink_path: str, source_path: str) -> bool:
+    """True when the cached derived layout at sink_path is missing or was
+    built from a different version of source_path."""
+    if not os.path.exists(os.path.join(sink_path, "_SUCCESS")):
+        return True
+    marker = os.path.join(sink_path, "_SOURCE_FINGERPRINT")
+    if not os.path.exists(marker):
+        return True
+    with open(marker) as fh:
+        return fh.read() != _source_fingerprint(source_path)
+
+
+def _write_layout_marker(sink_path: str, source_path: str) -> None:
+    with open(os.path.join(sink_path, "_SOURCE_FINGERPRINT"), "w") as fh:
+        fh.write(_source_fingerprint(source_path))
+
+
 def roundtrip_csv(df: DataFrame, path: str) -> DataFrame:
     """COPY ... TO CSV + listing-table read-back with the written schema
     (CSV is untyped on disk; the engine supplies the schema on read, the
@@ -232,13 +266,15 @@ def sink_partitioned_parquet(spark, sf_dir):
     """
     t = tables(spark, sf_dir)
     path = _sink_dir(sf_dir, "orders_by_status")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    src = os.path.join(sf_dir, "orders.parquet")
+    if _cached_layout_stale(path, src):
         (
             t["orders"]
             .write.mode("overwrite")
             .partitionBy("o_orderstatus")
             .parquet(path)
         )
+        _write_layout_marker(path, src)
     orders = spark.read.parquet(path)
     return (
         orders.filter(F.col("o_orderstatus") == "F")
@@ -348,7 +384,8 @@ def prepared_dpp_partition_pruning(spark, sf_dir):
     (sf0.001) — correct at that size; the plan gate runs at sf0.01."""
     t = tables(spark, sf_dir)
     part_path = _sink_dir(sf_dir, "orders_by_pk_bucket")
-    if not os.path.exists(os.path.join(part_path, "_SUCCESS")):
+    src = os.path.join(sf_dir, "orders.parquet")
+    if _cached_layout_stale(part_path, src):
         (
             t["orders"]
             .withColumn("pk_bucket", F.pmod("o_orderkey", F.lit(64)).cast("int"))
@@ -356,6 +393,7 @@ def prepared_dpp_partition_pruning(spark, sf_dir):
             .partitionBy("pk_bucket")
             .parquet(part_path)
         )
+        _write_layout_marker(part_path, src)
     orders = spark.read.parquet(part_path)
     keys_path = _sink_dir(sf_dir, "dpp_param_keys")
     keys = [11, 22, 33]

@@ -52,6 +52,45 @@ def test_mixed_static_text_and_eq_conjuncts(engine, testdata):
     assert got == want and len(got) > 0
 
 
+def test_or_precedence_binds_whole_where(engine, strings):
+    # SQL parses `a OR b AND c` as `a OR (b AND c)`; re-ANDing split
+    # conjuncts would flip it to `(a OR b) AND c`.  With id=1 named
+    # O'Brien: rows where id = 1 OR (name = 'plain' AND id = :p).
+    stmt = engine.prepare(
+        "SELECT id FROM binder_strings WHERE id = 1 OR name = 'plain' AND id = $1"
+    )
+    # $1 = 2: name='plain' has id 3, so the AND arm is false; only id=1.
+    assert sorted(r.id for r in stmt.execute({"$1": 2}).collect()) == [1]
+    # $1 = 3: AND arm matches row 3; result is {1, 3}.
+    assert sorted(r.id for r in stmt.execute({"$1": 3}).collect()) == [1, 3]
+
+
+def test_and_inside_string_literal_not_split(engine):
+    engine.register_memtable(
+        "binder_lits",
+        [(1, "rock AND roll"), (2, "rock"), (3, "roll")],
+        "id int, name string",
+    )
+    stmt = engine.prepare(
+        "SELECT id FROM binder_lits WHERE name = 'rock AND roll' AND id = $1"
+    )
+    assert [r.id for r in stmt.execute({"$1": 1}).collect()] == [1]
+    assert stmt.execute({"$1": 2}).collect() == []
+
+
+def test_or_inside_string_literal_still_splits(engine):
+    engine.register_memtable(
+        "binder_orlits",
+        [(1, "this OR that"), (2, "other")],
+        "id int, name string",
+    )
+    stmt = engine.prepare(
+        "SELECT id FROM binder_orlits WHERE name = 'this OR that' AND id = $1"
+    )
+    assert [r.id for r in stmt.execute({"$1": 1}).collect()] == [1]
+    assert stmt.execute({"$1": 2}).collect() == []
+
+
 def test_repeat_execution_uses_plan_cache(engine, strings):
     stmt = engine.prepare("SELECT id FROM binder_strings WHERE id = $1")
     d1 = stmt.execute({"$1": 1})
