@@ -85,6 +85,11 @@ class Engine:
                 builder = builder.config(k, v)
             spark = builder.getOrCreate()
         self.spark = spark
+        # Parquet-backed table registrations (table -> source path) and
+        # registered point layouts (table -> PointLayout); see
+        # ensure_point_layout.
+        self._table_paths: dict[str, str] = {}
+        self.layouts: dict[str, "PointLayout"] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -100,6 +105,7 @@ class Engine:
         ListingTable + ParquetFormat, tests/preparable_context_parquet_test.rs:70-83)."""
         df = self.spark.read.parquet(path)
         df.createOrReplaceTempView(name)
+        self._table_paths[name] = path
         return df
 
     def register_csv(self, name: str, path: str, **options) -> DataFrame:
@@ -121,17 +127,41 @@ class Engine:
                 df = self.spark.read.parquet(p)
                 df = _normalize_nanos(df)
                 df.createOrReplaceTempView(t)
+                self._table_paths[t] = p
                 out[t] = df
         return out
+
+    def ensure_point_layout(self, table: str, key: str, *, buckets: int = 64,
+                            source_path: str | None = None):
+        """Register (building if stale) the bucket-partitioned point-lookup
+        layout for a parquet-backed table.  Statements prepared AFTER this
+        call whose parameterized WHERE hits ``key`` scan the layout copy and
+        prune it — statically per literal-bound key, via Dynamic Partition
+        Pruning for data-bound batches (``execute_batch``).  At 100 TB this
+        is the table's standing layout, not a cache; here it is rebuilt
+        whenever the base parquet's fingerprint changes."""
+        from .layouts import ensure_point_layout
+
+        src = source_path or self._table_paths.get(table)
+        if src is None:
+            raise ValueError(
+                f"point layout requires a parquet-backed table; {table!r} "
+                "was not registered from a parquet path"
+            )
+        lay = ensure_point_layout(
+            self.spark, table, self.spark.table(table), src, key, buckets=buckets
+        )
+        self.layouts[table] = lay
+        return lay
 
     # -- statements ----------------------------------------------------------
 
     def prepare(self, sql: str, *, mode: str = "auto", validate: bool = True,
                 hot: bool = False, jit: bool | str = "auto",
-                bind: str = "literal") -> PreparedStatement:
+                bind: str = "literal", layout: bool = True) -> PreparedStatement:
         return PreparedStatement(
             self.spark, sql, mode=mode, validate=validate, hot=hot, jit=jit,
-            bind=bind,
+            bind=bind, layouts=(self.layouts if layout else None),
         )
 
     def sql(self, sql: str, args=None) -> DataFrame:

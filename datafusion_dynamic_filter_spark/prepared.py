@@ -44,7 +44,7 @@ import threading
 
 from .errors import cannot_prepare_ddl
 from .params import bind_text, canonicalize, normalize_params
-from .simple_parser import CompiledTemplate, parse_simple_select
+from .simple_parser import CompiledTemplate, _is_point_lookup, parse_simple_select
 
 def _freeze(v):
     """Hashable canonical form of a bound parameter value (list-valued
@@ -74,14 +74,16 @@ _DDL_RE = re.compile(
 _QUERY_RE = re.compile(r"^\s*(SELECT|WITH|VALUES|TABLE|FROM)\b", re.IGNORECASE)
 
 
-# Serializes physical planning across PreparedStatements so the jit policy's
-# session-global wholestage toggle can never leak into a concurrently-planning
-# statement (r3 review: the bare toggle was a cross-thread correctness
-# hazard).  Scope: statements planned THROUGH this module are mutually safe;
-# a thread running raw spark.sql() planning concurrently is outside the
-# guarantee — Spark SQL confs are session-global, which is the same shared-
-# state boundary the reference hits with its partition-0 filter state
-# (src/parameterized_statement.rs:86).
+# Serializes LITERAL-path physical planning: that path plans on the shared
+# main session, so a jit=False literal statement's wholestage toggle must
+# not leak into another literal statement planning concurrently.  Template-
+# mode statements don't participate — each template plans on its own cloned
+# SparkSession with the codegen policy baked into a private SQLConf, so
+# there is no shared toggle to protect (r5; closes the r3/r4 leak surface
+# outright).  Raw spark.sql() planning on a separate thread remains outside
+# the literal-path guarantee — Spark SQL confs are session-global, the same
+# shared-state boundary the reference hits with its partition-0 filter
+# state (src/parameterized_statement.rs:86).
 _plan_lock = threading.Lock()
 
 
@@ -116,14 +118,21 @@ class PreparedStatement:
     partition filter (see sources.prepared_dpp_partition_pruning and its
     plan gate).
 
-    Thread-safety: physical planning is serialized across PreparedStatements
-    (module ``_plan_lock``), so the jit policy's wholestage toggle cannot
-    leak into another statement planning concurrently.  Raw ``spark.sql()``
-    planning on a separate thread is outside that guarantee (session-global
-    conf)."""
+    ``layouts`` (normally supplied by ``Engine.prepare``) maps table names
+    to registered :class:`~..layouts.PointLayout` copies; a single-table
+    point lookup on a layout's key column then scans the bucket-partitioned
+    copy and prunes it — statically per key on the literal path, via
+    Dynamic Partition Pruning on the data-bound/batch path.
+
+    Thread-safety: template-mode statements plan on a private cloned
+    SparkSession (codegen policy in its own SQLConf — nothing shared to
+    leak); literal-path planning is serialized by the module ``_plan_lock``.
+    Raw ``spark.sql()`` planning on a separate thread is outside the
+    literal-path guarantee (session-global conf)."""
 
     def __init__(self, spark, sql: str, *, mode: str = "auto", validate: bool = True,
-                 hot: bool = False, jit: bool | str = "auto", bind: str = "literal"):
+                 hot: bool = False, jit: bool | str = "auto", bind: str = "literal",
+                 layouts: dict | None = None):
         if bind not in ("literal", "data"):
             raise ValueError(f"bind must be 'literal' or 'data', got {bind!r}")
         self.spark = spark
@@ -144,8 +153,23 @@ class PreparedStatement:
         if mode in ("auto", "dynamic"):
             parsed = parse_simple_select(self.canonical_sql)
             if parsed is not None:
+                # JIT policy, resolved ONCE here and baked into the
+                # template's cloned session conf (see CompiledTemplate):
+                # data-bound statements keep codegen unless forced off
+                # (their generated code carries no key literal and is
+                # cache-hit per key); literal-bound point lookups and hot
+                # templates run interpreted (a new wholestage class per
+                # key never pays back).
+                if isinstance(jit, bool):
+                    nojit = not jit
+                elif bind == "data":
+                    nojit = False
+                else:
+                    nojit = hot or _is_point_lookup(parsed)
                 try:
-                    self._template = CompiledTemplate(spark, parsed, hot=hot)
+                    self._template = CompiledTemplate(
+                        spark, parsed, hot=hot, nojit=nojit, layouts=layouts
+                    )
                 except Exception:
                     if mode == "dynamic":
                         raise
@@ -189,22 +213,24 @@ class PreparedStatement:
                 # mechanism, src/physical.rs:247-255): the key rides in a
                 # 1-row broadcast relation, never as a plan literal, so the
                 # generated code is byte-identical across keys.  MEASURED
-                # slower than literal binding for single keys at sf0.1 in
-                # BOTH regimes (cold 8.7s vs 5.0s, hot 5.3s vs 3.0s per 50
-                # keys): the per-query broadcast exchange + AQE overhead
-                # exceeds the saved JIT, and the join key cannot reach the
-                # scan as a pushed filter (parquet row-group pruning,
-                # in-memory batch-stats pruning both lost).  Kept as an
-                # explicit opt-in for plan-stability-sensitive callers;
-                # the batch regime where params-as-data DOES win is
-                # execute_batch (81x on 1000 keys).  Single-key semantics
-                # are exact (incl. aggregates: GROUP BY over semi-joined
-                # rows == GROUP BY over filtered rows).
+                # slower than literal binding for single keys at sf0.1 on a
+                # FLAT layout (the per-query broadcast exchange exceeds the
+                # saved JIT and the key can't reach the scan); on a
+                # registered point LAYOUT it regains scan pruning via DPP.
+                # Single-key auto mode still picks literal binding — one
+                # job per key beats DPP's subquery+broadcast jobs for a
+                # single key (measured r5); the batch regime where
+                # params-as-data wins outright is execute_batch.
+                # Single-key semantics are exact (incl. aggregates: GROUP
+                # BY over semi-joined rows == GROUP BY over filtered rows).
                 df = t.build_semi_join([bound])
-                df = self._finalize(df, nojit=(self.jit is False))
             else:
                 df = t.build(bound)
-                df = self._finalize(df, nojit=self._nojit())
+            # Force physical planning NOW (the reference plans inside
+            # prepare/execute, not at stream-pull time).  The codegen
+            # policy is baked into the template's cloned-session conf, so
+            # no lock or session-conf toggle is involved.
+            df._jdf.queryExecution().executedPlan()
         else:
             df = self.spark.sql(self.canonical_sql, args=bound)
             # Literal-mode statements plan lazily at first action; force
@@ -218,15 +244,12 @@ class PreparedStatement:
         return df
 
     def _nojit(self) -> bool:
-        """JIT policy for the literal-binding path ONLY: bound primitive
-        literals are inlined into generated sources, so every new key
-        compiles a new class (~10-40 ms driver-side) that never pays back
-        for selective lookups.  The params-as-data path keeps JIT on — its
-        generated code carries no key literal and is cache-hit per key."""
-        if self.jit == "auto":
-            t = self._template
-            return t is not None and (t.hot or t.is_point_lookup)
-        return not self.jit
+        """Effective codegen policy: template statements carry it baked
+        into their cloned planning session (see __init__); literal-path
+        statements disable codegen only when jit=False is forced."""
+        if self._template is not None:
+            return self._template.nojit
+        return self.jit is False
 
     def _finalize(self, df, *, nojit: bool):
         """Force physical planning NOW, under the statement's JIT policy.
@@ -295,12 +318,14 @@ class PreparedStatement:
         self.executions = 0
 
     def close(self) -> None:
-        """Release statement resources: bound-state caches and, for hot
+        """Release statement resources: bound-state caches, params
+        relations written by data-bound executions, and, for hot
         templates, the pinned in-memory scan."""
         self.reset()
         if self._template is not None:
             for df in self._template._persisted:
                 df.unpersist()
+            self._template.cleanup()
 
     def explain(self, params=None, fmt: str = "formatted") -> str:
         df = self.execute(params)

@@ -30,38 +30,14 @@ def _sink_dir(sf_dir: str, name: str) -> str:
     return os.path.join(_ROOT, tag, name)
 
 
-def _source_fingerprint(path: str) -> str:
-    """size+mtime fingerprint of a parquet file-or-directory.  Derived
-    layouts cached under _ROOT must be invalidated when the base testdata
-    is regenerated in place (same path, new contents), or the cached copy
-    silently diverges from the oracle's fresh table."""
-    entries = []
-    if os.path.isdir(path):
-        for root, _, files in os.walk(path):
-            for f in sorted(files):
-                st = os.stat(os.path.join(root, f))
-                entries.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.exists(path):
-        st = os.stat(path)
-        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
-    return ";".join(entries)
-
-
-def _cached_layout_stale(sink_path: str, source_path: str) -> bool:
-    """True when the cached derived layout at sink_path is missing or was
-    built from a different version of source_path."""
-    if not os.path.exists(os.path.join(sink_path, "_SUCCESS")):
-        return True
-    marker = os.path.join(sink_path, "_SOURCE_FINGERPRINT")
-    if not os.path.exists(marker):
-        return True
-    with open(marker) as fh:
-        return fh.read() != _source_fingerprint(source_path)
-
-
-def _write_layout_marker(sink_path: str, source_path: str) -> None:
-    with open(os.path.join(sink_path, "_SOURCE_FINGERPRINT"), "w") as fh:
-        fh.write(_source_fingerprint(source_path))
+# Fingerprint-based invalidation for cached derived layouts (the driver
+# regenerates testdata in place between rounds; a stale copy would silently
+# diverge from the oracle's fresh table).  Shared with the layouts module.
+from ..layouts import (  # noqa: E402
+    layout_stale as _cached_layout_stale,
+    source_fingerprint as _source_fingerprint,  # noqa: F401 (probe scripts)
+    write_layout_marker as _write_layout_marker,
+)
 
 
 def roundtrip_csv(df: DataFrame, path: str) -> DataFrame:
@@ -376,37 +352,62 @@ def prepared_dpp_partition_pruning(spark, sf_dir):
     Two DPP preconditions discovered by measurement: the filtering side
     must be a SCAN carrying a LIKELY-SELECTIVE predicate — a bare
     LocalRelation of literals never triggers the PartitionPruning rule
-    (hence keys go through parquet), and an IsNotNull-only filter does not
-    qualify either (it always exists from join constraints), so the params
-    read carries a real comparison.  The join may be left_semi with the
+    (hence keys go through parquet, written driver-side by pyarrow: a
+    Spark write JOB for the same 10 rows costs ~3 s of committer overhead
+    in this environment), and an IsNotNull-only filter does not qualify
+    either (it always exists from join constraints), so the params read
+    carries a real comparison.  The join may be left_semi with the
     partitioned side streaming.  Catalyst's DPP cost model also declines
     the subquery when the partitioned table is only a few hundred KB
-    (sf0.001) — correct at that size; the plan gate runs at sf0.01."""
-    t = tables(spark, sf_dir)
-    part_path = _sink_dir(sf_dir, "orders_by_pk_bucket")
-    src = os.path.join(sf_dir, "orders.parquet")
-    if _cached_layout_stale(part_path, src):
-        (
-            t["orders"]
-            .withColumn("pk_bucket", F.pmod("o_orderkey", F.lit(64)).cast("int"))
-            .write.mode("overwrite")
-            .partitionBy("pk_bucket")
-            .parquet(part_path)
-        )
-        _write_layout_marker(part_path, src)
-    orders = spark.read.parquet(part_path)
-    keys_path = _sink_dir(sf_dir, "dpp_param_keys")
-    keys = [11, 22, 33]
-    spark.createDataFrame(
-        [(k, k % 64) for k in keys], "k bigint, kb int"
-    ).write.mode("overwrite").parquet(keys_path)
-    params = spark.read.parquet(keys_path).filter(F.col("k") >= 0)
-    return (
-        orders.join(
-            F.broadcast(params),
-            (F.col("pk_bucket") == F.col("kb")) & (F.col("o_orderkey") == F.col("k")),
-            "left_semi",
-        )
-        .select("o_orderkey", "o_totalprice")
-        .orderBy("o_orderkey")
+    (sf0.001) — correct at that size; the plan gate runs at sf0.01.
+
+    Since r5 this mechanism is the DEFAULT execute_batch path for
+    statements prepared against a registered point layout
+    (Engine.ensure_point_layout -> CompiledTemplate._arrow_params); this
+    query drives it through the public API."""
+    from ..engine import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark)
+    eng.ensure_point_layout(
+        "orders", "o_orderkey",
+        source_path=os.path.join(sf_dir, "orders.parquet"),
     )
+    stmt = eng.prepare(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1"
+    )
+    return stmt.execute_batch([[11], [22], [33]]).orderBy("o_orderkey")
+
+
+@query(
+    "prepared_layout_point_lookup",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (7, 42, 4242)
+    ORDER BY o_orderkey
+    """,
+)
+def prepared_layout_point_lookup(spark, sf_dir):
+    """Single-key executions over a registered point layout: each literal-
+    bound key carries its derived bucket predicate, so Catalyst prunes the
+    partitioned copy STATICALLY — the scan reads 1 of 64 bucket dirs per
+    key (plan-gated in tests/test_layouts.py).  This is the cold
+    sequential-lookup regime's scan-pruning answer; the fixed-plan DPP
+    variant above is the batch regime's."""
+    from ..engine import Engine
+
+    tables(spark, sf_dir)
+    eng = Engine(spark)
+    eng.ensure_point_layout(
+        "orders", "o_orderkey",
+        source_path=os.path.join(sf_dir, "orders.parquet"),
+    )
+    stmt = eng.prepare(
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "WHERE o_orderkey = $1"
+    )
+    out = None
+    for k in (7, 42, 4242):
+        df = stmt.execute({"$1": k})
+        out = df if out is None else out.unionAll(df)
+    return out.orderBy("o_orderkey")
