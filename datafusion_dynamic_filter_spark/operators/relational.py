@@ -178,6 +178,60 @@ def prepared_in_list_batch(spark, sf_dir):
 
 
 @query(
+    "prepared_cte_template",
+    oracle="""
+    WITH big AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 50000)
+    SELECT o_custkey,
+    CAST(count(*) AS BIGINT) AS n_big,
+    round(max(o_totalprice), 2) AS top_price
+    FROM big WHERE o_custkey = 7 GROUP BY o_custkey
+    """,
+)
+def prepared_cte_template(spark, sf_dir):
+    # r5 grammar extension: a prepared `WITH ... WHERE k = $1` statement on
+    # the dynamic fast path — the reference prepares any non-DDL plan, CTEs
+    # included (src/preparable_context.rs:15-30).  The CTE body resolves
+    # once at prepare time; per-key work is the bound filter only.
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "WITH big AS (SELECT o_custkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 50000) "
+        "SELECT o_custkey, count(*) AS n_big, "
+        "round(max(o_totalprice), 2) AS top_price "
+        "FROM big WHERE o_custkey = $1 GROUP BY o_custkey"
+    )
+    return stmt.execute([7])
+
+
+@query(
+    "prepared_having_threshold",
+    oracle="""
+    SELECT o_custkey,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(max(o_totalprice), 2) AS top_price
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 12 AND max(o_totalprice) < 400000
+    ORDER BY o_custkey
+    """,
+)
+def prepared_having_threshold(spark, sf_dir):
+    # r5 grammar extension: parameterized HAVING on the dynamic fast path.
+    # HAVING is a Filter over the Aggregate, squarely inside the reference's
+    # dynamic-filter scope (DynamicFilterRule matches LogicalPlan::Filter,
+    # src/rule.rs:32-49).  Aggregate-bearing predicates evaluate inside the
+    # aggregation (see CompiledTemplate._apply_agg); params bind per execute.
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_custkey, count(*) AS n_orders, "
+        "round(max(o_totalprice), 2) AS top_price "
+        "FROM orders GROUP BY o_custkey "
+        "HAVING count(*) >= $1 AND max(o_totalprice) < $2 "
+        "ORDER BY o_custkey"
+    )
+    return stmt.execute([12, 400000.0])
+
+
+@query(
     "constant_select",
     oracle="""
     SELECT 1 AS one, 'x' AS tag

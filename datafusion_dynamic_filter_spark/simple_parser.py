@@ -34,9 +34,9 @@ from dataclasses import dataclass, field
 
 from .params import Placeholder, bind_text, find_placeholders
 
-_CLAUSE_KEYWORDS = ["FROM", "WHERE", "GROUP BY", "ORDER BY", "LIMIT"]
+_CLAUSE_KEYWORDS = ["FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"]
 _UNSUPPORTED = re.compile(
-    r"\b(UNION|INTERSECT|EXCEPT|HAVING|QUALIFY|WITH|LATERAL|PIVOT|UNPIVOT)\b",
+    r"\b(UNION|INTERSECT|EXCEPT|QUALIFY|WITH|LATERAL|PIVOT|UNPIVOT)\b",
     re.IGNORECASE,
 )
 _IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*(\s+(AS\s+)?[A-Za-z_]\w*)?$", re.IGNORECASE)
@@ -148,11 +148,69 @@ class SimpleSelect:
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
     joins: list[JoinPart] = field(default_factory=list)
+    # HAVING: a Filter over the Aggregate — inside the reference's dynamic
+    # scope (DynamicFilterRule matches any LogicalPlan::Filter,
+    # src/rule.rs:32-49), so parameterized HAVING binds per execute too.
+    having: str | None = None
+    having_placeholders: list[Placeholder] = field(default_factory=list)
+    # CTEs: (name, body) pairs.  Bodies are arbitrary SQL resolved ONCE at
+    # prepare time (the reference prepares any non-DDL statement,
+    # src/preparable_context.rs:15-30); only the final SELECT follows the
+    # fast-path grammar, and placeholders must not appear in a body.
+    ctes: list[tuple[str, str]] = field(default_factory=list)
+
+
+def _parse_with_prefix(text: str) -> tuple[list[tuple[str, str]], str] | None:
+    """Strip a leading ``WITH name AS (body) [, ...]`` prefix.  Returns
+    (ctes, remaining_main_query) or None when the prefix is malformed or a
+    body carries a placeholder (those statements fall back to the literal
+    path, where Spark binds the full text)."""
+    m = re.match(r"^WITH\s+", text, re.IGNORECASE)
+    if not m:
+        return [], text
+    ctes: list[tuple[str, str]] = []
+    i = m.end()
+    n = len(text)
+    while True:
+        mm = re.match(r"\s*([A-Za-z_]\w*)\s+AS\s*\(", text[i:], re.IGNORECASE)
+        if not mm:
+            return None
+        name = mm.group(1)
+        j = i + mm.end()  # first char inside the body parens
+        depth, k = 1, j
+        while k < n and depth:
+            c = text[k]
+            if c == "'":
+                k += 1
+                while k < n:
+                    if text[k] == "'" and not (k + 1 < n and text[k + 1] == "'"):
+                        break
+                    k += 2 if text[k] == "'" else 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            return None  # unbalanced parens
+        body = text[j : k - 1].strip()
+        if not body or find_placeholders(body):
+            return None
+        ctes.append((name, body))
+        mm2 = re.match(r"\s*,", text[k:])
+        if mm2:
+            i = k + mm2.end()
+            continue
+        return ctes, text[k:].strip()
 
 
 def parse_simple_select(sql: str) -> SimpleSelect | None:
     """Parse the fast-path grammar; return None if out of scope."""
     text = sql.strip().rstrip(";").strip()
+    with_parse = _parse_with_prefix(text)
+    if with_parse is None:
+        return None
+    ctes, text = with_parse
     if not re.match(r"^SELECT\b", text, re.IGNORECASE):
         return None
     if _UNSUPPORTED.search(text):
@@ -224,6 +282,16 @@ def parse_simple_select(sql: str) -> SimpleSelect | None:
             # back to the literal path.
             return None
 
+    having_body = clause_text.get("HAVING")
+    having_placeholders: list[Placeholder] = []
+    if having_body is not None:
+        having_body = having_body.strip()
+        if not group_by:
+            return None  # HAVING without GROUP BY -> literal path
+        if re.search(r"\bSELECT\b", having_body, re.IGNORECASE):
+            return None  # subquery in HAVING -> literal path
+        having_placeholders = find_placeholders(having_body)
+
     order_items: list[OrderItem] = []
     if "ORDER BY" in clause_text:
         if find_placeholders(clause_text["ORDER BY"]):
@@ -258,6 +326,9 @@ def parse_simple_select(sql: str) -> SimpleSelect | None:
         order_by=order_items,
         limit=limit,
         joins=joins,
+        having=having_body,
+        having_placeholders=having_placeholders,
+        ctes=ctes,
     )
 
 
@@ -365,6 +436,16 @@ class CompiledTemplate:
         self.parsed = parsed
         self.hot = hot
         self._param_dirs: list[str] = []
+        # CTE bodies resolve ONCE here, as temp views on the template's
+        # PRIVATE cloned session (clone-local catalog: registrations never
+        # leak to the user's session, and a CTE name shadows a real table
+        # only inside this template — standard CTE scoping).  Bodies are
+        # arbitrary SQL; analysis errors in them surface at prepare, like
+        # the reference planning the full statement in prepare()
+        # (src/preparable_context.rs:30).
+        self._cte_names = {name.lower() for name, _ in parsed.ctes}
+        for cte_name, cte_body in parsed.ctes:
+            self.spark.sql(cte_body).createOrReplaceTempView(cte_name)
         # Aggregating/DISTINCT templates change meaning under a batched
         # semi-join (one global result vs one result per parameter row), so
         # execute_batch must not take the semi-join fast path for them.
@@ -390,6 +471,7 @@ class CompiledTemplate:
             and not hot
             and not parsed.joins
             and parsed.table in layouts
+            and parsed.table.lower() not in self._cte_names
             and parsed.where
             and parsed.where_placeholders
         ):
@@ -457,6 +539,13 @@ class CompiledTemplate:
             self.static_where = F.expr(parsed.where)
         else:
             self.static_where = None
+        # HAVING placement, decided once: aggregate-bearing predicates are
+        # evaluated INSIDE the aggregation (an extra boolean agg column,
+        # filtered and dropped immediately) so they see true aggregate
+        # values even when the SELECT list doesn't expose them; group-only
+        # predicates post-filter the aggregated output.  Parameterized
+        # HAVING re-binds text per execute, like irregular WHERE conjuncts.
+        self.having_in_agg = bool(parsed.having and _AGG_FN_RE.search(parsed.having))
         # Params-as-data shape, resolved ONCE at prepare: each parameterized
         # conjunct must be `col = :param`; non-parameterized conjuncts ride
         # along as static filters.  Params then enter execution as a
@@ -622,16 +711,39 @@ class CompiledTemplate:
                 df = df.filter(self.static_where)
         if self.layout is not None:
             df = df.drop(self.layout.bucket_col)
-        if p.group_by:
-            df = df.groupBy(*self.group_cols).agg(*self.agg_cols)
-        else:
-            df = df.select(*self.select_cols)
+        df = self._apply_agg(df, bound)
         if p.distinct:
             df = df.distinct()
         if self.order_cols:
             df = df.orderBy(*self.order_cols)
         if p.limit is not None:
             df = df.limit(p.limit)
+        return df
+
+    def _apply_agg(self, df, bound: dict | None):
+        """GROUP BY + HAVING (or plain projection) with HAVING params bound.
+        See ``having_in_agg`` in __init__ for the placement rule."""
+        p = self.parsed
+        F = self._F
+        having = p.having
+        if having and p.having_placeholders:
+            if bound is None:
+                raise ValueError(
+                    "parameterized HAVING requires exactly one parameter row"
+                )
+            having = bind_text(having, p.having_placeholders, bound)
+        if not p.group_by:
+            return df.select(*self.select_cols)
+        if having and self.having_in_agg:
+            return (
+                df.groupBy(*self.group_cols)
+                .agg(*self.agg_cols, F.expr(f"({having})").alias("__having__"))
+                .filter(F.col("__having__"))
+                .drop("__having__")
+            )
+        df = df.groupBy(*self.group_cols).agg(*self.agg_cols)
+        if having:
+            df = df.filter(F.expr(having))
         return df
 
     def build_semi_join(self, key_rows: list[dict]):
@@ -662,10 +774,7 @@ class CompiledTemplate:
         df = df.join(F.broadcast(params_df), cond, "left_semi")
         if self.layout is not None:
             df = df.drop(self.layout.bucket_col)
-        if p.group_by:
-            df = df.groupBy(*self.group_cols).agg(*self.agg_cols)
-        else:
-            df = df.select(*self.select_cols)
+        df = self._apply_agg(df, key_rows[0] if len(key_rows) == 1 else None)
         if p.distinct:
             df = df.distinct()
         if self.order_cols:

@@ -85,6 +85,11 @@ def test_simple_parser_rejects_out_of_scope():
     assert parse_simple_select("SELECT * FROM a, b WHERE a.x = b.x") is None
     assert parse_simple_select("SELECT * FROM (SELECT 1)") is None
     assert parse_simple_select("SELECT x FROM t WHERE x IN (SELECT y FROM u)") is None
-    assert parse_simple_select("WITH c AS (SELECT 1) SELECT * FROM c") is None
+    # CTEs parse since r5 (tests/test_cte_having.py); a placeholder in the
+    # CTE body still falls back
+    assert parse_simple_select("WITH c AS (SELECT 1) SELECT * FROM c") is not None
+    assert (
+        parse_simple_select("WITH c AS (SELECT :p1 AS x) SELECT * FROM c") is None
+    )
     # placeholder outside WHERE -> fall back (reference scope: src/rule.rs:32-49)
     assert parse_simple_select("SELECT x + :p1 FROM t") is None
