@@ -19,6 +19,18 @@ a trailing section by necessity: once it exists, CacheManager substitutes
 the in-memory relation into later matching plans, which would corrupt the
 cold measurements.  Its ratio is therefore cross-section and inherits any
 load drift between sections (see README).
+
+r5 additions, per the r4 review:
+- prepared_layout / prepared_dpp_batch strategies: the registered point
+  layout (bucket-partitioned orders copy) serves the same 50 keys with a
+  statically-pruned scan per key, and as execute_batch micro-batches whose
+  byte-identical plan prunes via Dynamic Partition Pruning — the engine's
+  answer to the reference's fixed-plan pushdown (src/physical.rs:247-255).
+- headline analytics queries are timed as MEDIAN-OF-3 with cache-clear +
+  JVM GC isolation before each query, and report their result row count
+  next to the timing (a 10x swing then carries its own explanation);
+  results are consumed by count(), never collected to the driver (r4
+  billed dedup_ngram_jaccard 9-11s of pure 759k-row driver transfer).
 """
 
 from __future__ import annotations
@@ -94,6 +106,15 @@ def main() -> None:
     sql = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = $1"
     canon = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = :p1"
 
+    # Standing point layout for orders (bucket-partitioned copy, built once
+    # per sf_dir and fingerprint-invalidated — at 100 TB this is the table's
+    # layout, not a cache, so its one-time build is excluded from per-key
+    # timings exactly like the base parquet write is).
+    eng.ensure_point_layout(
+        "orders", "o_orderkey",
+        source_path=os.path.join(SF_DIR, "orders.parquet"),
+    )
+
     # DISJOINT key sets per strategy, run INTERLEAVED round-robin.  Two
     # r1-r3 artifacts motivated this layout: (a) host load drifts over the
     # bench's lifetime, so back-to-back sections bill the drift to whichever
@@ -102,7 +123,10 @@ def main() -> None:
     # to the same optimized plan an earlier f-string loop already compiled,
     # so the sqlargs strategy was silently codegen-cache-warm; disjoint keys
     # make every strategy pay its own compile.
-    STRATS = ["fstring", "sqlargs", "prepared_cold", "prepared", "fstring_b"]
+    STRATS = [
+        "fstring", "sqlargs", "prepared_cold", "prepared_layout",
+        "prepared_dpp_batch", "prepared", "fstring_b",
+    ]
     pool = rng.sample(range(0, int(max_key) + 1), len(STRATS) * (N_KEYS + 10))
     ks = {
         name: pool[i * (N_KEYS + 10) : (i + 1) * (N_KEYS + 10)]
@@ -133,11 +157,20 @@ def main() -> None:
         df.collect()
         return t1 - t0, time.perf_counter() - t1
 
-    stmt_cold = eng.prepare(sql)
+    stmt_cold = eng.prepare(sql, layout=False)  # flat parquet literal path
+    stmt_layout = eng.prepare(sql)  # adopts the point layout (static pruning)
+    stmt_batch = eng.prepare(sql)  # batches bind as data -> DPP fixed plan
 
     def run_prepared_cold(k):
         t0 = time.perf_counter()
         df = stmt_cold.execute({"$1": k})
+        t1 = time.perf_counter()
+        df.collect()
+        return t1 - t0, time.perf_counter() - t1
+
+    def run_prepared_layout(k):
+        t0 = time.perf_counter()
+        df = stmt_layout.execute({"$1": k})
         t1 = time.perf_counter()
         df.collect()
         return t1 - t0, time.perf_counter() - t1
@@ -150,12 +183,18 @@ def main() -> None:
         ("fstring_50keys", "fstring", run_fstring),
         ("sqlargs_50keys", "sqlargs", run_sqlargs),
         ("prepared_cold_50keys", "prepared_cold", run_prepared_cold),
+        ("prepared_layout_50keys", "prepared_layout", run_prepared_layout),
     ]
+    BATCH = 10  # micro-batch size for the DPP fixed-plan strategy
     for i in range(10):  # warm: plan caches, page cache, JIT
         for _, kset, fn in INTERLEAVED:
             fn(ks[kset][i])
+    stmt_batch.execute_batch(
+        [[k] for k in ks["prepared_dpp_batch"][:BATCH]]
+    ).collect()
     spark.sparkContext._jvm.System.gc()
     acc = {name: [0.0, 0.0, 0.0] for name, _, _ in INTERLEAVED}
+    acc["prepared_dpp_batch_50keys"] = [0.0, 0.0, 0.0]
     for i in range(N_KEYS):
         for name, kset, fn in INTERLEAVED:
             t0 = time.perf_counter()
@@ -163,7 +202,23 @@ def main() -> None:
             acc[name][0] += time.perf_counter() - t0
             acc[name][1] += p
             acc[name][2] += e
-    for name, _, _ in INTERLEAVED:
+        if (i + 1) % BATCH == 0:
+            # The same 50-key workload served as BATCH-key micro-batches
+            # through ONE byte-identical plan whose scan prunes via DPP —
+            # the reference's fixed-plan regime (its benchmark drives 50
+            # keys through one statement too; batching is how Spark
+            # amortizes the per-job floor a 1-row lookup cannot escape).
+            chunk = ks["prepared_dpp_batch"][10 + i + 1 - BATCH : 10 + i + 1]
+            t0 = time.perf_counter()
+            df = stmt_batch.execute_batch([[k] for k in chunk])
+            t1 = time.perf_counter()
+            df.collect()
+            t2 = time.perf_counter()
+            a = acc["prepared_dpp_batch_50keys"]
+            a[0] += t2 - t0
+            a[1] += t1 - t0
+            a[2] += t2 - t1
+    for name in [n for n, _, _ in INTERLEAVED] + ["prepared_dpp_batch_50keys"]:
         timings[name] = acc[name][0]
         # "plan" = statement -> DataFrame (parse/bind + planning for the
         # prepared path, which planifies eagerly); "exec" = the action.
@@ -184,6 +239,8 @@ def main() -> None:
         probe_key = rng.sample(range(0, int(max_key) + 1), 1)[0]
     df_cold = stmt_cold.execute({"$1": probe_key})
     df_cold.collect()
+    df_lay = stmt_layout.execute({"$1": probe_key})
+    df_lay.collect()
     df_un = spark.sql(
         f"SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = {probe_key}"
     )
@@ -191,6 +248,7 @@ def main() -> None:
     scan_evidence = {
         "unprepared": scan_metrics(df_un),
         "prepared_cold": scan_metrics(df_cold),
+        "prepared_layout": scan_metrics(df_lay),
     }
 
     stmt = eng.prepare(sql, hot=True)
@@ -255,10 +313,20 @@ def main() -> None:
 
     # IN-list batch: 1000 keys in ONE broadcast semi-join job
     # (reference README.md:46-51 benchmarked 1000 keys via IN).
-    batch_keys = rng.sample(range(0, int(max_key) + 1), min(1000, int(max_key)))
-    t0 = time.perf_counter()
-    stmt.execute_batch([[k] for k in batch_keys]).collect()
-    timings["prepared_inlist_1000"] = time.perf_counter() - t0
+    # Median-of-3 on DISJOINT key sets (same params would hit the
+    # statement's plan cache and measure dict lookup): this ratio is
+    # load-bearing in the baseline table and a single shot drifts +-40%.
+    import statistics as _stats
+
+    inlist_samples = []
+    n_batch = min(1000, int(max_key))
+    for _ in range(3):
+        batch_keys = rng.sample(range(0, int(max_key) + 1), n_batch)
+        t0 = time.perf_counter()
+        stmt.execute_batch([[k] for k in batch_keys]).collect()
+        inlist_samples.append(time.perf_counter() - t0)
+    timings["prepared_inlist_1000"] = _stats.median(inlist_samples)
+    batch_keys = list(range(n_batch))  # len() feeds the per-key ratio below
 
     # Prepared parameterized JOIN (reference prepares any non-DDL plan,
     # src/preparable_context.rs:15-30): same 50 keys through a customer x
@@ -287,16 +355,33 @@ def main() -> None:
     # leaving these resident inflated later headline queries 2.8-4.6x.
     stmt.close()
     stmt_cold.close()
+    stmt_layout.close()
+    stmt_batch.close()
     join_stmt.close()
     registry.release_persisted()
     spark.catalog.clearCache()
 
+    # Median-of-3 with per-query isolation (r4 shipped two phantom 10x+
+    # regressions from single-shot timings under session drift).  Results
+    # are consumed by count() — a full-result driver collect measures
+    # transfer, not the operator, and is exactly the driver-side pattern
+    # the engine exists to avoid.  The row count rides along so an
+    # output-cardinality explosion explains its own timing.
+    import statistics
+
+    rows: dict[str, int] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name in HEADLINE:
         fn = registry.QUERIES[name]
-        fn(spark, SF_DIR).collect()  # warm (plan + cache)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        timings[name] = time.perf_counter() - t0
+        spark.catalog.clearCache()  # no cross-query cache inheritance
+        jvm_gc()
+        rows[name] = fn(spark, SF_DIR).count()  # warm (plan + cache fill)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = statistics.median(samples)
     registry.release_persisted()
 
     total = sum(timings.values())
@@ -320,6 +405,17 @@ def main() -> None:
         "speedup_prepared_vs_unprepared": round(
             timings["fstring_50keys"] / timings["prepared_cold_50keys"], 3
         ),
+        # The layout strategies: same 50-key workload over the registered
+        # bucket-partitioned layout — per-key static pruning (sequential
+        # regime, floor-bound by local-mode per-job overhead) and the DPP
+        # fixed-plan micro-batch regime (the reference-mechanism analog;
+        # one plan, runtime-pruned scan, job overhead amortized per batch).
+        "speedup_prepared_layout_vs_unprepared": round(
+            timings["fstring_50keys"] / timings["prepared_layout_50keys"], 3
+        ),
+        "speedup_prepared_batch_vs_unprepared": round(
+            timings["fstring_50keys"] / timings["prepared_dpp_batch_50keys"], 3
+        ),
         # Hot ratio uses the f-string set measured IN the hot phase
         # (drift-fair; both strategies see the same host-load window).
         "speedup_prepared_hot_vs_unprepared": round(
@@ -338,6 +434,7 @@ def main() -> None:
         ),
         "plan_exec_split": plan_exec_split,
         "scan_metrics": scan_evidence,
+        "rows": rows,
         "cpus": int(CPUS),
     }
     print(json.dumps(result))
