@@ -320,6 +320,9 @@ def main() -> None:
 
     inlist_samples = []
     n_batch = min(1000, int(max_key))
+    # warm the batch plan shape once (smaller disjoint batch) so no sample
+    # carries the one-time semi-join compile
+    stmt.execute_batch([[k] for k in rng.sample(range(0, int(max_key) + 1), 100)]).collect()
     for _ in range(3):
         batch_keys = rng.sample(range(0, int(max_key) + 1), n_batch)
         t0 = time.perf_counter()

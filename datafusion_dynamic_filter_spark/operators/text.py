@@ -419,3 +419,79 @@ def text_token_entropy(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# PII patterns (ASCII-only, no backreferences) chosen to behave identically
+# under Java regex (Spark) and RE2 (DuckDB oracle): both treat \b and \w as
+# ASCII here.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=r"""
+    WITH aug AS (
+    SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' ||
+    CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ||
+    ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+    FROM documents WHERE n_chars > 0
+    ),
+    red AS (
+    SELECT doc_id, t,
+    regexp_replace(regexp_replace(regexp_replace(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+    '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS r
+    FROM aug
+    )
+    SELECT doc_id,
+    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+    CAST(len(regexp_extract_all(t, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS BIGINT) AS n_ipv4,
+    CAST(len(regexp_extract_all(t, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+    md5(r) AS redacted_md5,
+    CAST(len(r) AS BIGINT) AS redacted_len
+    FROM red ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII scrubbing — the standard pre-training redaction stage (emails,
+    IPv4 addresses, phone-shaped numbers), as pure JVM-side regexp column
+    expressions: one scan, no shuffle until the final sort, no Python in
+    the row path — at 100 TB this is a map-only pass that fuses into
+    whole-stage codegen.
+
+    The synthetic corpus carries no organic PII, so the query first
+    AUGMENTS each document with deterministic doc_id-derived PII (same
+    expression in the DuckDB oracle) — the redaction is then exercised on
+    every row and the md5 of the redacted text proves byte-equality of
+    the outputs across engines, not just matching counts."""
+    t = tables(spark, sf_dir)
+    d = fan_out(t["documents"]).filter(F.col("n_chars") > 0)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, _PII_IPV4, "<IP>")
+    red = F.regexp_replace(red, _PII_PHONE, "<PHONE>")
+    return (
+        d.select(
+            "doc_id",
+            F.regexp_count(aug, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+            F.regexp_count(aug, F.lit(_PII_IPV4)).cast("long").alias("n_ipv4"),
+            F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+            F.md5(red).alias("redacted_md5"),
+            F.length(red).cast("long").alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
