@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_simhash",
     "text_quality_score",
     "text_tfidf_top_terms",
+    "text_pii_redact",
     "token_frequencies",
     "events_retention_cohorts",
     "multimodal_audio_window_energy",

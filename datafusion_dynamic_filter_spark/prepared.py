@@ -16,9 +16,12 @@ Reference semantics reproduced (SURVEY.md §2 Tier A):
 Execution strategies (why, not a port of DynamicFilterExec):
 
 - ``dynamic`` (fast path): statements matching the reference's actual scope —
-  placeholders inside the WHERE predicate of a single-table SELECT
-  (src/rule.rs:32-49 matches only LogicalPlan::Filter) — compile at prepare
-  time to a DataFrame template (scan resolved once, projection pre-parsed).
+  placeholders inside Filter predicates (WHERE, and since r5 HAVING — both
+  lower to LogicalPlan::Filter, the only node src/rule.rs:32-49 rewrites) of
+  a SELECT over a table with optional JOIN ... ON chains and, since r5, a
+  leading WITH clause (CTE bodies resolve once at prepare) — compile at
+  prepare time to a DataFrame template (scan resolved once, projection
+  pre-parsed).
   Each execute binds literals into the filter only.  Bound literals reach the
   Parquet scan through Catalyst's static predicate pushdown (row-group
   pruning), which is the Spark-native counterpart of the reference pushing a
