@@ -344,14 +344,23 @@ def main() -> None:
     for k in warm_keys:
         spark.sql(join_sql, args={"p1": k}).collect()
         join_stmt.execute({"p1": k}).collect()
-    t0 = time.perf_counter()
-    for k in keys:
-        spark.sql(join_sql, args={"p1": k}).collect()
-    timings["sqlargs_join_50keys"] = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for k in keys:
-        join_stmt.execute({"p1": k}).collect()
-    timings["prepared_join_50keys"] = time.perf_counter() - t0
+    # Interleaved on disjoint key sets (r5): the former back-to-back 50-key
+    # sections billed host-load drift to whichever strategy ran second —
+    # the same artifact class the cold loop fixed in r4.  Each set was
+    # touched exactly once by one cold-phase strategy, so page-cache
+    # warmth is symmetric.
+    kj_sql = ks["fstring"][10:]
+    kj_prep = ks["sqlargs"][10:]
+    t_sql = t_prep = 0.0
+    for k1, k2 in zip(kj_sql, kj_prep):
+        t0 = time.perf_counter()
+        spark.sql(join_sql, args={"p1": k1}).collect()
+        t_sql += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        join_stmt.execute({"p1": k2}).collect()
+        t_prep += time.perf_counter() - t0
+    timings["sqlargs_join_50keys"] = t_sql
+    timings["prepared_join_50keys"] = t_prep
 
     # --- headline analytics queries ---
     # Release the point-lookup section's pinned state first: hot templates

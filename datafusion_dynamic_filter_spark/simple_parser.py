@@ -627,6 +627,19 @@ class CompiledTemplate:
                 else:
                     binders.append(("text", c, phs))
             self._where_binders = binders
+        # Trial build with NULL-bound placeholders — the template path's
+        # analog of the reference's typed-NULL pre-binding pass
+        # (src/physical.rs:94-140): DataFrame construction runs Catalyst
+        # ANALYSIS (no execution), so any unresolvable pre-parsed piece —
+        # e.g. a HAVING mixing an output alias with an aggregate, which the
+        # in-agg placement cannot resolve — surfaces HERE at prepare time,
+        # where mode='auto' statements fall back to the literal path,
+        # instead of failing on the user's first execute.
+        nulls = {
+            ph.canonical: None
+            for ph in parsed.where_placeholders + parsed.having_placeholders
+        }
+        self.build(nulls)
         if hot:
             # "hot" promises a pinned scan: build the cache at prepare time
             # so the first execute runs at memory speed, not cache-fill

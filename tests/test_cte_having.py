@@ -160,6 +160,47 @@ def test_having_group_only_predicate(engine, orders):
     assert len(rows) == 1 and rows[0].o_orderstatus == "F"
 
 
+def test_having_alias_plus_aggregate(engine, orders):
+    # HAVING mixing an output ALIAS with a raw aggregate: the in-agg
+    # placement resolves the alias via Spark's lateral column alias
+    # resolution; the prepare-time NULL trial build guarantees any
+    # unresolvable variant falls back to the literal path instead of
+    # failing at first execute.
+    sql = (
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING n >= {n} AND sum(o_totalprice) > {s} ORDER BY o_custkey"
+    )
+    stmt = engine.prepare(sql.replace("{n}", "$1").replace("{s}", "$2"))
+    got = stmt.execute([5, 100000.0]).collect()
+    want = engine.spark.sql(sql.format(n=5, s=100000.0)).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_trial_build_runs_at_prepare_for_hot_and_layout(engine, orders):
+    # The NULL trial build must not break prepare-time side paths: hot
+    # templates (pinned scan) and layout-adopting templates.
+    import os
+
+    stmt_hot = engine.prepare(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1",
+        hot=True,
+    )
+    assert stmt_hot.execute([1]).collect() is not None
+    stmt_hot.close()
+    from tests.conftest import SF_DIR
+
+    engine.ensure_point_layout(
+        "orders", "o_orderkey",
+        source_path=os.path.join(SF_DIR, "orders.parquet"),
+    )
+    stmt_lay = engine.prepare(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey = $1"
+    )
+    assert stmt_lay._template.layout is not None
+    assert [r.o_orderkey for r in stmt_lay.execute([7]).collect()] == [7]
+    stmt_lay.close()
+
+
 def test_cte_having_combined(engine, orders):
     sql = (
         "WITH big AS (SELECT o_custkey, o_totalprice FROM orders "
