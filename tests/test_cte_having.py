@@ -201,6 +201,34 @@ def test_trial_build_runs_at_prepare_for_hot_and_layout(engine, orders):
     stmt_lay.close()
 
 
+def test_cte_template_missing_param_error(engine, orders):
+    # Reference error string must survive the new grammar paths
+    # (src/param_resolver.rs:90-93).
+    stmt = engine.prepare(
+        "WITH big AS (SELECT * FROM orders WHERE o_totalprice > 0) "
+        "SELECT o_orderkey FROM big WHERE o_orderkey = $1"
+    )
+    with pytest.raises(Exception, match="Placeholder '\\$1' was not provided a value"):
+        stmt.execute({})
+
+
+def test_cte_filter_pushes_into_cte_scan(engine, orders):
+    # The bound key must reach the parquet scan THROUGH the CTE: the view
+    # collapses at analysis, so Catalyst pushes the filter into the
+    # underlying relation — no materialize-then-filter barrier.
+    from datafusion_dynamic_filter_spark.plans import pushed_filters
+
+    stmt = engine.prepare(
+        "WITH big AS (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 0) "
+        "SELECT o_orderkey FROM big WHERE o_orderkey = $1"
+    )
+    assert stmt.mode == "dynamic"
+    df = stmt.execute([42])
+    pushed = " ".join(pushed_filters(df)).lower()
+    assert "o_orderkey" in pushed
+
+
 def test_cte_having_combined(engine, orders):
     sql = (
         "WITH big AS (SELECT o_custkey, o_totalprice FROM orders "
