@@ -457,11 +457,14 @@ class CompiledTemplate:
         # PreparedStatement): per-key wholestage compilation never pays for
         # this shape.
         self.is_point_lookup = _is_point_lookup(parsed)
-        # Adopt a registered point layout when the statement is a single-
-        # table lookup with a parameterized eq/IN conjunct on the layout
+        # Adopt a registered point layout when the statement's BASE table
+        # has one and a parameterized eq/IN conjunct targets the layout
         # key: the scan then reads the bucket-partitioned copy, and bound
         # keys prune it — statically (literal bind augments the bucket
-        # predicate) or via DPP (params-as-data bind).  Hot templates skip
+        # predicate) or via DPP (params-as-data bind).  Since r5 this
+        # includes JOIN templates (the point-filtered fact side scans the
+        # layout; an ambiguous key column fails the prepare-time trial
+        # build and falls back to the literal path).  Hot templates skip
         # the layout: a pinned in-memory scan already beats any disk
         # layout.  The bucket column is dropped right after the filter so
         # the template's visible schema matches the base table exactly.
@@ -469,7 +472,6 @@ class CompiledTemplate:
         if (
             layouts
             and not hot
-            and not parsed.joins
             and parsed.table in layouts
             and parsed.table.lower() not in self._cte_names
             and parsed.where

@@ -72,16 +72,45 @@ def test_layout_batch_params_as_parquet(engine, layout):
     assert t._param_dirs == []
 
 
-def test_layout_skipped_for_hot_and_join_templates(engine, layout):
+def test_layout_skipped_for_hot_templates(engine, layout):
     hot = engine.prepare(SQL, hot=True)
     assert hot._template.layout is None
     hot.close()
+
+
+def test_layout_adopted_for_join_template(engine, layout, testdata):
+    # r5: a point-JOIN whose parameterized key hits the base table's
+    # layout scans the bucket-partitioned copy (fact side pruned per key).
     join = engine.prepare(
-        "SELECT o_orderkey, c_name FROM customer JOIN orders "
-        "ON c_custkey = o_custkey WHERE o_orderkey = $1"
+        "SELECT o_orderkey, c_name FROM orders "
+        "JOIN customer ON c_custkey = o_custkey WHERE o_orderkey = $1"
     )
-    if join._template is not None:
-        assert join._template.layout is None
+    assert join._template is not None and join._template.layout is not None
+    df = join.execute([7])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "pk_bucket" in plan  # bucket predicate reached the plan
+    want = engine.spark.sql(
+        "SELECT o_orderkey, c_name FROM orders "
+        "JOIN customer ON c_custkey = o_custkey WHERE o_orderkey = 7"
+    ).collect()
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, want))
+    assert "pk_bucket" not in df.columns
+    join.close()
+
+
+def test_layout_join_template_batch(engine, layout, testdata):
+    join = engine.prepare(
+        "SELECT o_orderkey, c_name FROM orders "
+        "JOIN customer ON c_custkey = o_custkey WHERE o_orderkey = $1"
+    )
+    df = join.execute_batch([[7], [11], [42]])
+    want = engine.spark.sql(
+        "SELECT o_orderkey, c_name FROM orders "
+        "JOIN customer ON c_custkey = o_custkey "
+        "WHERE o_orderkey IN (7, 11, 42)"
+    ).collect()
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, want))
+    join.close()
 
 
 def test_layout_skipped_when_key_not_parameterized(engine, layout):
