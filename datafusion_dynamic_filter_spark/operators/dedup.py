@@ -54,11 +54,10 @@ _SHINGLES_SQL = (
 )
 
 
-def _minhash_lsh_oracle(
-    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5, over: str = "shingles"
-) -> str:
-    """SQL mirror of the MinHash->bands->candidates->exact-verify pipeline,
-    over either the shingle set or the distinct-token set."""
+def _minhash_ctes(num_hashes: int, bands: int, over: str) -> tuple[str, str]:
+    """(WITH-clause body, jaccard expression) shared by the MinHash-family
+    oracles: shingle/token hashing -> signature -> banded buckets ->
+    candidate pairs, mirroring _minhash_sig + _lsh_candidates exactly."""
     rows = num_hashes // bands
     mh_cols = ",\n".join(
         f"CAST(min((hp * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_P}) AS BIGINT) AS mh{i}"
@@ -97,8 +96,7 @@ def _minhash_lsh_oracle(
         "round(CAST(len(list_intersect(da.helems, db.helems)) AS DOUBLE)"
         " / len(list_distinct(list_concat(da.helems, db.helems))), 4)"
     )
-    return f"""
-    WITH {elems}, hdocs AS (
+    ctes = f"""WITH {elems}, hdocs AS (
     SELECT doc_id, {helems} AS helems
     FROM docs WHERE len(elems) > 0
     ), hp AS (
@@ -111,11 +109,49 @@ def _minhash_lsh_oracle(
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM buckets a JOIN buckets b
     ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-    )
+    )"""
+    return ctes, jac
+
+
+def _minhash_lsh_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5, over: str = "shingles"
+) -> str:
+    """SQL mirror of the MinHash->bands->candidates->exact-verify pipeline,
+    over either the shingle set or the distinct-token set."""
+    ctes, jac = _minhash_ctes(num_hashes, bands, over)
+    return f"""
+    {ctes}
     SELECT c.doc_a, c.doc_b, {jac} AS jaccard
     FROM cand c
     JOIN hdocs da ON da.doc_id = c.doc_a
     JOIN hdocs db ON db.doc_id = c.doc_b
+    WHERE {jac} >= {threshold}
+    ORDER BY doc_a, doc_b
+    """
+
+
+def _minhash_error_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """SQL mirror of dedup_minhash_error: per verified pair, the signature
+    agreement fraction vs the exact hashed-set Jaccard."""
+    ctes, jac = _minhash_ctes(num_hashes, bands, "shingles")
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(num_hashes)
+    )
+    est = f"round(({agree}) / {float(num_hashes)}, 4)"
+    return f"""
+    {ctes}
+    SELECT c.doc_a, c.doc_b,
+    {est} AS est_jaccard,
+    {jac} AS jaccard,
+    round(abs({est} - {jac}), 4) AS abs_err
+    FROM cand c
+    JOIN hdocs da ON da.doc_id = c.doc_a
+    JOIN hdocs db ON db.doc_id = c.doc_b
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
     WHERE {jac} >= {threshold}
     ORDER BY doc_a, doc_b
     """
@@ -302,27 +338,11 @@ def dedup_ngram_jaccard(spark, sf_dir, *, threshold: float = 0.8):
     )
 
 
-def _minhash_verified_pairs(
-    spark, sf_dir, *, num_hashes, bands, threshold, size_prune=False
-):
-    """Shared MinHash->LSH->exact-verify pipeline over per-doc word-3-gram
-    shingle-hash sets.
-
-    All joins/aggs are on uniform hash keys — no skew at scale:
-      1. ONE cross-engine 60-bit md5-prefix hash per WORD (codegen'd
-         column over posexploded words — not per constructed shingle
-         string: the interpreted concat-per-position form plus a string
-         explode was measured 4x slower at sf0.1)
-      2. shingle hash per position i = (hw[i]*K1) xor (hw[i+1]*K2) xor
-         (hw[i+2]*K3) (pure 64-bit-exact arithmetic, identical in DuckDB
-         — see functions.SHINGLE_K1/K2/K3)
-      3. signature: per-position affine transforms of shingle-hash mod
-         2^31-1 (so the whole sketch has an exact DuckDB oracle)
-      4. banding: per-band bucket key from the band's signature minima
-      5. candidates: explode bands, equi-join on (band_idx, bucket)
-      6. verify: exact shingle-hash-set Jaccard >= threshold on
-         candidates only
-    """
+def _minhash_sig(spark, sf_dir, *, num_hashes):
+    """Persisted (doc_id, mh0..mhN, elems) MinHash signature relation over
+    per-doc word-3-gram shingle-hash sets — the shared front end of every
+    MinHash-family operator (see _minhash_verified_pairs for the full
+    pipeline story)."""
     from pyspark.storagelevel import StorageLevel
 
     t = tables(spark, sf_dir)
@@ -363,13 +383,19 @@ def _minhash_verified_pairs(
     # The element set is kept as h60 HASHES (8-byte longs), not strings:
     # 3-4x less shuffle/persist volume and a far cheaper array_intersect in
     # the verify, with the oracle hashing identically (see _minhash_lsh_oracle).
-    sig = track_persist(
+    return track_persist(
         exploded.groupBy("doc_id").agg(
             *minhash_agg_columns("hp", num_hashes),
             F.collect_set("h").alias("elems"),
         ),
         StorageLevel.MEMORY_AND_DISK,
     )
+
+
+def _lsh_candidates(sig, *, num_hashes, bands, threshold, size_prune):
+    """Banded-LSH candidate pairs (doc_a < doc_b) from a signature
+    relation, with the optional PPJoin size-ratio prune riding in the join
+    condition."""
     buckets = sig.select(
         "doc_id",
         F.size("elems").alias("n_elems"),
@@ -393,10 +419,41 @@ def _minhash_verified_pairs(
             & (F.col("a.n_elems") * 10 >= F.col("b.n_elems") * scale)
             & (F.col("b.n_elems") * 10 >= F.col("a.n_elems") * scale)
         )
-    cand = (
+    return (
         a.join(b, join_cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def _minhash_verified_pairs(
+    spark, sf_dir, *, num_hashes, bands, threshold, size_prune=False
+):
+    """Shared MinHash->LSH->exact-verify pipeline over per-doc word-3-gram
+    shingle-hash sets.
+
+    All joins/aggs are on uniform hash keys — no skew at scale:
+      1. ONE cross-engine 60-bit md5-prefix hash per WORD (codegen'd
+         column over posexploded words — not per constructed shingle
+         string: the interpreted concat-per-position form plus a string
+         explode was measured 4x slower at sf0.1)
+      2. shingle hash per position i = (hw[i]*K1) xor (hw[i+1]*K2) xor
+         (hw[i+2]*K3) (pure 64-bit-exact arithmetic, identical in DuckDB
+         — see functions.SHINGLE_K1/K2/K3)
+      3. signature: per-position affine transforms of shingle-hash mod
+         2^31-1 (so the whole sketch has an exact DuckDB oracle)
+      4. banding: per-band bucket key from the band's signature minima
+      5. candidates: explode bands, equi-join on (band_idx, bucket)
+      6. verify: exact shingle-hash-set Jaccard >= threshold on
+         candidates only
+    """
+    sig = _minhash_sig(spark, sf_dir, num_hashes=num_hashes)
+    cand = _lsh_candidates(
+        sig,
+        num_hashes=num_hashes,
+        bands=bands,
+        threshold=threshold,
+        size_prune=size_prune,
     )
     # Exact verify only on candidates: join element arrays back in.  The
     # candidate pair set is orders of magnitude smaller than the corpus, so
@@ -454,6 +511,54 @@ def dedup_lsh_verified(spark, sf_dir):
         bands=16,
         threshold=0.8,
         size_prune=True,
+    )
+
+
+@query("dedup_minhash_error", oracle=_minhash_error_oracle())
+def dedup_minhash_error(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
+    """Sketch-accuracy diagnostic: for every verified near-dup pair, the
+    MinHash ESTIMATE of Jaccard (fraction of agreeing signature positions —
+    the unbiased estimator the banding math assumes) next to the EXACT
+    hashed-set Jaccard and their absolute error.  This is the audit an
+    operator runs before trusting a (bands, rows) configuration at corpus
+    scale, where only the estimate is affordable: a drifting abs_err means
+    the signature width no longer supports the chosen threshold.
+
+    Cost shape: identical to dedup_minhash_lsh (shared signature front end
+    and candidate join) plus two broadcast-side signature re-joins on the
+    bounded candidate set — nothing new shuffles the corpus."""
+    sig = _minhash_sig(spark, sf_dir, num_hashes=num_hashes)
+    cand = _lsh_candidates(
+        sig, num_hashes=num_hashes, bands=bands, threshold=0.5, size_prune=False
+    )
+    agree = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    side_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("elems").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(num_hashes)],
+    )
+    side_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("elems").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(num_hashes)],
+    )
+    est = F.round(agree / F.lit(float(num_hashes)), 4)
+    jac = F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+    return (
+        F.broadcast(cand)
+        .join(side_a, "doc_a")
+        .join(side_b, "doc_b")
+        .withColumn("est_jaccard", est)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .withColumn(
+            "abs_err", F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 4)
+        )
+        .select("doc_a", "doc_b", "est_jaccard", "jaccard", "abs_err")
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -421,6 +421,120 @@ def text_token_entropy(spark, sf_dir):
     )
 
 
+@query(
+    "docs_length_histogram",
+    oracle="""
+    SELECT lang,
+    CAST(length(bin(n_chars)) - 1 AS BIGINT) AS log2_bucket,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(min(n_chars) AS BIGINT) AS min_chars,
+    CAST(max(n_chars) AS BIGINT) AS max_chars,
+    round(avg(n_chars), 4) AS avg_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY lang, log2_bucket
+    ORDER BY lang, log2_bucket
+    """,
+)
+def docs_length_histogram(spark, sf_dir):
+    """Corpus length distribution: per-language log2-bucketed document
+    sizes — the first chart any corpus audit draws (truncation spikes,
+    boilerplate shoulders, per-language size skew all show up here).
+
+    The bucket is ``len(bin(n)) - 1`` = floor(log2(n)) computed by integer
+    string length, NOT floating log2: Spark evaluates log2 as ln(x)/ln(2),
+    which can land a hair under the integer at exact powers of two and
+    flip the floor — the binary-string form is integer-exact on both
+    engines.  One map + one tiny groupBy; no data column is touched."""
+    t = tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "lang",
+            (F.length(F.bin("n_chars")) - 1).cast("long").alias("log2_bucket"),
+            "n_chars",
+        )
+        .groupBy("lang", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "log2_bucket")
+    )
+
+
+@query(
+    "text_boilerplate_spans",
+    oracle=r"""
+    WITH d AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+    FROM documents
+    ), g AS (
+    SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tok)-3),
+    i -> array_to_string(list_slice(tok, i, i+4), ' ')))) AS gram
+    FROM d WHERE len(tok) >= 5
+    ), df AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+    CAST(count(*) AS BIGINT) AS n_grams,
+    CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+    round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+    AS shared_frac
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_boilerplate_spans(spark, sf_dir):
+    """Cross-document repeated-span detection — the boilerplate /
+    duplicated-passage signal (CCNet-style line dedup generalized to word
+    5-grams): a span that appears in >= 2 DISTINCT documents is shared
+    text (headers, licenses, templated passages, near-dup overlap), and a
+    document's shared fraction is the curation signal for trimming or
+    downweighting it.
+
+    Scale shape: distinct 5-grams per doc (arrays stay in-row), explode,
+    one map-side-combined groupBy on the gram for document frequency, one
+    join back keyed on the gram, one per-doc rollup — the exact
+    two-shuffle skeleton of text_tfidf_top_terms, with the gram key
+    near-unique so no skew.  At 100 TB the df relation is the corpus'
+    boilerplate dictionary and would be written out for reuse."""
+    t = tables(spark, sf_dir)
+    toked = (
+        fan_out(t["documents"])
+        .select("doc_id", tokens("text").alias("tok"))
+        .filter(F.size("tok") >= 5)
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tok") - 4),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("tok"), i, 5)),
+                )
+            )
+        ).alias("gram"),
+    )
+    df_rel = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        grams.join(df_rel, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+            F.round(
+                shared.cast("double") / F.count(F.lit(1)), 4
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # PII patterns (ASCII-only, no backreferences) chosen to behave identically
 # under Java regex (Spark) and RE2 (DuckDB oracle): both treat \b and \w as
 # ASCII here.
