@@ -497,11 +497,14 @@ def text_boilerplate_spans(spark, sf_dir):
     downweighting it.
 
     Scale shape: distinct 5-grams per doc (arrays stay in-row), explode,
-    one map-side-combined groupBy on the gram for document frequency, one
-    join back keyed on the gram, one per-doc rollup — the exact
-    two-shuffle skeleton of text_tfidf_top_terms, with the gram key
-    near-unique so no skew.  At 100 TB the df relation is the corpus'
-    boilerplate dictionary and would be written out for reuse."""
+    then the document frequency rides in as an unordered WINDOW aggregate
+    partitioned by the gram — ONE corpus scan and one gram-keyed shuffle,
+    where the natural groupBy-then-join-back formulation scans and
+    shingles the corpus twice (verified on the physical plan).  The
+    per-doc rollup is a second, doc_id-keyed shuffle.  Gram keys are
+    near-unique so neither shuffle skews."""
+    from pyspark.sql.window import Window
+
     t = tables(spark, sf_dir)
     toked = (
         fan_out(t["documents"])
@@ -519,10 +522,10 @@ def text_boilerplate_spans(spark, sf_dir):
             )
         ).alias("gram"),
     )
-    df_rel = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    df_col = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
     return (
-        grams.join(df_rel, "gram")
+        grams.withColumn("df", df_col)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
