@@ -238,6 +238,40 @@ def test_retention_cohorts_scan_pruning_and_shape(spark):
     assert shuffle_count(df) <= 7, explain_formatted(df)
 
 
+def test_boilerplate_single_scan_no_broadcast(spark):
+    """Cross-doc boilerplate: document frequency rides in a window
+    aggregate, so the plan must scan+shingle the corpus exactly ONCE and
+    never broadcast the gram dictionary (it grows with the corpus).  The
+    groupBy-then-join-back formulation this replaced planned 2 scans and
+    a dictionary broadcast."""
+    df = registry.QUERIES["text_boilerplate_spans"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastExchange" not in plan, plan
+    # gram-keyed window shuffle + doc_id rollup + final sort, plus
+    # fan_out's round-robin repartition (a local-mode no-op on real
+    # multi-split inputs)
+    assert shuffle_count(df) <= 4, explain_formatted(df)
+
+
+def test_minhash_error_reuses_persisted_signature(spark):
+    """The accuracy audit re-joins the signature relation three ways
+    (buckets + both pair sides); those joins must consume the PERSISTED
+    sketch (InMemoryTableScan), not recompute the corpus shingling per
+    branch, and the bounded candidate set must be the broadcast side."""
+    try:
+        df = registry.QUERIES["dedup_minhash_error"](spark, SF_DIR)
+        plan = executed_plan(df)
+        # sig consumed by >=3 branches (buckets + both pair sides), all
+        # from the cache.  (No "Scan parquet" count here: InMemoryTableScan
+        # nodes print their cached child plan, so the text overcounts.)
+        assert plan.count("InMemoryTableScan") >= 3, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastExchange" in plan, plan
+    finally:
+        registry.release_persisted()
+
+
 def test_dpp_point_lookup_prunes_partitions(spark):
     """The data-bound (fixed-plan) lookup over the hash-bucket-partitioned
     layout must carry a runtime dynamic-partition-pruning expression in the
