@@ -56,6 +56,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over documents.parquet (schema from the footer via
+    a batch read; no timestamp columns, so no nanos handling needed)."""
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def _checkpoint_root() -> str:
     """Checkpoint parent dir: tmpfs when the host has one (state-store and
     offset-log writes are pure bookkeeping for these finite streams, and
@@ -405,6 +416,54 @@ def streaming_dedup_watermarked(spark, sf_dir):
     )
     out = _run_to_memory(ded, "append")
     return out.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+@query(
+    "streaming_static_join_dedup",
+    oracle=r"""
+    WITH fp AS (
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    ), k AS (
+    SELECT fp, CAST(min(doc_id) AS BIGINT) AS keeper_doc_id FROM fp GROUP BY fp
+    )
+    SELECT f.doc_id, k.keeper_doc_id, f.doc_id <> k.keeper_doc_id AS is_duplicate
+    FROM fp f JOIN k USING (fp)
+    ORDER BY doc_id
+    """,
+)
+def streaming_static_join_dedup(spark, sf_dir):
+    """STREAM-STATIC join — the incremental-ingestion dedup pattern: a
+    batch-built keeper index (content fingerprint -> lowest doc_id, the
+    dedup_exact relation) sits STATIC while new documents stream in and
+    join against it, so each arriving document is flagged keeper-or-
+    duplicate without rescanning the corpus.  This is how a 100 TB/day
+    pipeline decontaminates/dedups its feed: the index is the standing
+    artifact, the stream only pays a broadcast-hash probe per micro-batch
+    (stream-static joins are stateless — nothing accumulates in the state
+    store, unlike the stream-stream variant).
+
+    On finite input the appended result equals the batch join of every
+    document against the same index, which is the oracle."""
+    from ..functions import fingerprint_md5
+
+    index = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy(fingerprint_md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"))
+    )
+    flagged = (
+        _documents_stream(spark, sf_dir)
+        .withColumn("fp", fingerprint_md5("text"))
+        .join(F.broadcast(index), "fp")
+        .select(
+            "doc_id",
+            "keeper_doc_id",
+            (F.col("doc_id") != F.col("keeper_doc_id")).alias("is_duplicate"),
+        )
+    )
+    out = _run_to_memory(flagged, "append")
+    return out.orderBy("doc_id")
 
 
 @query(
