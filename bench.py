@@ -56,10 +56,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_minhash_error",
     "dedup_simhash",
     "text_quality_score",
     "text_tfidf_top_terms",
     "text_pii_redact",
+    "text_boilerplate_spans",
     "token_frequencies",
     "events_retention_cohorts",
     "multimodal_audio_window_energy",
@@ -68,6 +70,7 @@ HEADLINE = [
     "embedding_centroid_distance",
     "events_sessionization",
     "streaming_tumbling_counts",
+    "streaming_static_join_dedup",
 ]
 
 
