@@ -74,9 +74,7 @@ def _lsh_topk_oracle(k: int = 5) -> str:
     """
 
 
-@query(
-    "similarity_brute_topk",
-    oracle="""
+_BRUTE_ORACLE = """
     WITH q AS (
     SELECT vec_id AS q_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
     FROM embeddings WHERE vec_id % 100 = 0
@@ -94,8 +92,10 @@ def _lsh_topk_oracle(k: int = 5) -> str:
     )
     SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
     ORDER BY q_id, cos_sim DESC, neighbor_id
-    """,
-)
+    """
+
+
+@query("similarity_brute_topk", oracle=_BRUTE_ORACLE)
 def similarity_brute_topk(spark, sf_dir, *, k: int = 5):
     """Exact ANN baseline: broadcast the query set, score every corpus
     vector, keep top-k per query via window rank.
@@ -192,9 +192,7 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = _N_PLANES)
     )
 
 
-@query(
-    "similarity_ivf_topk",
-    oracle="""
+_IVF_ORACLE = """
     WITH e AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
@@ -231,8 +229,10 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = _N_PLANES)
     )
     SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
     ORDER BY q_id, cos_sim DESC, neighbor_id
-    """,
-)
+    """
+
+
+@query("similarity_ivf_topk", oracle=_IVF_ORACLE)
 def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     """IVF-style ANN: train cells (per-label centroids, one distributed
     pass), assign every vector to its nearest cell, then search only the
@@ -400,6 +400,90 @@ def similarity_ivf_multiprobe(spark, sf_dir, *, k: int = 5, nprobe: int = 2):
         .filter(F.col("rn") <= k)
         .select("q_id", "neighbor_id", "cos_sim")
         .orderBy("q_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+def _ann_recall_oracle() -> str:
+    """SQL mirror of similarity_ann_recall: the brute-force ground truth
+    left-joined against each index's top-k picks, all three oracles nested
+    as subqueries."""
+    return f"""
+    WITH brute AS (
+    SELECT * FROM ({_BRUTE_ORACLE})
+    ), lsh AS (
+    SELECT * FROM ({_lsh_topk_oracle()})
+    ), ivf AS (
+    SELECT * FROM ({_IVF_ORACLE})
+    )
+    SELECT b.q_id,
+    CAST(count(*) AS BIGINT) AS n_true,
+    CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hit,
+    round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 4) AS lsh_recall,
+    CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hit,
+    round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 4) AS ivf_recall
+    FROM brute b
+    LEFT JOIN lsh l ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id
+    LEFT JOIN ivf i ON b.q_id = i.q_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY b.q_id
+    ORDER BY b.q_id
+    """
+
+
+@query("similarity_ann_recall", oracle=_ann_recall_oracle())
+def similarity_ann_recall(spark, sf_dir, *, k: int = 5):
+    """ANN-quality audit: per-query recall@k of BOTH approximate indexes
+    (sign-LSH buckets, IVF cells) against the brute-force ground truth —
+    the similarity-side twin of dedup_minhash_error, and the measurement
+    that picks the index and its parameters before a 100 TB corpus runs on
+    an approximate path only.  On this corpus it is decisive: the 12-plane
+    single-probe LSH config recalls ~0 of the true top-5 (match needs all
+    12 sign bits; P ~ (1-theta/pi)^12 is tiny at these angles) while IVF
+    cells recall ~0.36 — i.e. the label-clustered geometry wants
+    cell-based blocking, and the LSH path needs multiprobe or fewer planes
+    (both exist as operators).
+
+    Ground truth and index results are all deterministic (cosine rounded
+    to 3 decimals before ranking, ties broken by neighbor_id on both
+    engines), so recall itself is deterministic.  Cost shape: the three
+    underlying pipelines as-is — the brute pass is the expensive leg and
+    is exactly what a recall audit pays on a SAMPLE of queries at scale —
+    plus two joins on the tiny (query, neighbor) result sets."""
+    truth = similarity_brute_topk(spark, sf_dir, k=k)
+    lsh = similarity_lsh_topk(spark, sf_dir, k=k).select(
+        F.col("q_id").alias("l_q_id"),
+        F.col("neighbor_id").alias("l_neighbor_id"),
+    )
+    ivf = similarity_ivf_topk(spark, sf_dir, k=k).select(
+        F.col("q_id").alias("i_q_id"),
+        F.col("neighbor_id").alias("i_neighbor_id"),
+    )
+    lsh_hit = F.sum(F.when(F.col("l_neighbor_id").isNotNull(), 1).otherwise(0))
+    ivf_hit = F.sum(F.when(F.col("i_neighbor_id").isNotNull(), 1).otherwise(0))
+    n_true = F.count(F.lit(1))
+    return (
+        truth.join(
+            lsh,
+            (F.col("q_id") == F.col("l_q_id"))
+            & (F.col("neighbor_id") == F.col("l_neighbor_id")),
+            "left",
+        )
+        .join(
+            ivf,
+            (F.col("q_id") == F.col("i_q_id"))
+            & (F.col("neighbor_id") == F.col("i_neighbor_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            n_true.alias("n_true"),
+            lsh_hit.alias("lsh_hit"),
+            F.round(lsh_hit.cast("double") / n_true, 4).alias("lsh_recall"),
+            ivf_hit.alias("ivf_hit"),
+            F.round(ivf_hit.cast("double") / n_true, 4).alias("ivf_recall"),
+        )
+        .orderBy("q_id")
     )
 
 
