@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import round_half_away
 from ..registry import query, tables
 
 
@@ -39,6 +40,71 @@ def events_tumbling_hourly(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .orderBy("hour_start", "event_type")
+    )
+
+
+@query(
+    "events_rollup_daily_from_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+    event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS total_value,
+    sign(round(sum(value), 2) / count(*))
+    * floor(abs(round(sum(value), 2) / count(*)) * 10000 + 0.5) / 10000 AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def events_rollup_daily_from_hourly(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: daily totals answered
+    FROM the hourly rollup, never from raw events.  This is the two-tier
+    pattern a 100 TB/day event store lives on — the hourly aggregate is
+    the standing materialization (here built inline; at scale it is a
+    table the streaming job maintains), and coarser windows re-aggregate
+    it at ~1/3600th the input size.
+
+    Mergeability discipline: the hourly tier carries only ALGEBRAIC
+    aggregates in raw form (count, unrounded sum) so the daily tier's
+    re-aggregation is EXACT — avg is derived as sum/count at the final
+    tier, and rounding happens only on output columns.  The oracle
+    computes the daily answer directly from raw events; equality of the
+    two paths is precisely the correctness contract of a continuous
+    aggregate."""
+    t = tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),  # unrounded: must re-aggregate
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour_start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("total_value"),
+            # avg derives from the ROUNDED 2-decimal total, not the raw
+            # float sum: the engines' sums differ in the last ulp from
+            # accumulation order, and avg-of-eighths sits exactly on
+            # 4-decimal half boundaries where that ulp flips the rounding.
+            # The 2-decimal total is bit-identical cross-engine (2-decimal
+            # data never lands near its own boundary), and the division is
+            # then rounded half-away on both engines (IEEE-exact
+            # emulation, functions.round_half_away).
+            round_half_away(
+                F.round(F.sum("sum_value"), 2) / F.sum("n_events"), 4
+            ).alias("avg_value"),
+        )
+        .orderBy("day", "event_type")
     )
 
 
