@@ -64,6 +64,7 @@ HEADLINE = [
     "text_boilerplate_spans",
     "token_frequencies",
     "events_retention_cohorts",
+    "events_rollup_daily_from_hourly",
     "multimodal_audio_window_energy",
     "similarity_brute_topk",
     "similarity_lsh_topk",

@@ -397,6 +397,69 @@ def join_broadcast_dims(spark, sf_dir):
 
 
 @query(
+    "join_salted_skew",
+    oracle="""
+    WITH dim AS (
+    SELECT DISTINCT event_type,
+    CAST(strlen(event_type) AS DOUBLE) AS weight
+    FROM events
+    )
+    SELECT e.event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(e.value * d.weight), 2) AS weighted_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def join_salted_skew(spark, sf_dir, *, salts: int = 8):
+    """Manual SALTED join — the static skew-handling technique for a
+    shuffle join whose key distribution is pathological (here event_type:
+    5 values over the whole fact table, so an unsalted shuffle join sends
+    each key's entire mass to ONE reducer).  The small side is replicated
+    across `salts` copies (salt exploded in), the fact side gets a
+    uniform salt from a row-id hash, and the join keys on
+    (event_type, salt) — each hot key now spreads over `salts` reducers.
+    Join semantics are unchanged: every fact row matches exactly the one
+    dim copy carrying its salt, which is what the plain-join oracle
+    verifies.
+
+    This is the technique to reach for when the skew is KNOWN and AQE's
+    runtime skew-join split (spark.sql.adaptive.skewJoin, on in the
+    engine's session factory) can't apply — e.g. the skewed side feeds a
+    same-keyed aggregation that would re-concentrate, or the join is a
+    shuffled-hash build AQE won't split.  The merge hint forces the
+    shuffle join here (Spark would otherwise broadcast this tiny dim and
+    hide the mechanics the operator demonstrates)."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    dim = (
+        t["events"]
+        .select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("double"))
+    )
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    fact = t["events"].withColumn(
+        "salt", F.pmod(F.hash("event_id"), F.lit(salts))
+    )
+    return (
+        fact.join(dim_salted.hint("merge"), ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 2).alias(
+                "weighted_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "semi_join_exists",
     oracle="""
     SELECT c_custkey, c_name FROM customer

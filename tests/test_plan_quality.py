@@ -272,6 +272,19 @@ def test_minhash_error_reuses_persisted_signature(spark):
         registry.release_persisted()
 
 
+def test_salted_join_shuffles_on_salt(spark):
+    """The salted-skew join must actually be a shuffle join keyed on
+    (event_type, salt) — if Spark broadcasts the dim the salt mechanics
+    are dead code, and without the salt in the join keys each hot key
+    still lands on one reducer."""
+    df = registry.QUERIES["join_salted_skew"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    join_keys = plan.split("SortMergeJoin", 1)[1][:200]
+    assert "salt" in join_keys, plan
+
+
 def test_dpp_point_lookup_prunes_partitions(spark):
     """The data-bound (fixed-plan) lookup over the hash-bucket-partitioned
     layout must carry a runtime dynamic-partition-pruning expression in the
