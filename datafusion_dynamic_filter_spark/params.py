@@ -198,6 +198,21 @@ def to_sql_literal(value: object) -> str:
     raise ParameterError(f"Unsupported parameter type: {type(value).__name__}")
 
 
+def in_context_placeholders(sql: str) -> set[str]:
+    """Canonical names of placeholders that stand as the right operand of an
+    ``IN`` — i.e. positions where the bound value is a VALUE LIST, not a
+    scalar.  Callers use this to (a) bind list-typed NULLs in prepare-time
+    trial builds (``x IN NULL`` is a syntax error, ``x IN (NULL)`` is not)
+    and (b) inline the list as a literal tuple on the general path, since
+    Spark's parameterized parser has no list-valued marker (``IN :p`` does
+    not parse)."""
+    out = set()
+    for ph in find_placeholders(sql):
+        if re.search(r"\bIN\s*$", sql[: ph.start], re.IGNORECASE):
+            out.add(ph.canonical)
+    return out
+
+
 def bind_text(sql: str, phs: list[Placeholder], bound: dict) -> str:
     """Substitute canonical placeholder occurrences with SQL literals."""
     parts = []

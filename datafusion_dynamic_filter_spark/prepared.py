@@ -46,7 +46,12 @@ import re
 import threading
 
 from .errors import cannot_prepare_ddl
-from .params import bind_text, canonicalize, normalize_params
+from .params import (
+    bind_text,
+    canonicalize,
+    in_context_placeholders,
+    normalize_params,
+)
 from .simple_parser import CompiledTemplate, _is_point_lookup, parse_simple_select
 
 def _freeze(v):
@@ -185,12 +190,20 @@ class PreparedStatement:
         self.mode = "dynamic" if self._template is not None else "literal"
         self._plan_cache: dict[tuple, object] = {}
         self.executions = 0
+        # Placeholders standing as an IN operand take LIST values; Spark's
+        # parameterized parser has no list-valued marker (`IN :p` does not
+        # parse), so the literal path inlines them as SQL tuples instead
+        # (see _literal_df).
+        self._in_placeholders = in_context_placeholders(self.canonical_sql)
         if validate and self._template is None and _QUERY_RE.match(self.canonical_sql):
             # Typed-NULL pre-binding pass (reference src/physical.rs:94-140):
             # analyze the full statement once with NULL-bound placeholders so
             # prepare() surfaces analysis errors, not execute().
-            null_args = {name: None for name in self.param_names}
-            self.spark.sql(self.canonical_sql, args=null_args)
+            null_args = {
+                name: ([None] if name in self._in_placeholders else None)
+                for name in self.param_names
+            }
+            self._literal_df(null_args)
 
     # -- execution ---------------------------------------------------------
 
@@ -203,7 +216,7 @@ class PreparedStatement:
             # re-running the side effect on a repeat execute.  Mirrors the
             # validate-time check above.
             self.executions += 1
-            return self.spark.sql(self.canonical_sql, args=bound)
+            return self._literal_df(bound)
         key = _cache_key(bound)
         cached = self._plan_cache.get(key)
         if cached is not None:
@@ -235,7 +248,7 @@ class PreparedStatement:
             # no lock or session-conf toggle is involved.
             df._jdf.queryExecution().executedPlan()
         else:
-            df = self.spark.sql(self.canonical_sql, args=bound)
+            df = self._literal_df(bound)
             # Literal-mode statements plan lazily at first action; force
             # planning under the same lock so a concurrent nojit planning
             # call can never leak wholeStage=false into them (the docstring's
@@ -245,6 +258,16 @@ class PreparedStatement:
         self._plan_cache[key] = df
         self.executions += 1
         return df
+
+    def _literal_df(self, bound: dict):
+        """spark.sql with the params attached — as named args normally, but
+        with LIST values (IN-positioned placeholders) inlined as literal
+        tuples, which Spark's parameterized parser cannot express."""
+        if any(isinstance(v, (list, tuple)) for v in bound.values()):
+            return self.spark.sql(
+                bind_text(self.canonical_sql, self.placeholders, bound)
+            )
+        return self.spark.sql(self.canonical_sql, args=bound)
 
     def _nojit(self) -> bool:
         """Effective codegen policy: template statements carry it baked
@@ -303,7 +326,7 @@ class PreparedStatement:
         if self._template is not None:
             dfs = [self._template.build(b) for b in uniq]
         else:
-            dfs = [self.spark.sql(self.canonical_sql, args=b) for b in uniq]
+            dfs = [self._literal_df(b) for b in uniq]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionAll(d)

@@ -32,7 +32,12 @@ import shutil
 import tempfile
 from dataclasses import dataclass, field
 
-from .params import Placeholder, bind_text, find_placeholders
+from .params import (
+    Placeholder,
+    bind_text,
+    find_placeholders,
+    in_context_placeholders,
+)
 
 _CLAUSE_KEYWORDS = ["FROM", "WHERE", "GROUP BY", "HAVING", "ORDER BY", "LIMIT"]
 _UNSUPPORTED = re.compile(
@@ -637,8 +642,16 @@ class CompiledTemplate:
         # in-agg placement cannot resolve — surfaces HERE at prepare time,
         # where mode='auto' statements fall back to the literal path,
         # instead of failing on the user's first execute.
+        in_ph = in_context_placeholders(parsed.where or "") | (
+            in_context_placeholders(parsed.having or "")
+        )
         nulls = {
-            ph.canonical: None
+            # IN-positioned placeholders take a LIST-typed null: the text
+            # binder then renders `(NULL)` (valid) instead of `IN NULL`
+            # (syntax error), and the isin binder matches nothing — either
+            # way the trial analyzes instead of spuriously demoting the
+            # statement to the literal path.
+            ph.canonical: ([None] if ph.canonical in in_ph else None)
             for ph in parsed.where_placeholders + parsed.having_placeholders
         }
         self.build(nulls)

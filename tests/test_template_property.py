@@ -1,0 +1,149 @@
+"""Property-based equivalence of the prepared fast path: for randomized
+fast-path statements and parameter values, the compiled-template execution
+must return exactly the rows of the same SQL with literals inlined (ground
+truth via spark.sql).  The template path's parser/binder is hand-rolled
+(simple_parser), so this fuzzes precisely the surface where a silent
+wrong-rows bug could hide (the r5 OR-precedence ADVICE finding was exactly
+this class).
+
+Kept fast: one shared engine/table, bounded example counts, no per-example
+Spark session work beyond the two queries.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+ROWS = [
+    (i, name, float(v) if v is not None else None)
+    for i, (name, v) in enumerate(
+        [
+            ("O'Brien", -3),
+            ("rock AND roll", 0),
+            ("a b", 7),
+            ("plain", 7),
+            (None, 12),
+            ("x", None),
+            ("O'Brien", 20),
+            ("plain", -1),
+            ("this OR that", 5),
+            ("back\\slash", 2),
+        ]
+        * 3  # duplicate key values so eq/IN hit multiple rows
+    )
+]
+
+_INTS = st.sampled_from([-1, 0, 1, 2, 5, 7, 12, 19, 25, 100])
+_STRINGS = st.sampled_from(
+    ["O'Brien", "rock AND roll", "plain", "nope", "a b", "back\\slash"]
+)
+_FLOATS = st.sampled_from([-3.0, 0.0, 5.0, 7.0, 12.5, 99.0])
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return repr(v)
+
+
+# One conjunct = (template_text_fn, value_strategy, column).  Each draws its
+# own value; placeholders are numbered at statement-assembly time.
+_CONJUNCTS = st.sampled_from(
+    [
+        ("id = {p}", _INTS),
+        ("name = {p}", _STRINGS),
+        ("val >= {p}", _FLOATS),
+        ("val <= {p}", _FLOATS),
+        ("id IN {p}", st.lists(_INTS, min_size=1, max_size=4)),
+        ("val > 0", None),  # static conjunct
+        ("name = 'rock AND roll'", None),  # static with AND inside literal
+    ]
+)
+
+
+@st.composite
+def statements(draw):
+    """(sql_with_placeholders, params_dict, sql_with_literals)."""
+    n = draw(st.integers(min_value=1, max_value=3))
+    conjs = [draw(_CONJUNCTS) for _ in range(n)]
+    use_or = draw(st.booleans()) and n >= 2
+    params: dict[str, object] = {}
+    tmpl_parts, lit_parts = [], []
+    for shape, strat in conjs:
+        if strat is None:
+            tmpl_parts.append(shape)
+            lit_parts.append(shape)
+            continue
+        v = draw(strat)
+        idx = len(params) + 1
+        params[f"${idx}"] = v
+        tmpl_parts.append(shape.format(p=f"${idx}"))
+        if isinstance(v, list):
+            lit_parts.append(
+                shape.format(p="(" + ", ".join(_sql_literal(x) for x in v) + ")")
+            )
+        else:
+            lit_parts.append(shape.format(p=_sql_literal(v)))
+    joiner = " OR " if use_or else " AND "
+    proj = draw(st.sampled_from(["id, name, val", "id", "name, val"]))
+    base = "SELECT {} FROM prop_table WHERE {}"
+    return (
+        base.format(proj, joiner.join(tmpl_parts)),
+        params,
+        base.format(proj, joiner.join(lit_parts)),
+    )
+
+
+def _key(row):
+    return tuple((v is None, v) for v in row)
+
+
+def _setup(engine):
+    if not hasattr(_setup, "done"):
+        engine.register_memtable(
+            "prop_table", ROWS, "id int, name string, val double"
+        )
+        _setup.done = True
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stmt=statements())
+def test_template_matches_literal_sql(engine, stmt):
+    _setup(engine)
+    sql, params, lit_sql = stmt
+    prepared = engine.prepare(sql)
+    got = sorted((tuple(r) for r in prepared.execute(params).collect()), key=_key)
+    want = sorted((tuple(r) for r in engine.spark.sql(lit_sql).collect()), key=_key)
+    assert got == want, (sql, params, prepared.mode)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=st.lists(_INTS, min_size=1, max_size=6))
+def test_execute_batch_is_union_of_singles(engine, keys):
+    """Batch semantics: N parameter rows through one execute_batch equal the
+    UNION of per-key executions (duplicate parameter rows contribute once)."""
+    _setup(engine)
+    stmt = engine.prepare("SELECT id, name, val FROM prop_table WHERE id = $1")
+    got = sorted(
+        (tuple(r) for r in stmt.execute_batch([[k] for k in keys]).collect()),
+        key=_key,
+    )
+    want_rows = {
+        tuple(r)
+        for k in set(keys)
+        for r in engine.spark.sql(
+            f"SELECT id, name, val FROM prop_table WHERE id = {k}"
+        ).collect()
+    }
+    assert got == sorted(want_rows, key=_key), keys

@@ -91,6 +91,40 @@ def test_or_inside_string_literal_still_splits(engine):
     assert stmt.execute({"$1": 2}).collect() == []
 
 
+def test_in_list_with_top_level_or(engine, strings):
+    # Found by the hypothesis fuzzer (tests/test_template_property.py): an
+    # IN placeholder forced onto the whole-text binder by a top-level OR.
+    # The prepare-time NULL trial used to render `id IN NULL` (syntax
+    # error), demoting the statement to the literal path — where Spark's
+    # parameterized parser cannot express `IN :p1` at all.  IN-positioned
+    # placeholders now trial-bind as (NULL) and the literal path inlines
+    # list values as SQL tuples.
+    stmt = engine.prepare(
+        "SELECT id FROM binder_strings WHERE id IN $1 OR name = $2"
+    )
+    assert stmt.mode == "dynamic"
+    got = sorted(
+        r.id for r in stmt.execute({"$1": [2, 3], "$2": "O'Brien"}).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_in_list_on_forced_literal_path(engine, strings):
+    # Same statement pinned to the literal path: list params must inline
+    # as SQL tuples (Spark's args= has no list-valued marker).
+    from datafusion_dynamic_filter_spark.prepared import PreparedStatement
+
+    stmt = PreparedStatement(
+        engine.spark,
+        "SELECT id FROM binder_strings WHERE id IN $1 OR name = $2",
+        mode="literal",
+    )
+    got = sorted(
+        r.id for r in stmt.execute({"$1": [2, 3], "$2": "O'Brien"}).collect()
+    )
+    assert got == [1, 2, 3]
+
+
 def test_repeat_execution_uses_plan_cache(engine, strings):
     stmt = engine.prepare("SELECT id FROM binder_strings WHERE id = $1")
     d1 = stmt.execute({"$1": 1})
