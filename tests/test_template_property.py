@@ -124,6 +124,52 @@ def test_template_matches_literal_sql(engine, stmt):
     assert got == want, (sql, params, prepared.mode)
 
 
+@st.composite
+def grouped_statements(draw):
+    """Aggregating fast-path statements: WHERE + GROUP BY + optional
+    parameterized HAVING.  (Sums stay float-exact because the val pool is
+    integral-valued, so template-vs-literal equality is bitwise.)"""
+    shape, strat = draw(
+        st.sampled_from(
+            [
+                ("id >= {p}", _INTS),
+                ("val <= {p}", _FLOATS),
+                ("name = {p}", _STRINGS),
+            ]
+        )
+    )
+    v = draw(strat)
+    params = {"$1": v}
+    where_t = shape.format(p="$1")
+    where_l = shape.format(p=_sql_literal(v))
+    having_t = having_l = ""
+    if draw(st.booleans()):
+        hv = draw(st.sampled_from([1, 2, 5]))
+        params["$2"] = hv
+        having_t = " HAVING count(*) >= $2"
+        having_l = f" HAVING count(*) >= {hv}"
+    base = (
+        "SELECT name, count(*) AS n_rows, round(sum(val), 2) AS s "
+        "FROM prop_table WHERE {} GROUP BY name{}"
+    )
+    return base.format(where_t, having_t), params, base.format(where_l, having_l)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stmt=grouped_statements())
+def test_grouped_template_matches_literal_sql(engine, stmt):
+    _setup(engine)
+    sql, params, lit_sql = stmt
+    prepared = engine.prepare(sql)
+    got = sorted((tuple(r) for r in prepared.execute(params).collect()), key=_key)
+    want = sorted((tuple(r) for r in engine.spark.sql(lit_sql).collect()), key=_key)
+    assert got == want, (sql, params, prepared.mode)
+
+
 @settings(
     max_examples=15,
     deadline=None,
