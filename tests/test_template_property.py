@@ -170,6 +170,62 @@ def test_grouped_template_matches_literal_sql(engine, stmt):
     assert got == want, (sql, params, prepared.mode)
 
 
+B_ROWS = [
+    (i % 12, f"tag{i % 4}", float(i))
+    for i in range(30)
+]
+
+
+def _setup_join(engine):
+    if not hasattr(_setup_join, "done"):
+        engine.register_memtable(
+            "prop_b", B_ROWS, "id int, tag string, score double"
+        )
+        _setup_join.done = True
+
+
+@st.composite
+def join_statements(draw):
+    """JOIN templates: parameterized WHERE on an alias-qualified column of
+    either side — exercises the hand-rolled side resolution and the
+    broadcast hint on the point-filtered side."""
+    how = draw(st.sampled_from(["JOIN", "LEFT JOIN", "LEFT SEMI JOIN"]))
+    proj = (
+        "a.id, name"
+        if how == "LEFT SEMI JOIN"
+        else draw(st.sampled_from(["a.id, name, tag", "a.id, score"]))
+    )
+    side_col = draw(st.sampled_from(["a.id", "b.id"] if how == "JOIN" else ["a.id"]))
+    v1, v2 = draw(_INTS), draw(_INTS)
+    base = (
+        f"SELECT {proj} FROM prop_table a {how} prop_b b ON a.id = b.id "
+        f"WHERE {side_col} = {{p}}"
+    )
+    return base.format(p="$1"), [{"$1": v1}, {"$1": v2}], base.format(p=str(v1)), base.format(p=str(v2))
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stmt=join_statements())
+def test_join_template_matches_literal_sql(engine, stmt):
+    """Two executions per statement (different keys) so the per-key rebind
+    over one compiled join template is what's exercised, not just the
+    first bind."""
+    _setup(engine)
+    _setup_join(engine)
+    sql, param_sets, lit1, lit2 = stmt
+    prepared = engine.prepare(sql)
+    for params, lit in zip(param_sets, (lit1, lit2)):
+        got = sorted(
+            (tuple(r) for r in prepared.execute(params).collect()), key=_key
+        )
+        want = sorted((tuple(r) for r in engine.spark.sql(lit).collect()), key=_key)
+        assert got == want, (sql, params, prepared.mode)
+
+
 @settings(
     max_examples=15,
     deadline=None,
