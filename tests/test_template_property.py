@@ -170,6 +170,41 @@ def test_grouped_template_matches_literal_sql(engine, stmt):
     assert got == want, (sql, params, prepared.mode)
 
 
+@st.composite
+def cte_statements(draw):
+    """CTE templates: a static WITH body resolved at prepare time, outer
+    SELECT parameterized — the r5 grammar extension."""
+    thr = draw(st.sampled_from([-5.0, 0.0, 5.0, 100.0]))
+    shape, strat = draw(
+        st.sampled_from([("id = {p}", _INTS), ("name = {p}", _STRINGS)])
+    )
+    v = draw(strat)
+    base = (
+        "WITH sub AS (SELECT id, name, val FROM prop_table WHERE val > {t}) "
+        "SELECT id, name FROM sub WHERE {w}"
+    )
+    return (
+        base.format(t=thr, w=shape.format(p="$1")),
+        {"$1": v},
+        base.format(t=thr, w=shape.format(p=_sql_literal(v))),
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stmt=cte_statements())
+def test_cte_template_matches_literal_sql(engine, stmt):
+    _setup(engine)
+    sql, params, lit_sql = stmt
+    prepared = engine.prepare(sql)
+    got = sorted((tuple(r) for r in prepared.execute(params).collect()), key=_key)
+    want = sorted((tuple(r) for r in engine.spark.sql(lit_sql).collect()), key=_key)
+    assert got == want, (sql, params, prepared.mode)
+
+
 B_ROWS = [
     (i % 12, f"tag{i % 4}", float(i))
     for i in range(30)
