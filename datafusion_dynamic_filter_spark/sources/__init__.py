@@ -264,6 +264,65 @@ def sink_partitioned_parquet(spark, sf_dir):
 
 
 @query(
+    "source_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    md5(text) AS content_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def source_binaryfile_ingest(spark, sf_dir):
+    """Spark's ``binaryFile`` source — the standard ingestion entry for
+    multimodal payloads (images/audio/video land as raw files in object
+    storage; the first pipeline stage lists and reads them as
+    (path, length, content) rows, exactly this).  One .bin file per
+    document is materialized as the fixture corpus (fingerprint-cached
+    like the other derived layouts), read back through binaryFile, and
+    identified by filename; the oracle recomputes length + md5 from the
+    canonical text, so parity proves the bytes survived the file
+    round-trip exactly.
+
+    Scale shape: binaryFile is a listing source — on a cluster the list +
+    read parallelizes over files like any FileScan, and the md5/length
+    are per-row column expressions; the only shuffle is the final sort.
+    (DuckDB's md5 takes VARCHAR and hashes its UTF-8 encoding, which is
+    byte-identical to the file content written here, ASCII or not.)"""
+    src = os.path.join(sf_dir, "documents.parquet")
+    d = _sink_dir(sf_dir, "documents_binfiles")
+    if _cached_layout_stale(d, src):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        # Fixture materialization (driver-side by necessity: Spark has no
+        # one-file-per-row binary WRITER; real corpora arrive as files).
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(src, columns=["doc_id", "text"])
+        for doc_id, text in zip(
+            tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+        ):
+            with open(os.path.join(d, f"{doc_id}.bin"), "wb") as fh:
+                fh.write(text.encode("utf-8"))
+        open(os.path.join(d, "_SUCCESS"), "w").close()
+        _write_layout_marker(d, src)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
     "source_bucketed_join",
     oracle="""
     SELECT c_nationkey,
