@@ -159,6 +159,127 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+def _phash_oracle(max_hamming: int = 3) -> str:
+    from ..functions import SIMHASH_CHUNK_BITS, SIMHASH_CHUNKS
+
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    return f"""
+    WITH px AS (
+    SELECT doc_id, j.b AS blk, md5(text || ':pix' || CAST(j.b AS VARCHAR)) AS h
+    FROM documents CROSS JOIN range({SIMHASH_CHUNKS}) j(b)
+    ), p AS (
+    SELECT doc_id, blk * {SIMHASH_CHUNK_BITS} + k.i AS idx,
+    CAST(('0x' || substr(h, CAST(2 * k.i + 1 AS INT), 2)) AS INT) AS v
+    FROM px CROSS JOIN range({SIMHASH_CHUNK_BITS}) k(i)
+    ), m AS (
+    SELECT doc_id, avg(v) AS mean FROM p GROUP BY doc_id
+    ), sigs AS (
+    SELECT p.doc_id,
+    CAST(SUM(CASE WHEN v > mean THEN (1::BIGINT << idx) ELSE 0::BIGINT END) AS BIGINT) AS sig
+    FROM p JOIN m USING (doc_id) GROUP BY p.doc_id
+    ), chunks AS (
+    SELECT doc_id, sig, r.c AS chunk_idx,
+    (sig >> ({SIMHASH_CHUNK_BITS} * r.c)) & {mask} AS chunk
+    FROM sigs CROSS JOIN range({SIMHASH_CHUNKS}) r(c)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM chunks a JOIN chunks b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("multimodal_phash_dedup", oracle=_phash_oracle())
+def multimodal_phash_dedup(spark, sf_dir, *, max_hamming: int = 3):
+    """Image near-dup by perceptual hash — the standard image-dedup stage
+    of a multimodal training pipeline: decode, downsample to a tiny
+    grayscale grid, average-hash it (bit i = pixel i above the image
+    mean), then pair images whose 60-bit signatures sit within Hamming
+    distance 3 via the same chunk-pigeonhole equi-join the text SimHash
+    uses (any pair within distance 3 shares one of 4 15-bit chunks).
+
+    The DECODE is the documented stub (no codecs in this container):
+    'pixels' are deterministic md5-derived bytes of the payload, 4 md5
+    blocks x 15 bytes, computed identically in the DuckDB oracle — so the
+    whole hash -> band -> join -> verify plumbing is verified end-to-end,
+    and swapping in a real decoder + DCT (pHash proper) changes only the
+    pixel source.  Scale shape: signature is a pure per-row projection
+    (4 md5 calls, then byte slicing — no explode, no shuffle), candidate
+    generation is the chunk equi-join, exact Hamming rides in the join
+    condition."""
+    from ..functions import SIMHASH_CHUNK_BITS, SIMHASH_CHUNKS, hamming64
+
+    n_bits = SIMHASH_CHUNK_BITS * SIMHASH_CHUNKS
+    t = tables(spark, sf_dir)
+    hashed = fan_out(t["documents"]).select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col("text"), F.lit(f":pix{b}"))).alias(f"h{b}")
+            for b in range(SIMHASH_CHUNKS)
+        ],
+    )
+    pix = [
+        F.conv(
+            F.substring(
+                F.col(f"h{i // SIMHASH_CHUNK_BITS}"),
+                2 * (i % SIMHASH_CHUNK_BITS) + 1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        for i in range(n_bits)
+    ]
+    staged = hashed.select("doc_id", F.array(*pix).alias("px"))
+    mean = (
+        F.aggregate("px", F.lit(0).cast("long"), lambda a, x: a + x)
+        / F.lit(float(n_bits))
+    )
+    with_mean = staged.select("doc_id", "px", mean.alias("mean"))
+    sig = None
+    for i in range(n_bits):
+        bit = F.when(
+            F.element_at("px", i + 1) > F.col("mean"),
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    sigs = with_mean.select("doc_id", sig.alias("sig"))
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("sig", SIMHASH_CHUNK_BITS * c)
+                    .bitwiseAND(F.lit(mask).cast("long"))
+                    for c in range(SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = hamming64(F.col("a.sig"), F.col("b.sig"))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ham <= max_hamming),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @query(
     "multimodal_audio_window_energy",
     oracle="""
