@@ -66,6 +66,7 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_rollup_daily_from_hourly",
     "multimodal_audio_window_energy",
+    "multimodal_phash_dedup",
     "similarity_brute_topk",
     "similarity_lsh_topk",
     "embedding_centroid_distance",
