@@ -12,8 +12,18 @@ Spark session work beyond the two queries.
 
 from __future__ import annotations
 
+import os
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# DDF_FUZZ_EXAMPLES=<n> overrides every family's example count — the knob
+# for one-off deep fuzz passes (suite default stays fast).
+_DEEP = int(os.environ.get("DDF_FUZZ_EXAMPLES", "0"))
+
+
+def _ex(default: int) -> int:
+    return _DEEP or default
 
 ROWS = [
     (i, name, float(v) if v is not None else None)
@@ -110,7 +120,7 @@ def _setup(engine):
 
 
 @settings(
-    max_examples=25,
+    max_examples=_ex(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -156,7 +166,7 @@ def grouped_statements(draw):
 
 
 @settings(
-    max_examples=20,
+    max_examples=_ex(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -191,7 +201,7 @@ def cte_statements(draw):
 
 
 @settings(
-    max_examples=12,
+    max_examples=_ex(12),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -240,7 +250,7 @@ def join_statements(draw):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -262,7 +272,7 @@ def test_join_template_matches_literal_sql(engine, stmt):
 
 
 @settings(
-    max_examples=15,
+    max_examples=_ex(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
