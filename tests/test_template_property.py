@@ -98,12 +98,19 @@ def statements(draw):
         else:
             lit_parts.append(shape.format(p=_sql_literal(v)))
     joiner = " OR " if use_or else " AND "
+    distinct = "DISTINCT " if draw(st.booleans()) else ""
     proj = draw(st.sampled_from(["id, name, val", "id", "name, val"]))
-    base = "SELECT {} FROM prop_table WHERE {}"
+    # Optional ORDER BY over a TOTAL order (every projected column) plus
+    # LIMIT — covers the order_cols/limit template paths; the total order
+    # keeps LIMIT-truncation deterministic despite duplicate ids.
+    tail = ""
+    if draw(st.booleans()):
+        tail = f" ORDER BY {proj} LIMIT {draw(st.sampled_from([1, 3, 7]))}"
+    base = "SELECT {}{} FROM prop_table WHERE {}{}"
     return (
-        base.format(proj, joiner.join(tmpl_parts)),
+        base.format(distinct, proj, joiner.join(tmpl_parts), tail),
         params,
-        base.format(proj, joiner.join(lit_parts)),
+        base.format(distinct, proj, joiner.join(lit_parts), tail),
     )
 
 
