@@ -71,3 +71,12 @@ def test_oracle_coverage_ratio():
         f"queries without oracles (round-1 verdict: sketch ops must gain "
         f"DuckDB-computable oracles): {unexpected}"
     )
+
+
+def test_operator_index_is_fresh():
+    """OPERATORS.md (the human-readable registry projection) must list every
+    registered query — regenerate with scripts/gen_operator_index.py after
+    adding an operator."""
+    idx = (PKG.parent / "OPERATORS.md").read_text()
+    missing = [n for n in registry.QUERIES if f"`{n}`" not in idx]
+    assert not missing, f"stale OPERATORS.md, missing: {missing}"
