@@ -71,6 +71,7 @@ HEADLINE = [
     "similarity_lsh_topk",
     "embedding_centroid_distance",
     "events_sessionization",
+    "pipeline_end_to_end",
     "streaming_tumbling_counts",
     "streaming_static_join_dedup",
 ]

@@ -349,3 +349,77 @@ def dedup_keeper_by_quality(spark, sf_dir):
         )
         .orderBy("fingerprint")
     )
+
+
+@query(
+    "pipeline_end_to_end",
+    oracle=f"""
+    WITH q AS (
+    SELECT doc_id, lang, text,
+    len(string_split_regex(lower(trim(text)), '\\s+')) AS ntok,
+    CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+    / len(string_split_regex(lower(trim(text)), '\\s+')) AS uniq
+    FROM documents WHERE n_chars > 0
+    ), kept AS (
+    SELECT * FROM q WHERE ntok >= 20 AND uniq >= 0.3
+    ), ded AS (
+    SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM kept
+    ), fin AS (
+    SELECT lang, ntok, length(text) AS nchars,
+    CASE WHEN {h60_sql('text')} % 1000 < 900 THEN 'train'
+    WHEN {h60_sql('text')} % 1000 < 950 THEN 'valid'
+    ELSE 'test' END AS split
+    FROM ded WHERE doc_id = keeper
+    )
+    SELECT split, lang,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(ntok) AS BIGINT) AS total_tokens,
+    round(avg(nchars), 4) AS avg_chars
+    FROM fin GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+)
+def pipeline_end_to_end(spark, sf_dir):
+    """The whole curation pipeline as ONE composed plan: quality filter
+    (Gopher-style keep rule) -> exact dedup (keeper = min doc_id per
+    content hash) -> deterministic content-hash train/valid/test split ->
+    per-(split, lang) corpus stats.  This is the statement a pipeline
+    operator actually submits — each stage is an operator already verified
+    in isolation, and the composition stays one declarative DataFrame
+    chain Catalyst optimizes END TO END (the quality filter pushes below
+    the dedup window's shuffle; no stage materializes driver-side).
+
+    Scale shape: one scan; one fingerprint-keyed window shuffle for the
+    dedup keeper; one (split, lang) rollup.  Every stage key is
+    content-derived and uniform."""
+    t = tables(spark, sf_dir)
+    tok = tokens("text")
+    ntok = F.size(tok)
+    uniq = F.size(F.array_distinct(tok)).cast("double") / ntok
+    kept = (
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "text", ntok.alias("ntok"))
+        .filter((F.col("ntok") >= 20) & (uniq >= 0.3))
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    fin = kept.withColumn("keeper", keeper).filter(F.col("doc_id") == F.col("keeper"))
+    bucket = h60("text") % F.lit(1000)
+    split = (
+        F.when(bucket < 900, "train").when(bucket < 950, "valid").otherwise("test")
+    )
+    return (
+        fin.select(
+            split.alias("split"),
+            "lang",
+            "ntok",
+            F.length("text").alias("nchars"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("total_tokens"),
+            F.round(F.avg("nchars"), 4).alias("avg_chars"),
+        )
+        .orderBy("split", "lang")
+    )
