@@ -272,6 +272,29 @@ def test_minhash_error_reuses_persisted_signature(spark):
         registry.release_persisted()
 
 
+def test_range_join_broadcasts_tiny_bins(spark):
+    """A pure range join (no equi-key) must plan as a broadcast
+    nested-loop against the TINY bins relation — each event row tests 4
+    bin rows, which is the right plan; a CartesianProduct (both sides
+    unbroadcast) would be the scale bug."""
+    df = registry.QUERIES["events_range_join_bins"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pipeline_end_to_end_single_scan_no_join(spark):
+    """The composed quality->dedup->split statement must stay ONE scan
+    with the dedup keeper as a window (no self-join of the corpus) and a
+    bounded shuffle count — proof the stages fused into one plan."""
+    df = registry.QUERIES["pipeline_end_to_end"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert j not in plan, plan
+    assert shuffle_count(df) <= 4, explain_formatted(df)
+
+
 def test_salted_join_shuffles_on_salt(spark):
     """The salted-skew join must actually be a shuffle join keyed on
     (event_type, salt) — if Spark broadcasts the dim the salt mechanics
