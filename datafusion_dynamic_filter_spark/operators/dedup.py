@@ -681,3 +681,126 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "dedup_semdedup",
+    oracle="""
+    WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), bydim AS (
+    SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings
+    ), cent AS (
+    SELECT label AS cell, i, avg(CAST(x AS DOUBLE)) AS cx FROM bydim GROUP BY label, i
+    ), centv AS (
+    SELECT cell, list(cx ORDER BY i) AS c FROM cent GROUP BY cell
+    ), scored AS (
+    SELECT v.vec_id, v.v, cv.cell,
+    round(list_dot_product(v.v, cv.c)
+    / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cv.c, cv.c))), 4) AS cc
+    FROM v CROSS JOIN centv cv
+    ), assigned AS (
+    SELECT vec_id, cell, cc, v FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
+    FROM scored) t WHERE rn = 1
+    ), pairs AS (
+    SELECT a.cell AS cell, a.vec_id AS va, b.vec_id AS vb, a.cc AS cca, b.cc AS ccb,
+    round(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cs
+    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ), drops AS (
+    SELECT DISTINCT cell,
+    CASE WHEN cca > ccb OR (cca = ccb AND va > vb) THEN va ELSE vb END AS vec_id
+    FROM pairs WHERE cs >= 0.3
+    )
+    SELECT d.cell AS cell, d.vec_id AS vec_id, a.cc AS centroid_cos
+    FROM drops d JOIN assigned a ON d.vec_id = a.vec_id
+    ORDER BY cell, vec_id
+    """,
+)
+def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means-like cells, then near-duplicate pruning WITHIN each cell only.
+
+    Stages, each chosen for the 100 TB shape:
+    1. Cell centroids: per-label mean vector (the deterministic stand-in for
+       a k-means fit — same cells as similarity_ivf_topk's IVF index).
+       One exploded aggregation, map-side combined, k x dim tiny result.
+    2. Assignment: every vector scores against the BROADCAST k-row centroid
+       table and keeps its argmax-cosine cell (row_number over a vec_id
+       window; cosine rounded to 4dp before ranking so cross-engine float
+       last-ulp noise cannot flip the argmax, tie -> lowest cell id).
+       No shuffle of the corpus — a broadcast nested-loop over k rows.
+    3. Intra-cell pairs: equi-join on the assigned cell (never all-pairs;
+       cell sizes are ~n/k, so pair work is n^2/k bounded), cosine >=
+       threshold marks a duplicate pair.
+    4. Keeper policy, per the paper: within a duplicate pair, DROP the
+       member MORE similar to its centroid (keeping low-centroid-similarity
+       exemplars preserves diversity); ties drop the higher vec_id.
+
+    The threshold (0.3) is calibrated to this synthetic corpus's cosine
+    range (within-cell max ~0.47); production corpora use ~0.95+ on real
+    encoder embeddings — the plan shape is threshold-independent.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import cosine, vec_double
+
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select(
+        "vec_id", "label", vec_double("embedding").alias("v")
+    )
+    by_dim = emb.select("label", F.posexplode("v").alias("dim", "x"))
+    cent = (
+        by_dim.groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "cx"))).alias("pairs"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pairs", lambda s: s.getField("cx")).alias("c"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "cell",
+        F.round(cosine(F.col("v"), F.col("c")), 4).alias("cc"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
+    assigned = track_persist(
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "cc", "v")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.cell").alias("cell"),
+        F.col("a.vec_id").alias("va"),
+        F.col("b.vec_id").alias("vb"),
+        F.col("a.cc").alias("cca"),
+        F.col("b.cc").alias("ccb"),
+        F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cs"),
+    )
+    drops = (
+        pairs.filter(F.col("cs") >= threshold)
+        .select(
+            "cell",
+            F.when(
+                (F.col("cca") > F.col("ccb"))
+                | ((F.col("cca") == F.col("ccb")) & (F.col("va") > F.col("vb"))),
+                F.col("va"),
+            )
+            .otherwise(F.col("vb"))
+            .alias("vec_id"),
+        )
+        .distinct()
+    )
+    return (
+        drops.join(assigned.select("vec_id", "cc"), "vec_id")
+        .select("cell", "vec_id", F.col("cc").alias("centroid_cos"))
+        .orderBy("cell", "vec_id")
+    )

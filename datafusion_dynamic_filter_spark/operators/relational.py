@@ -1178,3 +1178,89 @@ def filtered_agg_with_offset(spark, sf_dir):
         LIMIT 3 OFFSET 1
         """
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT l_returnflag, measure, CAST(count(*) AS BIGINT) AS n,
+    round(avg(val), 4) AS avg_val, round(sum(val), 2) AS sum_val
+    FROM (UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_discount, l_tax
+                   FROM lineitem)
+          ON l_quantity, l_extendedprice, l_discount, l_tax
+          INTO NAME measure VALUE val)
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """UNPIVOT / melt: wide measure columns to long (measure, value) rows —
+    the DataFrame.unpivot surface (Spark >= 3.4, the relational MELT the
+    coverage map lacked), then a per-measure aggregate.
+
+    Scale shape: unpivot is a per-row map (no shuffle — each input row
+    emits k value rows in place), and the only shuffle is the final
+    (returnflag, measure) aggregation on a 12-key space with map-side
+    partial aggregation; output is k x distinct(returnflag), never O(rows).
+    """
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    melted = t["lineitem"].unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        melted.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 4).alias("avg_val"),
+            F.round(F.sum("val"), 2).alias("sum_val"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+@query(
+    "window_rank_distribution",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+    percent_rank() OVER w AS pct_rank,
+    cume_dist() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    QUALIFY cume_dist() OVER w <= 0.05
+    ORDER BY c_mktsegment, pct_rank, c_custkey
+    """,
+)
+def window_rank_distribution(spark, sf_dir):
+    """Distribution window functions — percent_rank / cume_dist (the two
+    ranking-family functions no window query exercised) — used as a
+    top-percentile filter: the highest-balance 5% of customers per market
+    segment (5% so the smallest test SF still emits rows per segment).
+
+    Determinism: the window orders by (acctbal DESC, custkey), a total
+    order, so rank fractions are exact rationals computed identically on
+    both engines — no rounding needed on the rank columns themselves.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return (
+        t["customer"]
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .filter(F.col("cume") <= 0.05)
+        .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+    )
