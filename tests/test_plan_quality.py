@@ -328,3 +328,23 @@ def test_dpp_point_lookup_prunes_partitions(spark):
     finally:
         # Re-register views for SF_DIR so later tests see their own scale.
         registry.tables(spark, SF_DIR)
+
+
+def test_semdedup_broadcasts_centroids_pairs_equi_join(spark):
+    """SemDeDup's scale contract: the k-row centroid table BROADCASTS for
+    assignment (one allowed nested-loop over k rows — never a shuffle of
+    the corpus), the intra-cell pair join is a hash EQUI join on the
+    assigned cell (no corpus cartesian), and the assigned relation is
+    persisted so assignment computes once, not once per self-join side."""
+    df = registry.QUERIES["dedup_semdedup"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the persisted assignment feeds both pair-join sides and the final
+    # centroid_cos join — three cache reads, zero recomputes
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # The ONLY nested-loop join is the k-row centroid assignment inside the
+    # cached subtree: its plan text reprints once per cache-read site, so
+    # at top level (outside InMemoryRelation) there must be none.
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "InMemoryTableScan"
+    ), plan
