@@ -309,8 +309,11 @@ class PreparedStatement:
         the result is the union of per-distinct-row results.  For
         non-aggregating equality templates that union is computed as ONE
         broadcast semi-join job (matches are disjoint per key row, so the
-        semi-join IS the union); aggregating/DISTINCT statements fall back
-        to a per-row union so each parameter row keeps its own result."""
+        semi-join IS the union); GROUP BY equality templates likewise run
+        as one semi-join + one aggregation grouped by (group cols +
+        equality cols) — plan size independent of N; DISTINCT / LIMIT /
+        parameterized-HAVING / global-agg statements fall back to a
+        per-row union so each parameter row keeps its own result."""
         bound_rows = [normalize_params(r, self.placeholders) for r in rows]
         uniq: list[dict] = []
         seen: set = set()
@@ -321,6 +324,13 @@ class PreparedStatement:
                 uniq.append(b)
         if self._template is not None and not self._template.is_aggregating:
             return self._template.build_semi_join(uniq)
+        if self._template is not None and self._template.grouped_batch_ok:
+            # GROUP BY templates: the same union computed as ONE semi-join
+            # + ONE aggregation grouped by (group cols + equality cols) —
+            # plan size independent of N (see build_grouped_batch for the
+            # exactness argument; DISTINCT/LIMIT/parameterized-HAVING
+            # statements stay on the union fallback below).
+            return self._template.build_grouped_batch(uniq)
         # General fallback: bind the statement per row and union. Correct for
         # any statement, but O(rows) plan size — the fast path is preferred.
         if self._template is not None:

@@ -595,6 +595,19 @@ class CompiledTemplate:
                         for f, (_, name) in zip(key_fields, eq_cols)
                     ]
                 )
+        # Grouped-batch eligibility (see build_grouped_batch): GROUP BY
+        # templates whose parameterized conjuncts are all equalities can
+        # serve a whole parameter batch as ONE semi-join + ONE aggregation
+        # instead of an O(N)-plan union.  DISTINCT/LIMIT change per-row
+        # semantics under merging, and a parameterized HAVING binds a
+        # different predicate per row — those keep the union fallback.
+        self.grouped_batch_ok = (
+            self.semi_eq_cols is not None
+            and bool(parsed.group_by)
+            and not parsed.distinct
+            and parsed.limit is None
+            and not parsed.having_placeholders
+        )
         # Point-lookup JOIN templates: the side carrying the parameterized
         # equality filters shrinks to ~the key's row count at execution, so
         # IT should be the broadcast build side — Spark's static planner
@@ -815,6 +828,72 @@ class CompiledTemplate:
         if p.limit is not None:
             df = df.limit(p.limit)
         return df
+
+    def build_grouped_batch(self, key_rows: list[dict]):
+        """One-job batched execution for GROUP BY templates: the union of
+        per-parameter-row grouped results, computed WITHOUT a per-row plan
+        union.
+
+        Why it is exact: distinct parameter tuples cannot match the same
+        fact row (each conjunct is ``col = value``, and two distinct tuples
+        differ in at least one bound value), so the per-row result sets
+        partition the semi-joined rows — grouping the ONE semi-joined
+        relation by (group columns + the fact-side equality columns)
+        reproduces every (parameter row, group) cell exactly, and dropping
+        the equality columns afterwards restores the template's declared
+        schema.  Zero-match parameter rows contribute zero groups on both
+        paths (grouped aggregation over empty input is empty — unlike
+        global aggregation, which is why global-agg templates keep the
+        union fallback).
+
+        Scale shape: the fallback union is O(N) plan nodes and N aggregate
+        jobs; this is one broadcast semi-join + one partial+final
+        aggregation whose plan size is independent of N — the grouped twin
+        of the 1000-key IN-list regime (reference README.md:46-51)."""
+        from pyspark.sql import functions as F
+
+        p = self.parsed
+        if not self.grouped_batch_ok:
+            raise ValueError(
+                "grouped batch requires a GROUP BY template with equality "
+                "conjuncts and no DISTINCT/LIMIT/parameterized HAVING"
+            )
+        params_df, bucket_cond = self._params_relation(key_rows)
+        cond = None
+        for col, name in self.semi_eq_cols:
+            piece = F.col(col) == params_df[name]
+            cond = piece if cond is None else (cond & piece)
+        if bucket_cond is not None:
+            cond = cond & bucket_cond
+        df = self._from_df
+        for c in self.semi_static:
+            df = df.filter(c)
+        df = df.join(F.broadcast(params_df), cond, "left_semi")
+        if self.layout is not None:
+            df = df.drop(self.layout.bucket_col)
+        group_bases = {_base_col(g) for g in p.group_by}
+        extra = [
+            col for col, _ in self.semi_eq_cols
+            if _base_col(col) not in group_bases
+        ]
+        extra_cols = [F.col(c) for c in extra]
+        having = p.having
+        if having and self.having_in_agg:
+            agg = (
+                df.groupBy(*self.group_cols, *extra_cols)
+                .agg(*self.agg_cols, F.expr(f"({having})").alias("__having__"))
+                .filter(F.col("__having__"))
+                .drop("__having__")
+            )
+        else:
+            agg = df.groupBy(*self.group_cols, *extra_cols).agg(*self.agg_cols)
+            if having:
+                agg = agg.filter(F.expr(having))
+        if extra:
+            agg = agg.drop(*[_base_col(c) for c in extra])
+        if self.order_cols:
+            agg = agg.orderBy(*self.order_cols)
+        return agg
 
     def _params_relation(self, key_rows: list[dict]):
         """(params_df, bucket_join_cond|None) for params-as-data binding.
