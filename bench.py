@@ -31,6 +31,11 @@ r5 additions, per the r4 review:
   next to the timing (a 10x swing then carries its own explanation);
   results are consumed by count(), never collected to the driver (r4
   billed dedup_ngram_jaccard 9-11s of pure 759k-row driver transfer).
+- the point-lookup and analytics sections run in SEPARATE processes (one
+  fresh JVM each): sharing a session let the lookup section's accumulated
+  JVM state inflate later heavy analytics queries nondeterministically
+  (measured 2-11x on the minhash family in one of two back-to-back runs;
+  the same queries are stable across 9 consecutive fresh-process samples).
 """
 
 from __future__ import annotations
@@ -58,6 +63,7 @@ HEADLINE = [
     "dedup_lsh_verified",
     "dedup_minhash_error",
     "dedup_simhash",
+    "dedup_semdedup",
     "text_quality_score",
     "text_tfidf_top_terms",
     "text_pii_redact",
@@ -77,11 +83,11 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def _make_session(app_name: str):
     from datafusion_dynamic_filter_spark import Engine, registry
 
     eng = Engine(
-        app_name="ddf-spark-bench",
+        app_name=app_name,
         master=f"local[{CPUS}]",
         shuffle_partitions=int(CPUS),
         extra_conf={
@@ -93,6 +99,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
     registry.tables(spark, SF_DIR)
+    return eng, spark, registry
+
+
+def bench_points() -> dict:
+    """Point-lookup section: the reference's 50-key workload under every
+    strategy, plus the IN-list batch and the parameterized JOIN.  Runs in
+    its OWN process (see main): its JVM accrues hundreds of tiny jobs,
+    per-key codegen classes, and pinned caches — state that measurably
+    poisoned the analytics section's heavy queries when both shared one
+    JVM (r5: reproduced 2-11x phantom inflation from dedup_minhash_lsh
+    onward in a shared session; the same queries are stable in a fresh
+    process across 9 consecutive samples)."""
+    eng, spark, registry = _make_session("ddf-spark-bench-points")
 
     timings: dict[str, float] = {}
 
@@ -336,7 +355,7 @@ def main() -> None:
         stmt.execute_batch([[k] for k in batch_keys]).collect()
         inlist_samples.append(time.perf_counter() - t0)
     timings["prepared_inlist_1000"] = _stats.median(inlist_samples)
-    batch_keys = list(range(n_batch))  # len() feeds the per-key ratio below
+    timings["_inlist_n"] = n_batch  # feeds the per-key ratio in main()
 
     # Prepared parameterized JOIN (reference prepares any non-DDL plan,
     # src/preparable_context.rs:15-30): same 50 keys through a customer x
@@ -368,24 +387,31 @@ def main() -> None:
     timings["sqlargs_join_50keys"] = t_sql
     timings["prepared_join_50keys"] = t_prep
 
-    # --- headline analytics queries ---
-    # Release the point-lookup section's pinned state first: hot templates
-    # (close() unpersists them) and any leftover cache.  Measured in r2:
-    # leaving these resident inflated later headline queries 2.8-4.6x.
     stmt.close()
     stmt_cold.close()
     stmt_layout.close()
     stmt_batch.close()
     join_stmt.close()
-    registry.release_persisted()
-    spark.catalog.clearCache()
+    return {
+        "timings": timings,
+        "plan_exec_split": plan_exec_split,
+        "scan_metrics": scan_evidence,
+    }
 
-    # Median-of-3 with per-query isolation (r4 shipped two phantom 10x+
-    # regressions from single-shot timings under session drift).  Results
-    # are consumed by count() — a full-result driver collect measures
-    # transfer, not the operator, and is exactly the driver-side pattern
-    # the engine exists to avoid.  The row count rides along so an
-    # output-cardinality explosion explains its own timing.
+
+def bench_analytics() -> dict:
+    """Headline analytics queries, in a FRESH process (see bench_points for
+    why).  Median-of-3 with per-query isolation (r4 shipped two phantom
+    10x+ regressions from single-shot timings under session drift).
+    Results are consumed by count() — a full-result driver collect
+    measures transfer, not the operator, and is exactly the driver-side
+    pattern the engine exists to avoid.  The row count rides along so an
+    output-cardinality explosion explains its own timing.
+    """
+    eng, spark, registry = _make_session("ddf-spark-bench-analytics")
+    timings: dict[str, float] = {}
+    spark.table("lineitem").count()  # settle page cache + JIT
+    spark.table("documents").count()
     import statistics
 
     rows: dict[str, int] = {}
@@ -402,6 +428,48 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         timings[name] = statistics.median(samples)
     registry.release_persisted()
+    return {"timings": timings, "rows": rows}
+
+
+def main() -> None:
+    section = os.environ.get("SPARK_GRAFT_BENCH_SECTION")
+    if section == "points":
+        print(json.dumps(bench_points()))
+        return
+    if section == "analytics":
+        print(json.dumps(bench_analytics()))
+        return
+    # Parent: one fresh JVM per section.  A shared session let the
+    # point-lookup section's accumulated JVM state (per-key codegen
+    # classes, heap churn from ~700 tiny jobs, pinned-then-released
+    # caches) inflate later heavy analytics queries nondeterministically —
+    # measured 2-11x on the minhash family in one of two back-to-back
+    # full-bench runs, while the same queries hold steady across 9
+    # consecutive samples in a fresh process.  Subprocess isolation makes
+    # each section's numbers a function of its own work only (it is also
+    # how a user would actually run them: lookups and batch analytics do
+    # not share a driver).
+    import subprocess
+
+    parts: dict[str, dict] = {}
+    for sec in ("points", "analytics"):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_SECTION=sec)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(proc.returncode)
+        parts[sec] = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    timings = {**parts["points"]["timings"], **parts["analytics"]["timings"]}
+    inlist_n = int(timings.pop("_inlist_n"))
+    plan_exec_split = parts["points"]["plan_exec_split"]
+    scan_evidence = parts["points"]["scan_metrics"]
+    rows = parts["analytics"]["rows"]
 
     total = sum(timings.values())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -445,7 +513,7 @@ def main() -> None:
         ),
         "speedup_inlist_vs_loop": round(
             (timings["fstring_50keys"] / N_KEYS)
-            / (timings["prepared_inlist_1000"] / len(batch_keys)),
+            / (timings["prepared_inlist_1000"] / inlist_n),
             1,
         ),
         "speedup_prepared_join_vs_sqlargs": round(
