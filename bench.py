@@ -357,6 +357,29 @@ def bench_points() -> dict:
     timings["prepared_inlist_1000"] = _stats.median(inlist_samples)
     timings["_inlist_n"] = n_batch  # feeds the per-key ratio in main()
 
+    # Grouped batch (r5): a GROUP BY template served for 1000 keys as ONE
+    # semi-join + ONE aggregation (build_grouped_batch) — the aggregating
+    # twin of the IN-list row above; collect() is the per-key result set
+    # (<= 1000 group rows), not a table transfer.
+    g_stmt = eng.prepare(
+        "SELECT o_custkey, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders WHERE o_custkey = $1 GROUP BY o_custkey"
+    )
+    max_cust = spark.table("orders").selectExpr("max(o_custkey) k").first()["k"]
+    n_gb = min(1000, int(max_cust))
+    g_stmt.execute_batch(
+        [[k] for k in rng.sample(range(0, int(max_cust) + 1), min(100, n_gb))]
+    ).collect()
+    g_samples = []
+    for _ in range(3):
+        gkeys = rng.sample(range(0, int(max_cust) + 1), n_gb)
+        t0 = time.perf_counter()
+        g_stmt.execute_batch([[k] for k in gkeys]).collect()
+        g_samples.append(time.perf_counter() - t0)
+    timings["prepared_grouped_batch_1000"] = _stats.median(g_samples)
+    g_stmt.close()
+
     # Prepared parameterized JOIN (reference prepares any non-DDL plan,
     # src/preparable_context.rs:15-30): same 50 keys through a customer x
     # orders point join, prepared template vs per-execute spark.sql(args=).
@@ -401,8 +424,19 @@ def bench_points() -> dict:
 
 def bench_analytics() -> dict:
     """Headline analytics queries, in a FRESH process (see bench_points for
-    why).  Median-of-3 with per-query isolation (r4 shipped two phantom
-    10x+ regressions from single-shot timings under session drift).
+    why).  MIN-of-3 with per-query isolation, raw samples recorded:
+
+    - r4 shipped two phantom 10x+ regressions from single-shot timings.
+    - r5 controlled replication showed the residual variance is HOST-level
+      (hypervisor noisy-neighbor): back-to-back fresh-process runs put the
+      CPU-saturating dedup family at 1.8-3.8x while light queries held
+      ~1.0x and the other section drifted a uniform +20%.  The min of 3 is
+      the interference-robust statistic (timeit's rationale: a real code
+      regression raises EVERY sample incl. the min; transient host load
+      only inflates some), and the raw samples + load averages ride along
+      in the JSON so an inflated entry carries its own explanation instead
+      of burning a review round.
+
     Results are consumed by count() — a full-result driver collect
     measures transfer, not the operator, and is exactly the driver-side
     pattern the engine exists to avoid.  The row count rides along so an
@@ -412,9 +446,9 @@ def bench_analytics() -> dict:
     timings: dict[str, float] = {}
     spark.table("lineitem").count()  # settle page cache + JIT
     spark.table("documents").count()
-    import statistics
 
     rows: dict[str, int] = {}
+    sample_log: dict[str, list[float]] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc
     for name in HEADLINE:
         fn = registry.QUERIES[name]
@@ -426,9 +460,15 @@ def bench_analytics() -> dict:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             samples.append(time.perf_counter() - t0)
-        timings[name] = statistics.median(samples)
+        timings[name] = min(samples)
+        sample_log[name] = [round(s, 4) for s in samples]
     registry.release_persisted()
-    return {"timings": timings, "rows": rows}
+    return {
+        "timings": timings,
+        "rows": rows,
+        "headline_samples": sample_log,
+        "loadavg_end": round(os.getloadavg()[0], 2),
+    }
 
 
 def main() -> None:
@@ -522,6 +562,13 @@ def main() -> None:
         "plan_exec_split": plan_exec_split,
         "scan_metrics": scan_evidence,
         "rows": rows,
+        # Raw per-query samples (headline timings are min-of-3) and the
+        # host 1-min load average after the analytics section: an inflated
+        # entry then shows WHETHER all samples were slow (sustained host
+        # interference) or one was (transient), instead of demanding a
+        # replication round to find out.
+        "headline_samples": parts["analytics"]["headline_samples"],
+        "loadavg_end": parts["analytics"]["loadavg_end"],
         "cpus": int(CPUS),
     }
     print(json.dumps(result))

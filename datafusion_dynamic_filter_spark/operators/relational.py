@@ -1264,3 +1264,30 @@ def window_rank_distribution(spark, sf_dir):
         .filter(F.col("cume") <= 0.05)
         .orderBy("c_mktsegment", "pct_rank", "c_custkey")
     )
+
+
+@query(
+    "prepared_grouped_batch",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_custkey IN (1, 2, 4, 7, 10, 13, 16, 19)
+    GROUP BY o_custkey
+    """,
+)
+def prepared_grouped_batch(spark, sf_dir):
+    """execute_batch on a GROUP BY template (r5): the whole parameter
+    batch runs as ONE broadcast semi-join + ONE aggregation grouped by
+    (group cols + equality cols) — plan size independent of the batch,
+    exactly the per-row union's results (distinct parameter tuples match
+    disjoint rows; see CompiledTemplate.build_grouped_batch).  The grouped
+    twin of the reference's 1000-key IN-list regime (README.md:46-51);
+    prepare() admits aggregating statements like any other non-DDL plan
+    (src/preparable_context.rs:15-30)."""
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_custkey, count(*) AS n_orders, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM orders WHERE o_custkey = $1 GROUP BY o_custkey"
+    )
+    return stmt.execute_batch([[k] for k in (1, 2, 4, 7, 10, 13, 16, 19)])
