@@ -301,3 +301,46 @@ def test_execute_batch_is_union_of_singles(engine, keys):
         ).collect()
     }
     assert got == sorted(want_rows, key=_key), keys
+
+
+@st.composite
+def grouped_batch_cases(draw):
+    """GROUP BY equality templates + a parameter batch (duplicates and
+    zero-match values included): execute_batch must equal the concatenation
+    of per-DISTINCT-row literal executions (the union semantics the grouped
+    fast path recomputes as one semi-join + one aggregation)."""
+    col, strat = draw(
+        st.sampled_from([("id", _INTS), ("name", _STRINGS), ("val", _FLOATS)])
+    )
+    group = draw(st.sampled_from(["name", "id"]))
+    having = draw(st.sampled_from(["", " HAVING count(*) >= 2"]))
+    sql = (
+        f"SELECT {group}, count(*) AS n_rows, round(sum(val), 2) AS s "
+        f"FROM prop_table WHERE {col} = $1 GROUP BY {group}{having}"
+    )
+    vals = draw(st.lists(strat, min_size=1, max_size=5))
+    return sql, vals
+
+
+@settings(
+    max_examples=_ex(15),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=grouped_batch_cases())
+def test_grouped_batch_matches_per_row_literal(engine, case):
+    _setup(engine)
+    sql, vals = case
+    prepared = engine.prepare(sql)
+    assert prepared._template is not None and prepared._template.grouped_batch_ok
+    batched = sorted(
+        (tuple(r) for r in prepared.execute_batch([[v] for v in vals]).collect()),
+        key=_key,
+    )
+    want = []
+    for v in dict.fromkeys(vals):  # execute_batch dedups parameter rows
+        want.extend(
+            tuple(r)
+            for r in engine.spark.sql(sql.replace("$1", _sql_literal(v))).collect()
+        )
+    assert batched == sorted(want, key=_key), (sql, vals)
