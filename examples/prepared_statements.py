@@ -78,6 +78,15 @@ def main() -> None:
     print("batch of three keys in one job:")
     stmt.execute_batch([[1], [3], [5]]).orderBy("user_id").show()
 
+    # ... and a GROUP BY template batched the same way: one semi-join +
+    # one aggregation for the whole parameter set (never a per-key union).
+    grouped = eng.prepare(
+        "SELECT age, COUNT(*) AS n, MIN(username) AS first_user "
+        "FROM users WHERE age = $1 GROUP BY age"
+    )
+    print("grouped batch (ages 25, 30, 42) in one job:")
+    grouped.execute_batch([[25], [30], [42]]).orderBy("age").show()
+
 
 if __name__ == "__main__":
     main()
