@@ -1291,3 +1291,27 @@ def prepared_grouped_batch(spark, sf_dir):
         "FROM orders WHERE o_custkey = $1 GROUP BY o_custkey"
     )
     return stmt.execute_batch([[k] for k in (1, 2, 4, 7, 10, 13, 16, 19)])
+
+
+@query(
+    "prepared_union_template",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = 7
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def prepared_union_template(spark, sf_dir):
+    """Prepared UNION ALL template (r5 grammar extension): both branches'
+    parameterized filters bind per execute on ONE compiled template — in
+    the reference's scope because DynamicFilterRule rewrites every
+    placeholder-bearing Filter in the plan (src/rule.rs:57-59) and
+    prepare() admits the union like any non-DDL plan
+    (src/preparable_context.rs:15-30)."""
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_custkey = $1 "
+        "UNION ALL "
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > $2"
+    )
+    return stmt.execute({"$1": 7, "$2": 400000})

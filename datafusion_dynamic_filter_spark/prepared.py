@@ -52,7 +52,13 @@ from .params import (
     in_context_placeholders,
     normalize_params,
 )
-from .simple_parser import CompiledTemplate, _is_point_lookup, parse_simple_select
+from .simple_parser import (
+    CompiledTemplate,
+    UnionTemplate,
+    _is_point_lookup,
+    parse_simple_select,
+    split_union,
+)
 
 def _freeze(v):
     """Hashable canonical form of a bound parameter value (list-valued
@@ -182,11 +188,40 @@ class PreparedStatement:
                     if mode == "dynamic":
                         raise
                     self._template = None
-            elif mode == "dynamic":
-                raise ValueError(
-                    "statement is outside the dynamic fast-path grammar; "
-                    "use mode='literal'"
-                )
+            else:
+                # Top-level UNION [ALL] of fast-path branches (r5): the
+                # reference's rule rewrites every placeholder-bearing
+                # Filter in the plan (src/rule.rs:57-59), so parameterized
+                # union branches are inside its mechanism.
+                split = split_union(self.canonical_sql)
+                branch_parses = None
+                if split:
+                    ps = [parse_simple_select(b) for b in split[0]]
+                    if all(p is not None for p in ps):
+                        branch_parses = ps
+                if branch_parses is not None:
+                    if isinstance(jit, bool):
+                        nojit = not jit
+                    elif bind == "data":
+                        nojit = False
+                    else:
+                        nojit = hot or all(
+                            _is_point_lookup(p) for p in branch_parses
+                        )
+                    try:
+                        self._template = UnionTemplate(
+                            spark, branch_parses, split[1],
+                            hot=hot, nojit=nojit, layouts=layouts,
+                        )
+                    except Exception:
+                        if mode == "dynamic":
+                            raise
+                        self._template = None
+                elif mode == "dynamic":
+                    raise ValueError(
+                        "statement is outside the dynamic fast-path "
+                        "grammar; use mode='literal'"
+                    )
         self.mode = "dynamic" if self._template is not None else "literal"
         self._plan_cache: dict[tuple, object] = {}
         self.executions = 0
@@ -323,7 +358,10 @@ class PreparedStatement:
                 seen.add(k)
                 uniq.append(b)
         if self._template is not None and not self._template.is_aggregating:
-            return self._template.build_semi_join(uniq)
+            try:
+                return self._template.build_semi_join(uniq)
+            except ValueError:
+                pass  # shape outside the semi-join fast path -> union below
         if self._template is not None and self._template.grouped_batch_ok:
             # GROUP BY templates: the same union computed as ONE semi-join
             # + ONE aggregation grouped by (group cols + equality cols) —

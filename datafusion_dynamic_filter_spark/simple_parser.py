@@ -421,7 +421,8 @@ class CompiledTemplate:
     is the correct regime for a 100 TB table."""
 
     def __init__(self, spark, parsed: SimpleSelect, *, hot: bool = False,
-                 nojit: bool = False, layouts: dict | None = None):
+                 nojit: bool = False, layouts: dict | None = None,
+                 session=None):
         from pyspark.sql import SparkSession, functions as F
 
         # Each template plans on a CLONED SparkSession: same shared state
@@ -430,11 +431,16 @@ class CompiledTemplate:
         # instead of toggled around every planning call.  No session-global
         # conf is ever mutated for template-mode statements, which removes
         # both the per-key conf round-trips and the cross-thread leak
-        # surface the r3/r4 reviews worried about.
+        # surface the r3/r4 reviews worried about.  ``session`` lets a
+        # multi-branch owner (UnionTemplate) supply ONE shared clone so
+        # branch DataFrames compose without crossing sessions.
         self.driver_spark = spark
-        self.spark = SparkSession(
-            spark.sparkContext, spark._jsparkSession.cloneSession()
-        )
+        if session is not None:
+            self.spark = session
+        else:
+            self.spark = SparkSession(
+                spark.sparkContext, spark._jsparkSession.cloneSession()
+            )
         self.nojit = nojit
         if nojit:
             self.spark.conf.set("spark.sql.codegen.wholeStage", "false")
@@ -960,6 +966,147 @@ class CompiledTemplate:
         for d in self._param_dirs:
             shutil.rmtree(d, ignore_errors=True)
         self._param_dirs.clear()
+
+
+def split_union(sql: str) -> tuple[list[str], list[str]] | None:
+    """Split a top-level ``a UNION [ALL] b [UNION [ALL] c ...]`` statement
+    into (branch texts, operator list) — ``ops[i]`` is ``"all"`` or
+    ``"distinct"`` for the operator after branch i.  Returns None when
+    there is no top-level UNION or the statement has a CTE prefix (CTE
+    views would register on one branch's session only; those statements
+    stay on the literal path)."""
+    text = sql.strip().rstrip(";").strip()
+    if re.match(r"^WITH\b", text, re.IGNORECASE):
+        return None
+    pos = _depth0_positions(text, "UNION")
+    if not pos:
+        return None
+    branches: list[str] = []
+    ops: list[str] = []
+    start = 0
+    for p in pos:
+        branches.append(text[start:p].strip())
+        m = re.match(r"UNION(\s+ALL)?\b", text[p:], re.IGNORECASE)
+        ops.append("all" if m.group(1) else "distinct")
+        start = p + m.end()
+    branches.append(text[start:].strip())
+    if any(not b for b in branches):
+        return None
+    return branches, ops
+
+
+class UnionTemplate:
+    """Top-level UNION [ALL] of fast-path SELECT branches, compiled once.
+
+    In scope of the reference's mechanism: ``DynamicFilterRule`` runs
+    top-down over the WHOLE plan and rewrites every placeholder-bearing
+    Filter it finds (src/rule.rs:57-59, 32-49) — a union of parameterized
+    SELECTs therefore gets every branch's filter dynamically bound, and
+    ``prepare()`` admits the statement like any other non-DDL plan
+    (src/preparable_context.rs:15-30).  Mirrored here by compiling one
+    CompiledTemplate per branch on a SHARED cloned session (branch
+    DataFrames must compose within one session) and folding
+    union/distinct left-associatively per execute — SQL's associativity
+    for same-precedence set operators.
+
+    A union-level ORDER BY/LIMIT (written after the last branch) is
+    lifted off that branch's parse and applied to the folded result,
+    matching SQL scoping; ORDER BY/LIMIT on a NON-last branch is invalid
+    SQL (needs parens) and raises here, so mode='auto' statements fall
+    back to the literal path, which surfaces Spark's own parse error."""
+
+    def __init__(self, spark, parsed_branches: list[SimpleSelect],
+                 ops: list[str], *, hot: bool = False, nojit: bool = False,
+                 layouts: dict | None = None):
+        from pyspark.sql import SparkSession, functions as F
+
+        self.driver_spark = spark
+        self.spark = SparkSession(
+            spark.sparkContext, spark._jsparkSession.cloneSession()
+        )
+        self.nojit = nojit
+        if nojit:
+            self.spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        self._F = F
+        for p in parsed_branches[:-1]:
+            if p.order_by or p.limit is not None:
+                raise ValueError(
+                    "ORDER BY/LIMIT on a non-final UNION branch requires "
+                    "parentheses"
+                )
+        last = parsed_branches[-1]
+        self.order_by = last.order_by
+        self.limit = last.limit
+        last.order_by, last.limit = [], None
+        self.ops = ops
+        self.branches = [
+            CompiledTemplate(
+                spark, p, hot=hot, nojit=nojit, layouts=layouts,
+                session=self.spark,
+            )
+            for p in parsed_branches
+        ]
+        self.is_aggregating = any(b.is_aggregating for b in self.branches)
+        self.grouped_batch_ok = False
+        # bind='data' single-key execution routes through build() (below);
+        # batched execution folds per-branch semi-joins when every branch
+        # supports them.
+        self.semi_eq_cols = None
+        self._persisted = [df for b in self.branches for df in b._persisted]
+        self.order_cols = []
+        for o in self.order_by:
+            c = F.expr(o.expr)
+            if o.nulls_first is None:
+                c = c.desc() if o.descending else c.asc()
+            elif o.nulls_first:
+                c = c.desc_nulls_first() if o.descending else c.asc_nulls_first()
+            else:
+                c = c.desc_nulls_last() if o.descending else c.asc_nulls_last()
+            self.order_cols.append(c)
+        # Typed-NULL trial of the FOLDED plan (branch trials already ran in
+        # each CompiledTemplate): surfaces union arity/type mismatches at
+        # prepare time, like the reference planning the whole statement in
+        # prepare() (src/preparable_context.rs:30).
+        nulls: dict[str, object] = {}
+        for p in parsed_branches:
+            in_ph = in_context_placeholders(p.where or "") | (
+                in_context_placeholders(p.having or "")
+            )
+            for ph in p.where_placeholders + p.having_placeholders:
+                nulls[ph.canonical] = [None] if ph.canonical in in_ph else None
+        self.build(nulls)
+
+    def _fold(self, dfs):
+        out = dfs[0]
+        for op, df in zip(self.ops, dfs[1:]):
+            out = out.unionAll(df)
+            if op == "distinct":
+                out = out.distinct()
+        if self.order_cols:
+            out = out.orderBy(*self.order_cols)
+        if self.limit is not None:
+            out = out.limit(self.limit)
+        return out
+
+    def build(self, bound: dict):
+        return self._fold([b.build(bound) for b in self.branches])
+
+    def build_semi_join(self, key_rows: list[dict]):
+        # Batch semantics are the union of per-row results.  UNION ALL
+        # branches compose (per-branch semi-joins are unions over disjoint
+        # per-row matches), but a DISTINCT fold would dedupe ACROSS
+        # parameter rows and a union-level LIMIT would truncate the batch,
+        # not each row — those shapes keep the per-row fallback.
+        if len(key_rows) > 1 and ("distinct" in self.ops or self.limit is not None):
+            raise ValueError(
+                "batched execution of UNION DISTINCT / union-level LIMIT "
+                "templates keeps per-row union semantics"
+            )
+        return self._fold([b.build_semi_join(key_rows) for b in self.branches])
+
+    def cleanup(self) -> None:
+        for b in self.branches:
+            b.cleanup()
 
 
 def _base_col(col: str) -> str:
