@@ -344,3 +344,58 @@ def test_grouped_batch_matches_per_row_literal(engine, case):
             for r in engine.spark.sql(sql.replace("$1", _sql_literal(v))).collect()
         )
     assert batched == sorted(want, key=_key), (sql, vals)
+
+
+@st.composite
+def union_statements(draw):
+    """Top-level UNION [ALL] of two fast-path branches (r5 grammar
+    extension): template execution must match the literal SQL, including
+    DISTINCT-fold dedupe and shared placeholders across branches."""
+    parts_t, parts_l, params = [], [], {}
+    for _ in range(2):
+        shape, strat = draw(
+            st.sampled_from(
+                [
+                    ("id = {p}", _INTS),
+                    ("name = {p}", _STRINGS),
+                    ("val >= {p}", _FLOATS),
+                    ("id IN {p}", st.lists(_INTS, min_size=1, max_size=3)),
+                ]
+            )
+        )
+        v = draw(strat)
+        idx = len(params) + 1
+        params[f"${idx}"] = v
+        parts_t.append(shape.format(p=f"${idx}"))
+        if isinstance(v, list):
+            parts_l.append(
+                shape.format(p="(" + ", ".join(_sql_literal(x) for x in v) + ")")
+            )
+        else:
+            parts_l.append(shape.format(p=_sql_literal(v)))
+    op = draw(st.sampled_from([" UNION ALL ", " UNION "]))
+    proj = "id, name"
+    tail = ""
+    if draw(st.booleans()):
+        tail = f" ORDER BY id, name LIMIT {draw(st.sampled_from([2, 5]))}"
+    base = "SELECT {p} FROM prop_table WHERE {w0}{op}SELECT {p} FROM prop_table WHERE {w1}{t}"
+    return (
+        base.format(p=proj, w0=parts_t[0], w1=parts_t[1], op=op, t=tail),
+        params,
+        base.format(p=proj, w0=parts_l[0], w1=parts_l[1], op=op, t=tail),
+    )
+
+
+@settings(
+    max_examples=_ex(15),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stmt=union_statements())
+def test_union_template_matches_literal_sql(engine, stmt):
+    _setup(engine)
+    sql, params, lit_sql = stmt
+    prepared = engine.prepare(sql)
+    got = sorted((tuple(r) for r in prepared.execute(params).collect()), key=_key)
+    want = sorted((tuple(r) for r in engine.spark.sql(lit_sql).collect()), key=_key)
+    assert got == want, (sql, params, prepared.mode)
