@@ -1315,3 +1315,26 @@ def prepared_union_template(spark, sf_dir):
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > $2"
     )
     return stmt.execute({"$1": 7, "$2": 400000})
+
+
+@query(
+    "prepared_intersect_template",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def prepared_intersect_template(spark, sf_dir):
+    """Prepared INTERSECT template (r5): both branches' parameterized
+    filters bind per execute on one compiled template — same reference
+    scope as the union template (DynamicFilterRule rewrites every
+    placeholder-bearing Filter, src/rule.rs:57-59); mixed-precedence
+    set-op chains fall back to the literal path."""
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "SELECT o_custkey FROM orders WHERE o_totalprice > $1 "
+        "INTERSECT "
+        "SELECT o_custkey FROM orders WHERE o_orderstatus = $2"
+    )
+    return stmt.execute({"$1": 150000, "$2": "F"})

@@ -969,25 +969,37 @@ class CompiledTemplate:
 
 
 def split_union(sql: str) -> tuple[list[str], list[str]] | None:
-    """Split a top-level ``a UNION [ALL] b [UNION [ALL] c ...]`` statement
-    into (branch texts, operator list) — ``ops[i]`` is ``"all"`` or
-    ``"distinct"`` for the operator after branch i.  Returns None when
-    there is no top-level UNION or the statement has a CTE prefix (CTE
-    views would register on one branch's session only; those statements
-    stay on the literal path)."""
+    """Split a top-level set-operation chain into (branch texts, operator
+    list).  Operators: ``"all"``/``"distinct"`` (UNION), ``"intersect"``/
+    ``"intersect_all"``, ``"except"``/``"except_all"``.  Returns None when
+    there is no top-level set operator, the statement has a CTE prefix
+    (CTE views would register on one branch's session only), or the chain
+    MIXES different operator kinds — SQL gives INTERSECT higher precedence
+    than UNION/EXCEPT, which a flat left-assoc fold would misparse, so
+    mixed chains stay on the literal path where Spark parses them."""
     text = sql.strip().rstrip(";").strip()
     if re.match(r"^WITH\b", text, re.IGNORECASE):
         return None
-    pos = _depth0_positions(text, "UNION")
-    if not pos:
+    marks: list[tuple[int, str]] = []
+    for kw in ("UNION", "INTERSECT", "EXCEPT"):
+        marks.extend((p, kw) for p in _depth0_positions(text, kw))
+    if not marks:
+        return None
+    marks.sort()
+    kinds = {kw for _, kw in marks}
+    if len(kinds) > 1:
         return None
     branches: list[str] = []
     ops: list[str] = []
     start = 0
-    for p in pos:
+    for p, kw in marks:
         branches.append(text[start:p].strip())
-        m = re.match(r"UNION(\s+ALL)?\b", text[p:], re.IGNORECASE)
-        ops.append("all" if m.group(1) else "distinct")
+        m = re.match(kw + r"(\s+ALL)?\b", text[p:], re.IGNORECASE)
+        has_all = bool(m.group(1))
+        if kw == "UNION":
+            ops.append("all" if has_all else "distinct")
+        else:
+            ops.append(kw.lower() + ("_all" if has_all else ""))
         start = p + m.end()
     branches.append(text[start:].strip())
     if any(not b for b in branches):
@@ -996,7 +1008,10 @@ def split_union(sql: str) -> tuple[list[str], list[str]] | None:
 
 
 class UnionTemplate:
-    """Top-level UNION [ALL] of fast-path SELECT branches, compiled once.
+    """Top-level set-operation chain (UNION [ALL] / INTERSECT [ALL] /
+    EXCEPT [ALL]) of fast-path SELECT branches, compiled once.  Mixed
+    operator kinds never reach here (split_union rejects them — SQL's
+    INTERSECT precedence would make a flat fold misparse).
 
     In scope of the reference's mechanism: ``DynamicFilterRule`` runs
     top-down over the WHOLE plan and rewrites every placeholder-bearing
@@ -1079,9 +1094,18 @@ class UnionTemplate:
     def _fold(self, dfs):
         out = dfs[0]
         for op, df in zip(self.ops, dfs[1:]):
-            out = out.unionAll(df)
-            if op == "distinct":
-                out = out.distinct()
+            if op == "all":
+                out = out.unionAll(df)
+            elif op == "distinct":
+                out = out.unionAll(df).distinct()
+            elif op == "intersect":
+                out = out.intersect(df)
+            elif op == "intersect_all":
+                out = out.intersectAll(df)
+            elif op == "except":
+                out = out.subtract(df)  # EXCEPT DISTINCT semantics
+            else:  # except_all
+                out = out.exceptAll(df)
         if self.order_cols:
             out = out.orderBy(*self.order_cols)
         if self.limit is not None:
@@ -1092,15 +1116,18 @@ class UnionTemplate:
         return self._fold([b.build(bound) for b in self.branches])
 
     def build_semi_join(self, key_rows: list[dict]):
-        # Batch semantics are the union of per-row results.  UNION ALL
-        # branches compose (per-branch semi-joins are unions over disjoint
-        # per-row matches), but a DISTINCT fold would dedupe ACROSS
-        # parameter rows and a union-level LIMIT would truncate the batch,
-        # not each row — those shapes keep the per-row fallback.
-        if len(key_rows) > 1 and ("distinct" in self.ops or self.limit is not None):
+        # Batch semantics are the union of per-row results.  Only UNION ALL
+        # folds compose (per-branch semi-joins are unions over disjoint
+        # per-row matches); a DISTINCT/INTERSECT/EXCEPT fold would mix
+        # rows ACROSS parameter rows, and a union-level LIMIT would
+        # truncate the batch, not each row — those shapes keep the
+        # per-row fallback.
+        if len(key_rows) > 1 and (
+            any(op != "all" for op in self.ops) or self.limit is not None
+        ):
             raise ValueError(
-                "batched execution of UNION DISTINCT / union-level LIMIT "
-                "templates keeps per-row union semantics"
+                "batched execution of DISTINCT/INTERSECT/EXCEPT or "
+                "union-level LIMIT templates keeps per-row semantics"
             )
         return self._fold([b.build_semi_join(key_rows) for b in self.branches])
 

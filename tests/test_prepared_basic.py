@@ -173,14 +173,26 @@ def test_join_statement_takes_fast_path(engine, users):
     assert [(r.id, r.name) for r in rows] == [(4, "diana")]
 
 
-def test_literal_mode_fallback_setops(engine, users):
-    # A statement outside the fast-path grammar still prepares + executes.
+def test_setops_take_fast_path_since_r5(engine, users):
+    # Set-op chains joined the fast-path grammar in r5 (UnionTemplate).
     stmt = engine.prepare(
         "SELECT id FROM users WHERE id = $1 UNION ALL SELECT id FROM users WHERE id = $1"
     )
-    assert stmt.mode == "literal"
+    assert stmt.mode == "dynamic"
     rows = stmt.execute({"$1": 4}).collect()
     assert [r.id for r in rows] == [4, 4]
+
+
+def test_literal_mode_fallback_window_fn(engine, users):
+    # A statement outside the fast-path grammar still prepares + executes
+    # (window functions are not in the template grammar).
+    stmt = engine.prepare(
+        "SELECT id, row_number() OVER (ORDER BY id) AS rn "
+        "FROM users WHERE id >= $1"
+    )
+    assert stmt.mode == "literal"
+    rows = stmt.execute({"$1": 4}).collect()
+    assert [(r.id, r.rn) for r in rows] == [(4, 1), (5, 2)]
 
 
 def test_string_escaping_safe(engine, users):

@@ -107,3 +107,76 @@ def test_union_missing_param_error(engine, users):
     with pytest.raises(Exception, match="was not provided a value"):
         stmt.execute({"$1": 1})
     stmt.close()
+
+
+@pytest.mark.parametrize(
+    "sql,params",
+    [
+        (
+            "SELECT id FROM users WHERE id <= $1 "
+            "INTERSECT SELECT id FROM users WHERE id >= $2",
+            {"$1": 4, "$2": 2},
+        ),
+        (
+            "SELECT id FROM users WHERE id <= $1 "
+            "EXCEPT SELECT id FROM users WHERE id = $2",
+            {"$1": 4, "$2": 2},
+        ),
+        (
+            "SELECT id FROM users WHERE id <= $1 "
+            "EXCEPT ALL SELECT id FROM users WHERE id = $2",
+            {"$1": 4, "$2": 2},
+        ),
+        (
+            "SELECT id FROM users WHERE id <= $1 "
+            "INTERSECT ALL SELECT id FROM users WHERE id <= $2",
+            {"$1": 3, "$2": 2},
+        ),
+    ],
+)
+def test_intersect_except_templates_match_literal(engine, users, sql, params):
+    stmt = engine.prepare(sql)
+    assert stmt.mode == "dynamic"
+    lit = sql
+    for k, v in params.items():
+        lit = lit.replace(k, str(v))
+    assert _rows(stmt.execute(params)) == _rows(engine.spark.sql(lit))
+    stmt.close()
+
+
+def test_mixed_setop_chain_falls_back_to_literal(engine, users):
+    # INTERSECT binds tighter than UNION; a flat fold would misparse, so
+    # the statement must take the literal path and still match Spark.
+    sql = (
+        "SELECT id FROM users WHERE id <= $1 "
+        "UNION SELECT id FROM users WHERE id = $2 "
+        "INTERSECT SELECT id FROM users WHERE id = $3"
+    )
+    stmt = engine.prepare(sql)
+    assert stmt.mode == "literal"
+    got = _rows(stmt.execute({"$1": 2, "$2": 3, "$3": 3}))
+    want = _rows(
+        engine.spark.sql(
+            sql.replace("$1", "2").replace("$2", "3").replace("$3", "3")
+        )
+    )
+    assert got == want
+
+
+def test_setop_batch_falls_back_to_per_row_semantics(engine, users):
+    sql = (
+        "SELECT id FROM users WHERE id <= $1 "
+        "INTERSECT SELECT id FROM users WHERE id >= $2"
+    )
+    stmt = engine.prepare(sql)
+    batched = _rows(stmt.execute_batch([[3, 2], [5, 4]]))
+    want = []
+    for p1, p2 in [(3, 2), (5, 4)]:
+        want.extend(
+            tuple(r)
+            for r in engine.spark.sql(
+                sql.replace("$1", str(p1)).replace("$2", str(p2))
+            ).collect()
+        )
+    assert batched == sorted(want)
+    stmt.close()
