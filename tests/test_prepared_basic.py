@@ -183,16 +183,30 @@ def test_setops_take_fast_path_since_r5(engine, users):
     assert [r.id for r in rows] == [4, 4]
 
 
-def test_literal_mode_fallback_window_fn(engine, users):
-    # A statement outside the fast-path grammar still prepares + executes
-    # (window functions are not in the template grammar).
+def test_window_fn_select_item_works_on_fast_path(engine, users):
+    # Window expressions in the SELECT list ride the template: F.expr
+    # resolves OVER clauses, and the window evaluates over the FILTERED
+    # rows — exactly SQL's evaluation order.
     stmt = engine.prepare(
         "SELECT id, row_number() OVER (ORDER BY id) AS rn "
         "FROM users WHERE id >= $1"
     )
-    assert stmt.mode == "literal"
+    assert stmt.mode == "dynamic"
     rows = stmt.execute({"$1": 4}).collect()
     assert [(r.id, r.rn) for r in rows] == [(4, 1), (5, 2)]
+
+
+def test_literal_mode_fallback_exists_subquery(engine, users):
+    # A parameterized EXISTS subquery conjunct is outside the template
+    # binder (DataFrame filter cannot express a correlated EXISTS text
+    # expression), so the statement falls to the literal path — and still
+    # prepares + executes correctly there.
+    stmt = engine.prepare(
+        "SELECT id FROM users u WHERE EXISTS "
+        "(SELECT 1 FROM users v WHERE v.id = u.id AND v.id = $1)"
+    )
+    assert stmt.mode == "literal"
+    assert [r.id for r in stmt.execute({"$1": 3}).collect()] == [3]
 
 
 def test_string_escaping_safe(engine, users):
