@@ -373,7 +373,18 @@ def union_statements(draw):
             )
         else:
             parts_l.append(shape.format(p=_sql_literal(v)))
-    op = draw(st.sampled_from([" UNION ALL ", " UNION "]))
+    op = draw(
+        st.sampled_from(
+            [
+                " UNION ALL ",
+                " UNION ",
+                " INTERSECT ",
+                " INTERSECT ALL ",
+                " EXCEPT ",
+                " EXCEPT ALL ",
+            ]
+        )
+    )
     proj = "id, name"
     tail = ""
     if draw(st.booleans()):
