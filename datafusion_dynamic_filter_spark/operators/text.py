@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..functions import distinct_tokens, fan_out, fingerprint_md5, tokens
-from ..registry import query, tables
+from ..registry import query, tables, track_persist
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 _LANG_MARKERS = {
@@ -609,6 +609,76 @@ def text_pii_redact(spark, sf_dir):
             F.regexp_count(aug, F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
             F.md5(red).alias("redacted_md5"),
             F.length(red).cast("long").alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_bigram_lm_logprob",
+    oracle=r"""
+    WITH tk AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok FROM documents
+    ), bg AS (
+    SELECT doc_id, tok[i] AS w1, tok[i+1] AS w2
+    FROM tk, unnest(range(1, len(tok))) AS t(i)
+    ), c1 AS (
+    SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+    ), c12 AS (
+    SELECT w1, w2, count(*) AS n12 FROM bg GROUP BY w1, w2
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    round(avg(ln(CAST(n12 AS DOUBLE) / n1)), 4) AS avg_logp
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_bigram_lm_logprob(spark, sf_dir):
+    """Corpus-trained bigram language-model score per document — the
+    perplexity-proxy quality signal of an LLM-data pipeline (score docs
+    with an n-gram LM fit on the corpus itself; low avg log P flags
+    outlier/garbled text).  MLE conditional P(w2|w1) =
+    count(w1,w2) / count(w1 as bigram head); a document's score is the
+    mean log-probability over its bigram INSTANCES.
+
+    Scale shape: bigram extraction is a per-row map (zip of two array
+    slices, no shuffle); the two count tables are vocabulary-sized
+    aggregations with map-side combine; scoring joins bigrams to counts
+    on uniform (w1[,w2]) keys and re-aggregates per doc_id — every
+    shuffle keys on a token or doc_id, nothing quadratic, no Python.
+    """
+    from ..functions import fan_out, tokens
+
+    t = tables(spark, sf_dir)
+    tk = (
+        fan_out(t["documents"])
+        .select("doc_id", tokens("text").alias("tok"))
+        .filter(F.size("tok") >= 2)
+    )
+    n = F.size("tok")
+    bg = tk.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tok", F.lit(1), n - 1),
+                F.slice("tok", F.lit(2), n - 1),
+            )
+        ).alias("p"),
+    ).select(
+        "doc_id", F.col("p.`0`").alias("w1"), F.col("p.`1`").alias("w2")
+    )
+    bg = track_persist(bg)
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    return (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("n12").cast("double") / F.col("n1"))), 4
+            ).alias("avg_logp"),
         )
         .orderBy("doc_id")
     )
