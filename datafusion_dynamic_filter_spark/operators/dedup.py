@@ -815,8 +815,10 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     ), s AS (
     SELECT doc_id, sp FROM (
     SELECT doc_id, unnest(list_distinct(list_transform(
-    range(0, CAST(floor((length(txt) - 40) / 20) AS BIGINT) + 1),
-    i -> substr(txt, CAST(i * 20 + 1 AS BIGINT), 40)))) AS sp
+    list_filter(range(1, greatest(length(txt) - 39, 0) + 1),
+    i -> CAST(('0x' || substr(md5(substr(txt, CAST(i AS BIGINT), 8)), 1, 15))
+    AS BIGINT) % 8 = 0),
+    i -> substr(txt, CAST(i AS BIGINT), 40)))) AS sp
     FROM d)
     ), g AS (
     SELECT sp, count(DISTINCT doc_id) AS nd FROM s GROUP BY sp
@@ -831,26 +833,42 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     ORDER BY doc_id
     """,
 )
-def dedup_substring_spans(spark, sf_dir, *, span_len: int = 40, stride: int = 20):
+def dedup_substring_spans(
+    spark, sf_dir, *, span_len: int = 40, gram: int = 8, modulus: int = 8
+):
     """EXACT substring-span dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better"): per document, the fraction of its
-    fixed-length character windows that appear VERBATIM in at least one
-    other document.  A distinct modality from the shingle-Jaccard family —
-    it catches long copied passages inside otherwise-different documents
-    (boilerplate, licence blocks, syndicated paragraphs), which whole-doc
-    Jaccard dilutes below threshold.
+    sampled fixed-length character windows that appear VERBATIM in at least
+    one other document.  A distinct modality from the shingle-Jaccard
+    family — it catches long copied passages inside otherwise-different
+    documents (boilerplate, licence blocks, syndicated paragraphs), which
+    whole-doc Jaccard dilutes below threshold.
 
-    Spark-first scale design (the suffix-array of the paper is a
-    single-machine construction; this is its shuffle-native analog):
-    - windows of ``span_len`` chars at ``stride`` offsets fan out JVM-side
-      via ``sequence``+``transform`` (no Python in the hot path); data
-      amplification is span_len/stride = 2x, independent of corpus size;
+    Window positions are CONTENT-DEFINED (winnowing/CDC style, Schleimer
+    et al. 2003 MOSS): a window anchors wherever the ``gram``-char prefix
+    hashes to 0 mod ``modulus``.  A strided or offset-based sampling would
+    only match copies whose positions agree mod the stride; content-defined
+    anchors land at the SAME in-passage offsets in every copy, so any
+    shared passage long enough to contain an anchor (P(miss) =
+    (1-1/modulus)^(L-span_len) — <2% at L=70 for the defaults) is detected
+    regardless of alignment.
+
+    Spark-first scale design (the paper's suffix array is a single-machine
+    construction; this is its shuffle-native analog):
+    - anchoring and window extraction run JVM-side via
+      ``filter(sequence)`` + ``transform`` lambdas (no Python in the hot
+      path); expected amplification = span_len/modulus = 5x of text bytes,
+      tunable by ``modulus`` independently of corpus size;
     - the cross-document repeat test is a groupBy on ``xxhash64(span)`` —
       an 8-byte uniform shuffle key instead of the 40-char span text (the
       DuckDB oracle groups on the span text itself: equality partitions are
       identical modulo 64-bit hash collisions, ~2^-25 at sf0.1's span count;
       a 100 TB run would move to the 128-bit md5 for birthday headroom);
-    - per-doc aggregation shuffles on doc_id, already the scan's natural key.
+    - per-doc aggregation shuffles on doc_id, already the scan's natural
+      key.  The anchor hash is the cross-engine md5-prefix ``h60`` (the
+      oracle must agree on anchor positions exactly); at 100 TB the anchor
+      hash would switch to xxhash64 too — anchor choice only needs
+      determinism, not cross-engine portability, outside the test gate.
     Reference parity: extends the dedup family required by the brief; no
     reference twin (the reference engine has no text operators).
     """
@@ -863,9 +881,10 @@ def dedup_substring_spans(spark, sf_dir, *, span_len: int = 40, stride: int = 20
         F.explode(
             F.array_distinct(
                 F.expr(
-                    f"transform(sequence(0, CAST(floor((length(txt) - {span_len}) "
-                    f"/ {stride}) AS INT)), "
-                    f"i -> substring(txt, i * {stride} + 1, {span_len}))"
+                    f"transform(filter(sequence(1, length(txt) - {span_len - 1}), "
+                    f"i -> CAST(conv(substring(md5(substring(txt, i, {gram})), 1, 15), "
+                    f"16, 10) AS BIGINT) % {modulus} = 0), "
+                    f"i -> substring(txt, i, {span_len}))"
                 )
             )
         ).alias("sp"),

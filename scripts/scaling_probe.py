@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Scale-sensitivity probe: measure each scale-critical operator at
+sf0.01 and sf0.1 (10x data) and report the empirical scaling exponent
+
+    alpha = log10( t(sf0.1) / t(sf0.01) )
+
+so "would this survive 100x?" is answered by measurement, not inspection.
+alpha ~= 1.0 is linear, ~2.0 quadratic; small-t entries are floor-bound by
+fixed per-query overhead (session, planning, job launch ~0.1-0.3 s), which
+DEFLATES alpha — so the probe reports both timings next to the exponent and
+only flags entries whose sf0.1 time is large enough for the exponent to be
+meaningful (t_hi >= 1 s).  Output-cardinality exponents ride along: a
+superlinear ROW exponent (e.g. pair-emitting dedup on a self-similar
+corpus) explains a superlinear time exponent.
+
+Methodology matches bench.py: one FRESH process per scale factor (no
+inherited JVM state), min-of-3 per query with clearCache + GC isolation,
+results consumed by count().
+
+Usage: python scripts/scaling_probe.py            # writes SCALING.json
+       SPARK_GRAFT_SCALING_SECTION=<sf_dir> ...   # internal child mode
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Scale-critical set: every operator whose 100 TB posture the reviews
+# discuss — the dedup family (join/fan-out heavy), similarity (blocked ANN
+# vs brute force), text aggregation, and the composed pipeline.
+PROBES = [
+    "dedup_exact_normalized",
+    "dedup_ngram_jaccard",  # known pair-quadratic on self-similar corpora
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_simhash",
+    "dedup_semdedup",
+    "dedup_substring_spans",
+    "dedup_connected_components",
+    "similarity_brute_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "text_tfidf_top_terms",
+    "text_bigram_lm_logprob",
+    "decontam_eval_overlap",
+    "events_sessionization",
+    "multimodal_phash_dedup",
+    "pipeline_end_to_end",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+]
+
+
+def child(sf_dir: str) -> None:
+    sys.path.insert(0, REPO)  # script dir, not repo root, is sys.path[0]
+    from datafusion_dynamic_filter_spark import Engine, registry
+
+    eng = Engine(
+        app_name=f"scaling-{os.path.basename(sf_dir)}",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+    )
+    spark = eng.spark
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+    registry.tables(spark, sf_dir)
+    spark.table("documents").count()  # settle page cache + JIT
+    spark.table("lineitem").count()
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    out: dict[str, dict] = {}
+    for name in PROBES:
+        fn = registry.QUERIES[name]
+        spark.catalog.clearCache()
+        jvm_gc()
+        rows = fn(spark, sf_dir).count()  # warm: plan + cache fill
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        out[name] = {"sec": round(min(samples), 4), "rows": rows}
+    registry.release_persisted()
+    print(json.dumps(out))
+
+
+def main() -> None:
+    lo_dir = os.environ.get("SPARK_GRAFT_SCALING_LO", "/root/testdata/sf0.01")
+    hi_dir = os.environ.get("SPARK_GRAFT_SCALING_HI", "/root/testdata/sf0.1")
+    results = {}
+    for sf_dir in (lo_dir, hi_dir):
+        env = dict(os.environ, SPARK_GRAFT_SCALING_SECTION=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, cwd=REPO,
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            raise SystemExit(f"child failed for {sf_dir}")
+        results[sf_dir] = json.loads(proc.stdout.strip().splitlines()[-1])
+    lo, hi = results[lo_dir], results[hi_dir]
+    table = {}
+    for name in PROBES:
+        t_lo, t_hi = lo[name]["sec"], hi[name]["sec"]
+        r_lo, r_hi = lo[name]["rows"], hi[name]["rows"]
+        alpha = round(math.log10(t_hi / t_lo), 2) if t_lo > 0 else None
+        row_alpha = (
+            round(math.log10(r_hi / r_lo), 2) if r_lo and r_hi else None
+        )
+        table[name] = {
+            "sec_sf0.01": t_lo,
+            "sec_sf0.1": t_hi,
+            "time_exponent": alpha,
+            "rows_sf0.01": r_lo,
+            "rows_sf0.1": r_hi,
+            "rows_exponent": row_alpha,
+            "meaningful": t_hi >= 1.0,
+        }
+    out = {
+        "lo": lo_dir,
+        "hi": hi_dir,
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "probes": table,
+    }
+    path = os.path.join(REPO, "SCALING.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    w = max(len(n) for n in PROBES)
+    print(f"{'operator':<{w}}  t(0.01)  t(0.1)  alpha  rows-alpha  flag")
+    for name, r in table.items():
+        flag = ""
+        if r["meaningful"] and r["time_exponent"] is not None and r["time_exponent"] > 1.3:
+            flag = "SUPERLINEAR"
+        print(
+            f"{name:<{w}}  {r['sec_sf0.01']:>7.3f}  {r['sec_sf0.1']:>6.3f}"
+            f"  {r['time_exponent']:>5}  {str(r['rows_exponent']):>10}  {flag}"
+        )
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    if os.environ.get("SPARK_GRAFT_SCALING_SECTION"):
+        child(os.environ["SPARK_GRAFT_SCALING_SECTION"])
+    else:
+        main()
