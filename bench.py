@@ -64,6 +64,8 @@ HEADLINE = [
     "dedup_minhash_error",
     "dedup_simhash",
     "dedup_semdedup",
+    "dedup_substring_spans",
+    "text_bigram_lm_logprob",
     "text_quality_score",
     "text_tfidf_top_terms",
     "text_pii_redact",

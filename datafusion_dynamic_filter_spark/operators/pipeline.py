@@ -25,13 +25,15 @@ from ..functions import h60, h60_sql, tokens
 from ..registry import query, tables, track_persist
 from .dedup import _simhash_oracle, dedup_simhash
 
-# Fixed label-propagation depth: covers any dup-cluster diameter <= _CC_ITERS.
-# Near-dup clusters are variants of a shared base document (near-cliques,
-# diameter 1-2); the sf0.01/sf0.1 parity gate against the EXACT recursive
-# oracle verifies convergence.  At 100 TB swap the unrolled min-propagation
-# for alternating large-star/small-star rounds (Kiveris et al., "Connected
-# Components in MapReduce and Beyond"), which converges in O(log d) rounds
-# with the same per-round shuffle shape (equi-join on node id).
+# Fixed propagation depth.  Each round is min-label PROPAGATION (one hop
+# along edges) followed by a pointer-doubling SHORTCUT (label <- label of
+# label), so the label horizon roughly DOUBLES per round — 6 rounds cover
+# cluster diameters ~2^6, not 6 (the plain-propagation version tripped its
+# own convergence guard at sf0.1, where the SimHash graph's largest
+# component has diameter > 6; the r5 scaling probe caught it).  Same
+# O(log d) convergence class as large-star/small-star (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond") with the same per-round
+# shuffle shape (equi-joins on node id).
 _CC_ITERS = 6
 
 
@@ -66,13 +68,19 @@ def dedup_connected_components(spark, sf_dir):
     (= min doc_id reachable over dup edges), cluster size, and the
     keep-this-one flag a dedup pipeline acts on.
 
-    Min-label propagation, unrolled ``_CC_ITERS`` times: each round is
-    label <- min(label, min over neighbors' labels), one equi-join + one
-    groupBy per round — every shuffle keys on doc id (uniform, unskewed).
-    The edge relation is persisted so the SimHash sketch pipeline runs
-    once, not once per round.  The DuckDB oracle computes the EXACT
-    components via a recursive CTE, so the parity gate proves the fixed
-    depth reached the fixpoint.
+    Min-label propagation WITH pointer doubling, unrolled ``_CC_ITERS``
+    times: each round first takes label <- min(label, min over neighbors'
+    labels) (one equi-join + groupBy), then shortcuts label <- label[label]
+    (a self-join on the label table — every label is a doc_id, so the
+    lookup always resolves).  Doubling makes the covered diameter grow
+    ~2x per round instead of +1, the standard O(log d) CC recipe — every
+    shuffle still keys on doc id (uniform, unskewed).  The edge relation
+    is persisted so the SimHash sketch pipeline runs once, not once per
+    round.  The DuckDB oracle computes the EXACT components via a
+    recursive CTE, so the parity gate proves the fixed depth reached the
+    fixpoint; a final guarded propagation round asserts fixpoint at
+    RUNTIME (labels equal across every edge => exact min per component,
+    since labels are monotone non-increasing ids of reachable nodes).
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -87,27 +95,48 @@ def dedup_connected_components(spark, sf_dir):
     labels = t["documents"].select(
         "doc_id", F.col("doc_id").alias("component")
     )
-    # _CC_ITERS propagation rounds + ONE guard round: if the guard round
-    # still changes any label (cluster diameter > _CC_ITERS), assert_true
-    # fails the JOB with a diagnosis instead of silently returning split
-    # components — the runtime fixpoint signal the fixed unroll otherwise
-    # lacks.  The guard costs one extra equi-join+agg, same shuffle shape.
-    for _ in range(_CC_ITERS + 1):
+    # _CC_ITERS (propagate + shortcut) rounds + ONE guarded propagate
+    # round: if the guard round still changes any label (cluster diameter
+    # beyond even the doubled horizon), assert_true fails the JOB with a
+    # diagnosis instead of silently returning split components — the
+    # runtime fixpoint signal the fixed unroll otherwise lacks.
+    def _propagate(lbl):
         nbr = (
-            edges.join(labels, edges["dst"] == labels["doc_id"])
+            edges.join(lbl, edges["dst"] == lbl["doc_id"])
             .groupBy("src")
             .agg(F.min("component").alias("nbr_comp"))
         )
-        labels = (
-            labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
-            .select(
-                "doc_id",
-                F.col("component").alias("prev_component"),
-                F.least(
-                    "component", F.coalesce("nbr_comp", "component")
-                ).alias("component"),
-            )
+        return lbl.join(nbr, lbl["doc_id"] == nbr["src"], "left").select(
+            "doc_id",
+            F.col("component").alias("prev_component"),
+            F.least(
+                "component", F.coalesce("nbr_comp", "component")
+            ).alias("component"),
         )
+
+    for _ in range(_CC_ITERS):
+        labels = _propagate(labels)
+        # pointer doubling: component <- component's current component.
+        # Labels are always doc_ids present in the label table, so the
+        # inner equi-join resolves every row; least() keeps monotonicity
+        # explicit (comp[comp] <= comp already holds by construction).
+        ptr = labels.select(
+            F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
+        )
+        labels = labels.join(ptr, labels["component"] == ptr["c_id"]).select(
+            "doc_id", F.least("component", "c_comp").alias("component")
+        )
+        # Truncate lineage EVERY round: the self-join references labels
+        # twice, so without a cut the logical plan doubles per round
+        # (2^ITERS analysis blow-up — measured driver OOM during
+        # CheckAnalysis at 6 rounds).  localCheckpoint materializes the
+        # n-row label table to executor storage and replaces the plan
+        # with an RDD scan — the per-round plan stays constant-size, the
+        # iterative-algorithm norm (GraphX checkpoints the same way).  At
+        # 100 TB use spark.sparkContext.setCheckpointDir + .checkpoint()
+        # instead: reliable storage survives executor loss.
+        labels = labels.localCheckpoint(eager=True)
+    labels = _propagate(labels)
     converged_guard = F.assert_true(
         F.col("prev_component") == F.col("component"),
         F.lit(
