@@ -92,14 +92,32 @@ def dedup_connected_components(spark, sf_dir):
         ).toDF("src", "dst"),
         StorageLevel.MEMORY_AND_DISK,
     )
-    labels = t["documents"].select(
-        "doc_id", F.col("doc_id").alias("component")
+    nodes = t["documents"].select("doc_id")
+    labels = cc_resolve(nodes, edges)
+    w = Window.partitionBy("component")
+    return (
+        labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+        .orderBy("doc_id")
     )
-    # _CC_ITERS (propagate + shortcut) rounds + ONE guarded propagate
-    # round: if the guard round still changes any label (cluster diameter
-    # beyond even the doubled horizon), assert_true fails the JOB with a
-    # diagnosis instead of silently returning split components — the
-    # runtime fixpoint signal the fixed unroll otherwise lacks.
+
+
+def cc_resolve(nodes, edges, iters: int = _CC_ITERS):
+    """Connected-components kernel: label every node in ``nodes`` (one
+    ``doc_id`` column) with the MIN doc_id reachable over ``edges``
+    (symmetric ``src``/``dst`` columns) — returned as
+    DataFrame[doc_id, component].
+
+    ``iters`` (propagate + shortcut) rounds + ONE guarded propagate round:
+    if the guard round still changes any label (cluster diameter beyond
+    even the doubled horizon, > ~2^(iters+1)-2), assert_true fails the JOB
+    with a diagnosis instead of silently returning split components — the
+    runtime fixpoint signal the fixed unroll otherwise lacks.  Fixpoint of
+    the guarded round implies exactness: labels monotone non-increasing
+    ids of reachable nodes + equality across every (symmetric) edge =>
+    each component's constant label is its min member id."""
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+
     def _propagate(lbl):
         nbr = (
             edges.join(lbl, edges["dst"] == lbl["doc_id"])
@@ -114,7 +132,7 @@ def dedup_connected_components(spark, sf_dir):
             ).alias("component"),
         )
 
-    for _ in range(_CC_ITERS):
+    for _ in range(iters):
         labels = _propagate(labels)
         # pointer doubling: component <- component's current component.
         # Labels are always doc_ids present in the label table, so the
@@ -141,20 +159,16 @@ def dedup_connected_components(spark, sf_dir):
         F.col("prev_component") == F.col("component"),
         F.lit(
             "dedup_connected_components: label still changing after "
-            f"{_CC_ITERS} rounds (cluster diameter exceeds the unroll depth); "
-            "raise _CC_ITERS or switch to large-star/small-star rounds"
+            f"{iters} rounds (cluster diameter exceeds the unroll depth); "
+            "raise the iteration count or switch to large-star/small-star"
         ),
     )
-    w = Window.partitionBy("component")
     return (
         # coalesce(assert, true) keeps every row while forcing the assert
         # to evaluate per row (a bare `assert | true` would be folded away
         # by BooleanSimplification and never run).
         labels.filter(F.coalesce(converged_guard.cast("boolean"), F.lit(True)))
         .select("doc_id", "component")
-        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
-        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
-        .orderBy("doc_id")
     )
 
 
