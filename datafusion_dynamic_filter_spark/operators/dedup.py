@@ -889,6 +889,10 @@ def dedup_substring_spans(
             )
         ).alias("sp"),
     ).select("doc_id", F.xxhash64("sp").alias("h"))
+    # Persist: the anchor transform (md5 over every char position) is the
+    # dominant cost and `spans` feeds BOTH the repeat-count aggregate and
+    # the scoring join — without this the scan + transform run twice.
+    spans = track_persist(spans)
     repeats = spans.groupBy("h").agg(
         F.countDistinct("doc_id").alias("nd")
     )
