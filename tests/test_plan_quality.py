@@ -348,3 +348,18 @@ def test_semdedup_broadcasts_centroids_pairs_equi_join(spark):
     assert plan.count("BroadcastNestedLoopJoin") == plan.count(
         "InMemoryTableScan"
     ), plan
+
+
+def test_substring_spans_persists_anchored_spans(spark):
+    """Substring-span dedup's scale contract: the anchored-span relation
+    (a full scan plus a per-character-position md5 transform — the
+    dominant cost) feeds BOTH the repeat-count aggregate and the scoring
+    join, so it must be consumed from the cache on both branches; an
+    unpersisted plan recomputes the scan + anchor transform twice."""
+    try:
+        df = registry.QUERIES["dedup_substring_spans"](spark, SF_DIR)
+        plan = executed_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "CartesianProduct" not in plan, plan
+    finally:
+        registry.release_persisted()
