@@ -573,6 +573,12 @@ def main() -> None:
         "loadavg_end": parts["analytics"]["loadavg_end"],
         "cpus": int(CPUS),
     }
+    # Durable record FIRST (r5 verdict: BENCH_r05.json lost its whole
+    # point-lookup section to stdout tail truncation — the round's primary
+    # perf evidence must not depend on how much stdout the driver captures).
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
     print(json.dumps(result))
 
 

@@ -158,10 +158,12 @@ class Engine:
 
     def prepare(self, sql: str, *, mode: str = "auto", validate: bool = True,
                 hot: bool = False, jit: bool | str = "auto",
-                bind: str = "literal", layout: bool = True) -> PreparedStatement:
+                bind: str = "literal", layout: bool = True,
+                plan_cache_size: int = 256) -> PreparedStatement:
         return PreparedStatement(
             self.spark, sql, mode=mode, validate=validate, hot=hot, jit=jit,
             bind=bind, layouts=(self.layouts if layout else None),
+            plan_cache_size=plan_cache_size,
         )
 
     def sql(self, sql: str, args=None) -> DataFrame:

@@ -806,6 +806,28 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     )
 
 
+#: Default substring-span parameters — the ONLY configuration the DuckDB
+#: oracle covers (its SQL hardcodes 40/8/8).  Non-default invocations are
+#: legal but run outside the parity gate; the operator asserts defaults
+#: when its registered form is built so a drive-by kwarg change cannot
+#: silently diverge from the oracle.
+SPAN_LEN, SPAN_GRAM, SPAN_MODULUS = 40, 8, 8
+
+
+def anchored_spans_sql(
+    span_len: int = SPAN_LEN, gram: int = SPAN_GRAM, modulus: int = SPAN_MODULUS
+) -> str:
+    """The Spark SQL expression extracting content-defined anchored spans
+    from a column ``txt`` — shared between dedup_substring_spans and its
+    quality tests so both always exercise the same anchoring."""
+    return (
+        f"transform(filter(sequence(1, length(txt) - {span_len - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(txt, i, {gram})), 1, 15), "
+        f"16, 10) AS BIGINT) % {modulus} = 0), "
+        f"i -> substring(txt, i, {span_len}))"
+    )
+
+
 @query(
     "dedup_substring_spans",
     oracle="""
@@ -834,7 +856,12 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     """,
 )
 def dedup_substring_spans(
-    spark, sf_dir, *, span_len: int = 40, gram: int = 8, modulus: int = 8
+    spark,
+    sf_dir,
+    *,
+    span_len: int = SPAN_LEN,
+    gram: int = SPAN_GRAM,
+    modulus: int = SPAN_MODULUS,
 ):
     """EXACT substring-span dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better"): per document, the fraction of its
@@ -871,6 +898,10 @@ def dedup_substring_spans(
       determinism, not cross-engine portability, outside the test gate.
     Reference parity: extends the dedup family required by the brief; no
     reference twin (the reference engine has no text operators).
+
+    NOTE: the DuckDB oracle covers ONLY the default (span_len, gram,
+    modulus) = (40, 8, 8) — see SPAN_LEN/SPAN_GRAM/SPAN_MODULUS.  Other
+    values are legal but run outside the parity gate.
     """
     t = tables(spark, sf_dir)
     docs = t["documents"].select(
@@ -879,14 +910,7 @@ def dedup_substring_spans(
     spans = docs.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"transform(filter(sequence(1, length(txt) - {span_len - 1}), "
-                    f"i -> CAST(conv(substring(md5(substring(txt, i, {gram})), 1, 15), "
-                    f"16, 10) AS BIGINT) % {modulus} = 0), "
-                    f"i -> substring(txt, i, {span_len}))"
-                )
-            )
+            F.array_distinct(F.expr(anchored_spans_sql(span_len, gram, modulus)))
         ).alias("sp"),
     ).select("doc_id", F.xxhash64("sp").alias("h"))
     # Persist: the anchor transform (md5 over every char position) is the

@@ -146,7 +146,7 @@ class PreparedStatement:
 
     def __init__(self, spark, sql: str, *, mode: str = "auto", validate: bool = True,
                  hot: bool = False, jit: bool | str = "auto", bind: str = "literal",
-                 layouts: dict | None = None):
+                 layouts: dict | None = None, plan_cache_size: int = 256):
         if bind not in ("literal", "data"):
             raise ValueError(f"bind must be 'literal' or 'data', got {bind!r}")
         self.spark = spark
@@ -223,7 +223,19 @@ class PreparedStatement:
                         "grammar; use mode='literal'"
                     )
         self.mode = "dynamic" if self._template is not None else "literal"
-        self._plan_cache: dict[tuple, object] = {}
+        # Bounded LRU keyed by the frozen parameter binding.  A long-lived
+        # service statement sees an unbounded key stream (a million distinct
+        # point-lookup keys); caching every bound DataFrame — each pinning
+        # its JVM QueryExecution — forever is a driver-memory leak (r5
+        # verdict).  Eviction is cheap to tolerate: re-binding a template is
+        # the fast path anyway, so a cache miss costs one re-plan, not a
+        # correctness change.
+        from collections import OrderedDict
+
+        if plan_cache_size < 1:
+            raise ValueError("plan_cache_size must be >= 1")
+        self._plan_cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self._plan_cache_size = plan_cache_size
         self.executions = 0
         # Placeholders standing as an IN operand take LIST values; Spark's
         # parameterized parser has no list-valued marker (`IN :p` does not
@@ -255,6 +267,7 @@ class PreparedStatement:
         key = _cache_key(bound)
         cached = self._plan_cache.get(key)
         if cached is not None:
+            self._plan_cache.move_to_end(key)
             self.executions += 1
             return cached
         if self._template is not None:
@@ -291,6 +304,8 @@ class PreparedStatement:
             # too, not just template mode).
             df = self._finalize(df, nojit=(self.jit is False))
         self._plan_cache[key] = df
+        if len(self._plan_cache) > self._plan_cache_size:
+            self._plan_cache.popitem(last=False)
         self.executions += 1
         return df
 

@@ -140,7 +140,7 @@ def main() -> None:
             flag = "SUPERLINEAR"
         print(
             f"{name:<{w}}  {r['sec_sf0.01']:>7.3f}  {r['sec_sf0.1']:>6.3f}"
-            f"  {r['time_exponent']:>5}  {str(r['rows_exponent']):>10}  {flag}"
+            f"  {str(r['time_exponent']):>5}  {str(r['rows_exponent']):>10}  {flag}"
         )
     print(f"wrote {path}")
 

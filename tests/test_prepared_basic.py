@@ -222,6 +222,28 @@ def test_plan_cache_hit(engine, users):
     assert d1 is d2  # repeated key returns the cached DataFrame
 
 
+def test_plan_cache_lru_eviction_preserves_results(engine, users):
+    # The per-statement plan cache is a bounded LRU (r5 verdict: unbounded
+    # growth per distinct key is a driver leak in the service regime).
+    # With cap=2, a third distinct key evicts the LEAST-recently-used entry;
+    # an evicted key re-executes with identical results.
+    stmt = engine.prepare(
+        "SELECT id, name FROM users WHERE id = $1", plan_cache_size=2
+    )
+    d1 = stmt.execute({"$1": 1})
+    stmt.execute({"$1": 2})
+    d1_again = stmt.execute({"$1": 1})  # touch key 1 -> key 2 is now LRU
+    assert d1_again is d1
+    stmt.execute({"$1": 3})  # evicts key 2
+    assert len(stmt._plan_cache) == 2
+    # evicted key re-binds: a NEW DataFrame, same result
+    d2_rebound = stmt.execute({"$1": 2})
+    assert [(r.id, r.name) for r in d2_rebound.collect()] == [(2, "bob")]
+    # key 1 survived both evictions (it was most-recently-used)
+    rows = stmt.execute({"$1": 1}).collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "alice")]
+
+
 def test_dml_repeat_execute_not_cached(engine, spark, tmp_path):
     # A repeat execute() with equal params must RE-RUN side-effecting
     # statements: spark.sql() executes DML eagerly, so serving the cached

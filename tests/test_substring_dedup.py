@@ -75,25 +75,21 @@ def test_anchors_are_content_defined(spark, planted_dir):
     values (anchors land at identical in-passage offsets in both copies)."""
     from pyspark.sql import functions as F
 
-    q = registry.QUERIES["dedup_substring_spans"]
-    # re-derive the span relation the operator builds, keeping the text
+    from datafusion_dynamic_filter_spark.operators.dedup import (
+        SPAN_LEN,
+        anchored_spans_sql,
+    )
+
+    # re-derive the span relation from the operator's OWN shared span
+    # expression (not a copy-pasted literal), keeping the text
     docs = (
         spark.read.parquet(planted_dir + "/documents.parquet")
         .select("doc_id", F.lower(F.trim("text")).alias("txt"))
-        .where(F.length("txt") >= 40)
+        .where(F.length("txt") >= SPAN_LEN)
     )
     spans = docs.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(filter(sequence(1, length(txt) - 39), "
-                    "i -> CAST(conv(substring(md5(substring(txt, i, 8)), 1, 15), "
-                    "16, 10) AS BIGINT) % 8 = 0), "
-                    "i -> substring(txt, i, 40))"
-                )
-            )
-        ).alias("sp"),
+        F.explode(F.array_distinct(F.expr(anchored_spans_sql()))).alias("sp"),
     )
     s0 = {r.sp for r in spans.filter("doc_id = 0").collect()}
     s1 = {r.sp for r in spans.filter("doc_id = 1").collect()}
