@@ -272,3 +272,43 @@ def lsh_bucket_udf(packed_signs: list[int], n_planes: int):
         return pd.Series(((proj > 0) @ weights).astype("int32"))
 
     return _bucket
+
+
+def lsh_table_buckets_udf(packed_signs: list[int], planes_per_table: int, n_tables: int):
+    """Multi-table (banded / OR-of-tables) sign-LSH bucketer: ONE numpy
+    matmul per Arrow batch computes all ``planes_per_table * n_tables``
+    plane projections, then packs each table's ``planes_per_table`` sign
+    bits into that table's bucket key — returning an array<int> of
+    ``n_tables`` keys per row.
+
+    This is the sign-LSH analog of MinHash banding (dedup._lsh_candidates):
+    a pair is a candidate if it agrees on ALL bits of ANY table, so recall
+    at angle theta is 1-(1-p^b)^L (p = 1-theta/pi) instead of the single-
+    table p^n that the engine's own recall audit measured at ~0 on this
+    corpus.  Rounding/parity notes are identical to lsh_bucket_udf: 6-dp
+    half-away rounding before the sign test, mirrored in the DuckDB oracle.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = planes_per_table * n_tables
+    signs = np.array(
+        [
+            [1.0 if (packed_signs[d] >> p) & 1 else -1.0 for p in range(n_planes)]
+            for d in range(len(packed_signs))
+        ]
+    )
+    # bit weights laid out per table: table l owns planes [l*b, (l+1)*b)
+    weights = np.zeros((n_planes, n_tables), dtype=np.int64)
+    for l in range(n_tables):
+        for r in range(planes_per_table):
+            weights[l * planes_per_table + r, l] = 1 << r
+
+    @pandas_udf("array<int>")
+    def _buckets(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # batch_rows x dims
+        raw = mat @ signs[: mat.shape[1]]
+        proj = np.trunc(raw * 1e6 + np.copysign(0.5, raw)) / 1e6
+        keys = (proj > 0).astype(np.int64) @ weights  # batch_rows x n_tables
+        return pd.Series(list(keys.astype("int32")))
+
+    return _buckets

@@ -18,31 +18,52 @@ from ..functions import (
     l2_norm,
     lsh_bucket_udf,
     lsh_plane_signs,
+    lsh_table_buckets_udf,
     vec_double,
 )
 from ..registry import query, tables, track_persist
 
-_N_PLANES = 12
+# Multi-table (banded) sign-LSH configuration — the shipped default since
+# r6.  L tables of b planes each: candidate iff ALL b bits of ANY table
+# agree, so recall at angle theta is 1-(1-p^b)^L with p = 1-theta/pi — the
+# OR-of-tables trick that MinHash banding uses (dedup._lsh_candidates).
+# (b=4, L=12) was chosen by exact seed-fixed simulation on the driver
+# corpora: realized recall@5 of the true top-5 is 0.84 (sf0.01) / 0.85
+# (sf0.1) at a ~0.5 candidate fraction.  This synthetic corpus is the
+# sign-LSH worst case — true top-5 cosines average only ~0.38 while random
+# pairs sit at ~0.0, i.e. collision prob 0.62 vs 0.50, a 0.12 gap — so ANY
+# config reaching recall 0.8 pays ~half-corpus candidates here; on real
+# encoder embeddings (top-1 cos ~0.9 -> p ~0.8 vs 0.5) the identical
+# banding prunes orders of magnitude harder.  The old 12-plane single-probe
+# index (recall ~0 here, kept as similarity_lsh_single_probe) is the
+# cautionary baseline the recall audit exposes.
+_BAND_PLANES = 4
+_N_TABLES = 12
+_N_PLANES = _BAND_PLANES * _N_TABLES
+#: single-probe (pre-r6 default) plane count; lsh_plane_signs(48)[:12] ==
+#: lsh_plane_signs(12) (row-major generation from one seed), so the old
+#: operator's buckets are bit-identical to what it always computed.
+_SINGLE_PLANES = 12
 _PLANES = lsh_plane_signs(_N_PLANES)  # deterministic +-1 matrix, seed-fixed
-# The 12 plane signs of each dimension packed into ONE 12-bit int (bit p set
-# iff plane p's sign at that dim is +1): the per-row projection work becomes
-# a single array lookup + bit tests instead of 12 interpreted element_at
-# calls on 128-literal arrays (measured: the 12-lookup form made the index
-# 1.4x SLOWER than brute force at sf0.1).
+# All plane signs of each dimension packed into ONE int (bit p set iff
+# plane p's sign at that dim is +1): the per-row projection work becomes
+# a single array lookup + bit tests instead of interpreted element_at
+# calls on 128-literal arrays (measured: the per-lookup form made the index
+# 1.4x SLOWER than brute force at sf0.1).  48 bits < 63, exact in BIGINT.
 _PACKED_SIGNS = [
     sum((1 << p) for p in range(_N_PLANES) if _PLANES[p][d] > 0)
     for d in range(len(_PLANES[0]))
 ]
 
 
-def _lsh_topk_oracle(k: int = 5) -> str:
+def _lsh_single_probe_oracle(k: int = 5, n_planes: int = _SINGLE_PLANES) -> str:
     packed = ", ".join(str(v) for v in _PACKED_SIGNS)
     proj_cols = ",\n".join(
         f"round(SUM(x * (((pk >> {p}) & 1) * 2 - 1)), 6) AS proj{p}"
-        for p in range(_N_PLANES)
+        for p in range(n_planes)
     )
     bucket_expr = " + ".join(
-        f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(_N_PLANES)
+        f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(n_planes)
     )
     return f"""
     WITH e AS (
@@ -64,6 +85,61 @@ def _lsh_topk_oracle(k: int = 5) -> str:
     round(list_dot_product(q.qv, c.v)
     / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))), 3) AS cos_sim
     FROM q JOIN corpus c ON c.bucket = q.q_bucket AND c.vec_id <> q.q_id
+    ), ranked AS (
+    SELECT q_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+    )
+    SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {k}
+    ORDER BY q_id, cos_sim DESC, neighbor_id
+    """
+
+
+def _lsh_topk_oracle(
+    k: int = 5, b: int = _BAND_PLANES, n_tables: int = _N_TABLES
+) -> str:
+    """DuckDB twin of the multi-table banded sign-LSH index: same packed
+    plane literals, per-table bucket keys from each table's b sign bits,
+    candidates = DISTINCT pairs agreeing on any (table, bucket)."""
+    packed = ", ".join(str(v) for v in _PACKED_SIGNS)
+    n_planes = b * n_tables
+    proj_cols = ",\n".join(
+        f"round(SUM(x * (((pk >> {p}) & 1) * 2 - 1)), 6) AS proj{p}"
+        for p in range(n_planes)
+    )
+    bucket_exprs = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN proj{l * b + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(b)
+        )
+        + ")"
+        for l in range(n_tables)
+    )
+    return f"""
+    WITH e AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), ed AS (
+    SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), edp AS (
+    SELECT vec_id, x, ([{packed}])[pos] AS pk FROM ed
+    ), pr AS (
+    SELECT vec_id, {proj_cols} FROM edp GROUP BY vec_id
+    ), bk AS (
+    SELECT vec_id, [{bucket_exprs}] AS bks FROM pr
+    ), bkl AS (
+    SELECT vec_id, CAST(t.i AS INT) AS tbl, bks[CAST(t.i AS INT)] AS bucket
+    FROM bk CROSS JOIN range(1, {n_tables + 1}) t(i)
+    ), qb AS (
+    SELECT vec_id AS q_id, tbl, bucket FROM bkl WHERE vec_id % 100 = 0
+    ), cand AS (
+    SELECT DISTINCT qb.q_id, c.vec_id AS neighbor_id
+    FROM qb JOIN bkl c ON c.tbl = qb.tbl AND c.bucket = qb.bucket AND c.vec_id <> qb.q_id
+    ), scored AS (
+    SELECT cand.q_id, cand.neighbor_id,
+    round(list_dot_product(q.v, n.v)
+    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 3) AS cos_sim
+    FROM cand JOIN e q ON q.vec_id = cand.q_id JOIN e n ON n.vec_id = cand.neighbor_id
     ), ranked AS (
     SELECT q_id, neighbor_id, cos_sim,
     row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
@@ -130,18 +206,118 @@ def similarity_brute_topk(spark, sf_dir, *, k: int = 5):
     )
 
 
+def _topk_rerank(scored, k):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos_sim")
+        .orderBy("q_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
 @query("similarity_lsh_topk", oracle=_lsh_topk_oracle())
-def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = _N_PLANES):
-    """LSH-bucketed ANN: sign-random-projection signatures, candidates from
-    matching buckets only, exact cosine re-rank on candidates.
+def similarity_lsh_topk(
+    spark,
+    sf_dir,
+    *,
+    k: int = 5,
+    planes_per_table: int = _BAND_PLANES,
+    n_tables: int = _N_TABLES,
+):
+    """Multi-table (banded) sign-LSH ANN — the shipped default since r6:
+    L=12 tables of b=4 planes; a corpus vector is a candidate for a query
+    if ALL 4 sign bits of ANY table agree; exact cosine re-rank on the
+    deduplicated candidates.
+
+    Why multi-table: the engine's own audit (similarity_ann_recall) proved
+    the old 12-plane single-probe index recalls ~0 of the true top-5 on
+    this corpus (match had to agree on all 12 bits; P ~ (1-theta/pi)^12 is
+    tiny at these angles).  OR-ing L small tables is the standard fix — the
+    exact banding trick the MinHash path already uses
+    (dedup._lsh_candidates) — and lifts realized recall@5 to 0.84/0.85 at
+    sf0.01/sf0.1 (seed-fixed simulation AND the live audit agree).  On this
+    deliberately near-random corpus that recall costs a ~0.5 candidate
+    fraction (see the config comment at the top of this module); on real
+    encoder-embedding geometry the same L x b prunes orders of magnitude
+    harder with recall to spare.
+
+    Scale shape (unchanged from the single-table design, per stage):
+    - signatures: ONE Arrow-vectorized numpy matmul per batch emits all 48
+      projections and packs the 12 per-table keys (functions.
+      lsh_table_buckets_udf) — pure map, no explode/shuffle of vectors;
+    - the bucketed corpus is persisted: it IS the ANN index, probed by the
+      query side instead of re-hashing the corpus;
+    - candidates: posexplode the 12 keys (ids + ints only, never the
+      vectors) and equi-join on (table, bucket) against the broadcast
+      query buckets; dedup on (q_id, neighbor_id) — an id-pair shuffle;
+    - re-rank: broadcast the candidate id-pairs back onto the persisted
+      corpus (broadcast hash join — the corpus is never reshuffled), join
+      the tiny broadcast query vectors, score, per-query top-k window.
+
+    NOTE: the DuckDB oracle covers only the default (b=4, L=12); other
+    values are legal but run outside the parity gate."""
+    t = tables(spark, sf_dir)
+    # No fan_out: one vectorized matmul per Arrow batch (see single-probe
+    # note below); scan partitioning carries cluster parallelism.
+    emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
+    buckets_of = lsh_table_buckets_udf(_PACKED_SIGNS, planes_per_table, n_tables)
+    corpus = track_persist(
+        emb.select("vec_id", "v", buckets_of("v").alias("bks"))
+    )
+    blk = corpus.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
+    qblk = blk.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = (
+        F.broadcast(qblk)
+        .join(
+            blk,
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    qv = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(
+            corpus.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+        )
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
+        )
+    )
+    return _topk_rerank(scored, k)
+
+
+@query("similarity_lsh_single_probe", oracle=_lsh_single_probe_oracle())
+def similarity_lsh_single_probe(
+    spark, sf_dir, *, k: int = 5, n_planes: int = _SINGLE_PLANES
+):
+    """Single-table sign-LSH ANN (the pre-r6 default, kept as the recall
+    audit's cautionary baseline): one 12-bit signature per vector,
+    candidates from the single matching bucket only, exact cosine re-rank.
+    On this corpus it recalls ~0 of the true top-5 — which is precisely
+    what similarity_ann_recall now shows side-by-side against the banded
+    default and IVF.
 
     Hyperplanes are a seed-fixed +-1 literal matrix (functions.
-    lsh_plane_signs) shipped with the plan (12 x 128 ints — trivial) and
-    embedded identically in the DuckDB oracle, so bucket assignment is
-    verifiable cross-engine.  Projections are rounded to 6 decimals before
-    the sign test on BOTH engines so float summation order cannot flip a
-    bucket bit.  At 100 TB this replaces the full cross product with an
-    equi-join whose right side is ~corpus/2^planes per bucket.
+    lsh_plane_signs) shipped with the plan and embedded identically in the
+    DuckDB oracle, so bucket assignment is verifiable cross-engine.
+    Projections are rounded to 6 decimals before the sign test on BOTH
+    engines so float summation order cannot flip a bucket bit.
 
     The signature is ONE Arrow-vectorized numpy matmul per batch
     (functions.lsh_bucket_udf) — a pure map over the corpus with no
@@ -151,19 +327,8 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = _N_PLANES)
     (vec_id, dim, x) agg (right compute, but 2 extra corpus shuffles).
     """
     t = tables(spark, sf_dir)
-    # No fan_out here: the signature is one vectorized numpy matmul per
-    # Arrow batch (microseconds for thousands of rows), so repartitioning
-    # a small corpus to core count just buys 32 Python-worker round trips
-    # and a shuffle.  On a real cluster the scan's own partitioning carries
-    # the parallelism (fan_out would be a no-op there anyway), and the
-    # candidate scoring after the bucket equi-join is small BY DESIGN —
-    # that is what the index is for.
     emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
     bucket_of = lsh_bucket_udf(_PACKED_SIGNS, n_planes)
-    # The bucketed corpus IS the ANN index — materialize it so the query
-    # side probes the same structure instead of re-scanning and re-hashing
-    # the corpus (released by the registry on the next query build; at
-    # scale a resident index is precisely what an ANN service keeps).
     corpus = track_persist(
         emb.select("vec_id", "v", bucket_of("v").alias("bucket"))
     )
@@ -181,15 +346,7 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5, n_planes: int = _N_PLANES)
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "neighbor_id", "cos_sim")
-        .orderBy("q_id", F.desc("cos_sim"), "neighbor_id")
-    )
+    return _topk_rerank(scored, k)
 
 
 _IVF_ORACLE = """
@@ -405,13 +562,15 @@ def similarity_ivf_multiprobe(spark, sf_dir, *, k: int = 5, nprobe: int = 2):
 
 def _ann_recall_oracle() -> str:
     """SQL mirror of similarity_ann_recall: the brute-force ground truth
-    left-joined against each index's top-k picks, all three oracles nested
+    left-joined against each index's top-k picks, all four oracles nested
     as subqueries."""
     return f"""
     WITH brute AS (
     SELECT * FROM ({_BRUTE_ORACLE})
     ), lsh AS (
     SELECT * FROM ({_lsh_topk_oracle()})
+    ), lsh1 AS (
+    SELECT * FROM ({_lsh_single_probe_oracle()})
     ), ivf AS (
     SELECT * FROM ({_IVF_ORACLE})
     )
@@ -420,11 +579,15 @@ def _ann_recall_oracle() -> str:
     CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hit,
     round(CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
     / count(*), 4) AS lsh_recall,
+    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_single_hit,
+    round(CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 4) AS lsh_single_recall,
     CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS ivf_hit,
     round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
     / count(*), 4) AS ivf_recall
     FROM brute b
     LEFT JOIN lsh l ON b.q_id = l.q_id AND b.neighbor_id = l.neighbor_id
+    LEFT JOIN lsh1 s ON b.q_id = s.q_id AND b.neighbor_id = s.neighbor_id
     LEFT JOIN ivf i ON b.q_id = i.q_id AND b.neighbor_id = i.neighbor_id
     GROUP BY b.q_id
     ORDER BY b.q_id
@@ -433,33 +596,41 @@ def _ann_recall_oracle() -> str:
 
 @query("similarity_ann_recall", oracle=_ann_recall_oracle())
 def similarity_ann_recall(spark, sf_dir, *, k: int = 5):
-    """ANN-quality audit: per-query recall@k of BOTH approximate indexes
-    (sign-LSH buckets, IVF cells) against the brute-force ground truth —
-    the similarity-side twin of dedup_minhash_error, and the measurement
-    that picks the index and its parameters before a 100 TB corpus runs on
-    an approximate path only.  On this corpus it is decisive: the 12-plane
-    single-probe LSH config recalls ~0 of the true top-5 (match needs all
-    12 sign bits; P ~ (1-theta/pi)^12 is tiny at these angles) while IVF
-    cells recall ~0.36 — i.e. the label-clustered geometry wants
-    cell-based blocking, and the LSH path needs multiprobe or fewer planes
-    (both exist as operators).
+    """ANN-quality audit: per-query recall@k of the approximate indexes
+    (banded sign-LSH — the shipped default, the old single-probe sign-LSH,
+    and IVF cells) against the brute-force ground truth — the
+    similarity-side twin of dedup_minhash_error, and the measurement that
+    picks the index and its parameters before a 100 TB corpus runs on an
+    approximate path only.
+
+    The r5 run of this audit was decisive and drove the r6 index change:
+    the 12-plane single-probe config recalls ~0 of the true top-5 (match
+    needs all 12 sign bits; P ~ (1-theta/pi)^12 is tiny at these angles)
+    and IVF cells ~0.36, while the banded 12x4 default now recalls ~0.84 —
+    the audit keeps all three side-by-side so a config regression is
+    immediately visible.
 
     Ground truth and index results are all deterministic (cosine rounded
     to 3 decimals before ranking, ties broken by neighbor_id on both
-    engines), so recall itself is deterministic.  Cost shape: the three
+    engines), so recall itself is deterministic.  Cost shape: the four
     underlying pipelines as-is — the brute pass is the expensive leg and
     is exactly what a recall audit pays on a SAMPLE of queries at scale —
-    plus two joins on the tiny (query, neighbor) result sets."""
+    plus three joins on the tiny (query, neighbor) result sets."""
     truth = similarity_brute_topk(spark, sf_dir, k=k)
     lsh = similarity_lsh_topk(spark, sf_dir, k=k).select(
         F.col("q_id").alias("l_q_id"),
         F.col("neighbor_id").alias("l_neighbor_id"),
+    )
+    lsh1 = similarity_lsh_single_probe(spark, sf_dir, k=k).select(
+        F.col("q_id").alias("s_q_id"),
+        F.col("neighbor_id").alias("s_neighbor_id"),
     )
     ivf = similarity_ivf_topk(spark, sf_dir, k=k).select(
         F.col("q_id").alias("i_q_id"),
         F.col("neighbor_id").alias("i_neighbor_id"),
     )
     lsh_hit = F.sum(F.when(F.col("l_neighbor_id").isNotNull(), 1).otherwise(0))
+    lsh1_hit = F.sum(F.when(F.col("s_neighbor_id").isNotNull(), 1).otherwise(0))
     ivf_hit = F.sum(F.when(F.col("i_neighbor_id").isNotNull(), 1).otherwise(0))
     n_true = F.count(F.lit(1))
     return (
@@ -467,6 +638,12 @@ def similarity_ann_recall(spark, sf_dir, *, k: int = 5):
             lsh,
             (F.col("q_id") == F.col("l_q_id"))
             & (F.col("neighbor_id") == F.col("l_neighbor_id")),
+            "left",
+        )
+        .join(
+            lsh1,
+            (F.col("q_id") == F.col("s_q_id"))
+            & (F.col("neighbor_id") == F.col("s_neighbor_id")),
             "left",
         )
         .join(
@@ -480,6 +657,8 @@ def similarity_ann_recall(spark, sf_dir, *, k: int = 5):
             n_true.alias("n_true"),
             lsh_hit.alias("lsh_hit"),
             F.round(lsh_hit.cast("double") / n_true, 4).alias("lsh_recall"),
+            lsh1_hit.alias("lsh_single_hit"),
+            F.round(lsh1_hit.cast("double") / n_true, 4).alias("lsh_single_recall"),
             ivf_hit.alias("ivf_hit"),
             F.round(ivf_hit.cast("double") / n_true, 4).alias("ivf_recall"),
         )
