@@ -38,6 +38,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBES = [
     "dedup_exact_normalized",
     "dedup_ngram_jaccard",  # known pair-quadratic on self-similar corpora
+    "dedup_jaccard_partners",  # same exact pipeline, bounded per-doc output
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_simhash",
