@@ -311,6 +311,176 @@ def bpe_merge_pair_stats(spark, sf_dir):
     )
 
 
+#: rounds the iterated BPE trainer unrolls — the ONLY configuration its
+#: DuckDB oracle covers.
+BPE_ROUNDS = 4
+
+
+def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
+    """Unrolled k-round BPE-merge oracle: per round, count adjacent pairs,
+    pick the (freq DESC, a, b) winner, apply the greedy left-to-right merge
+    via the run-parity positional rule (see bpe_train_merges), repeat on
+    the merged sequences."""
+    ctes = [
+        r"""d0 AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
+    FROM documents WHERE n_chars > 0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"d{r - 1}"
+        ctes.append(
+            f"""p{r} AS (
+    SELECT u.a AS a, u.b AS b FROM (
+    SELECT unnest(list_transform(range(1, len(tok)),
+    i -> struct_pack(a := tok[i], b := tok[i+1]))) AS u
+    FROM {prev} WHERE len(tok) >= 2)
+    )"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS freq FROM p{r}
+    GROUP BY a, b ORDER BY freq DESC, a, b LIMIT 1
+    )"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""d{r} AS (
+    SELECT doc_id,
+    CASE WHEN len(tok) < 2 THEN tok ELSE
+    list_filter(list_transform(range(1, len(tok)+1), i ->
+    CASE WHEN i <= len(ms) AND ms[i] THEN a || b
+    WHEN i > 1 AND coalesce(ms[greatest(i-1, 1)], false) THEN NULL
+    ELSE tok[i] END), x -> x IS NOT NULL) END AS tok
+    FROM (
+    SELECT doc_id, tok, a, b,
+    list_transform(range(1, len(ip)+1), i ->
+    ip[i] AND ((i - coalesce(list_max(list_filter(range(1, len(ip)+1),
+    j -> j < i AND NOT ip[j])), 0)) % 2 = 1)) AS ms
+    FROM (
+    SELECT doc_id, tok, a, b,
+    list_transform(range(1, len(tok)), i -> tok[i] = a AND tok[i+1] = b) AS ip
+    FROM {prev} CROSS JOIN w{r}))
+    )"""
+            )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS pair_a, b AS pair_b, freq FROM w{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions + "\nORDER BY round"
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
+def bpe_train_merges(spark, sf_dir, *, rounds: int = BPE_ROUNDS):
+    """Iterated BPE tokenizer training (r5 verdict item 6): k unrolled
+    merge rounds emitting the actual merges table — per round, the chosen
+    pair and its corpus-wide adjacency count at selection time.
+    bpe_merge_pair_stats remains the single-round candidate ranking; this
+    operator CONSUMES a merge each round and re-counts on the merged
+    sequences, which is the real training loop (round 2's counts differ
+    from round 1's ranking because the winner's occurrences fused).
+
+    Greedy-merge semantics (both engines, identical array lambdas): BPE
+    applies a merge left-to-right without overlap, so in a run of equal
+    tokens (pair a==a) positions merge 1st-2nd, 3rd-4th, ... — expressed
+    positionally as: position i starts a merge iff pair (a,b) matches at i
+    AND the maximal consecutive match-run ending at i has odd length (for
+    a != b runs are length 1, so this reduces to the plain match test).
+    The merged token is the concatenation, per standard BPE.
+
+    Scale shape, per round: pair counting is the bpe_merge_pair_stats plan
+    (per-row transform, explode, ONE map-side-combined pair-keyed
+    aggregation); the winner is a 1-row relation BROADCAST onto the corpus
+    (never collected to the driver); merge application is a pure per-row
+    array map.  After each round the token relation is localCheckpoint'ed
+    — the cc_resolve pattern (pipeline.py) — so plan size stays constant
+    in k instead of nesting k aggregations, and each round's input is the
+    materialized previous round.  k is a fixed small constant (a real
+    32k-vocab trainer runs the same loop; rounds are sequential by nature
+    — the parallelism lives INSIDE each round's count/merge).
+
+    NOTE: the oracle covers only rounds=4 (BPE_ROUNDS).
+    """
+    t = tables(spark, sf_dir)
+    docs = (
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", tokens("text").alias("tok"))
+    )
+    per_round = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            docs.filter(F.size("tok") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tok)-1), "
+                        "i -> struct(element_at(tok, i) AS a, "
+                        "element_at(tok, i+1) AS b))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+        )
+        w = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), "a", "b")
+            .limit(1)
+            .localCheckpoint()  # 1 row; consumed by the merge AND the output
+        )
+        per_round.append(
+            w.select(
+                F.lit(r).alias("round"),
+                F.col("a").alias("pair_a"),
+                F.col("b").alias("pair_b"),
+                "freq",
+            )
+        )
+        if r < rounds:
+            merged = (
+                docs.crossJoin(F.broadcast(w.select("a", "b")))
+                .withColumn(
+                    "ip",
+                    F.expr(
+                        "CASE WHEN size(tok) >= 2 THEN "
+                        "transform(sequence(1, size(tok)-1), "
+                        "i -> element_at(tok, i) = a AND element_at(tok, i+1) = b) "
+                        "ELSE array() END"
+                    ),
+                )
+                .withColumn(
+                    "ms",
+                    F.expr(
+                        "transform(sequence(1, greatest(size(ip), 1)), i -> "
+                        "coalesce(try_element_at(ip, i), false) AND "
+                        "((i - coalesce(array_max(filter("
+                        "sequence(1, greatest(size(ip), 1)), "
+                        "j -> j < i AND NOT coalesce(try_element_at(ip, j), true)"
+                        ")), 0)) % 2 = 1))"
+                    ),
+                )
+                .select(
+                    "doc_id",
+                    F.expr(
+                        "CASE WHEN size(tok) < 2 THEN tok ELSE "
+                        "filter(transform(sequence(1, size(tok)), i -> "
+                        "CASE WHEN coalesce(try_element_at(ms, i), false) "
+                        "THEN concat(a, b) "
+                        "WHEN i > 1 AND "
+                        "coalesce(try_element_at(ms, greatest(i-1, 1)), false) "
+                        "THEN NULL "
+                        "ELSE element_at(tok, i) END), x -> x IS NOT NULL) END"
+                    ).alias("tok"),
+                )
+            )
+            docs = merged.localCheckpoint()
+    out = per_round[0]
+    for d in per_round[1:]:
+        out = out.unionAll(d)
+    return out.orderBy("round")
+
+
 @query(
     "text_tfidf_top_terms",
     oracle=r"""
