@@ -59,6 +59,7 @@ HEADLINE = [
     "left_outer_order_counts",
     "dedup_exact_normalized",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_partners",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_minhash_error",
@@ -66,6 +67,7 @@ HEADLINE = [
     "dedup_semdedup",
     "dedup_substring_spans",
     "text_bigram_lm_logprob",
+    "bpe_train_merges",
     "text_quality_score",
     "text_tfidf_top_terms",
     "text_pii_redact",

@@ -28,13 +28,17 @@ from .dedup import _simhash_oracle, dedup_simhash
 # Fixed propagation depth.  Each round is min-label PROPAGATION (one hop
 # along edges) followed by a pointer-doubling SHORTCUT (label <- label of
 # label), so the label horizon roughly DOUBLES per round — 6 rounds cover
-# cluster diameters ~2^6, not 6 (the plain-propagation version tripped its
+# cluster diameters ~2^k, not k (the plain-propagation version tripped its
 # own convergence guard at sf0.1, where the SimHash graph's largest
 # component has diameter > 6; the r5 scaling probe caught it).  Same
 # O(log d) convergence class as large-star/small-star (Kiveris et al.,
 # "Connected Components in MapReduce and Beyond") with the same per-round
-# shuffle shape (equi-joins on node id).
-_CC_ITERS = 6
+# shuffle shape (equi-joins on node id).  Since r6 the kernel iterates to
+# CONVERGENCE (the two-decade probe's ~sf1 corpus chained past every fixed
+# unroll tried — diameter > 510); _CC_MAX_ITERS is the runaway cap, not
+# the working depth: 16 doubling rounds cover diameter ~2^17, and normal
+# corpora early-exit in ~log2(diameter) rounds.
+_CC_MAX_ITERS = 16
 
 
 @query(
@@ -102,20 +106,31 @@ def dedup_connected_components(spark, sf_dir):
     )
 
 
-def cc_resolve(nodes, edges, iters: int = _CC_ITERS):
+def cc_resolve(nodes, edges, max_iters: int = _CC_MAX_ITERS):
     """Connected-components kernel: label every node in ``nodes`` (one
     ``doc_id`` column) with the MIN doc_id reachable over ``edges``
     (symmetric ``src``/``dst`` columns) — returned as
     DataFrame[doc_id, component].
 
-    ``iters`` (propagate + shortcut) rounds + ONE guarded propagate round:
-    if the guard round still changes any label (cluster diameter beyond
-    even the doubled horizon, > ~2^(iters+1)-2), assert_true fails the JOB
-    with a diagnosis instead of silently returning split components — the
-    runtime fixpoint signal the fixed unroll otherwise lacks.  Fixpoint of
-    the guarded round implies exactness: labels monotone non-increasing
-    ids of reachable nodes + equality across every (symmetric) edge =>
-    each component's constant label is its min member id."""
+    Iterates (propagate + pointer-double) rounds TO CONVERGENCE: after
+    each round a loop-control count checks whether any label changed and
+    the loop exits on the first all-quiet round — the GraphX/Pregel
+    control pattern (a scalar job per round, never a data collect; each
+    round already runs a job for its localCheckpoint, so the check adds
+    one cheap scan of the checkpointed n-row label table).  A zero-change
+    round implies exactness: the propagate step updated every node with
+    the min over its neighbors, so no change means labels are equal
+    across every (symmetric) edge, labels are monotone non-increasing ids
+    of reachable nodes, and each component's constant label is its min
+    member id.  r5 shipped a fixed unroll instead; the r6 two-decade
+    probe's ~sf1 corpus chained past every fixed depth tried (diameter >
+    510), which is exactly the failure mode a data-dependent diameter
+    always holds over a fixed plan.
+
+    ``max_iters`` is a runaway cap (2^17 diameter coverage at the
+    default), not the working depth; if it is ever exhausted, ONE final
+    guarded propagate round runs assert_true and fails the JOB with a
+    diagnosis instead of silently returning split components."""
     labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
 
     def _propagate(lbl):
@@ -132,17 +147,19 @@ def cc_resolve(nodes, edges, iters: int = _CC_ITERS):
             ).alias("component"),
         )
 
-    for _ in range(iters):
-        labels = _propagate(labels)
+    for _ in range(max_iters):
+        stepped = _propagate(labels)
         # pointer doubling: component <- component's current component.
         # Labels are always doc_ids present in the label table, so the
         # inner equi-join resolves every row; least() keeps monotonicity
         # explicit (comp[comp] <= comp already holds by construction).
-        ptr = labels.select(
+        ptr = stepped.select(
             F.col("doc_id").alias("c_id"), F.col("component").alias("c_comp")
         )
-        labels = labels.join(ptr, labels["component"] == ptr["c_id"]).select(
-            "doc_id", F.least("component", "c_comp").alias("component")
+        new = stepped.join(ptr, stepped["component"] == ptr["c_id"]).select(
+            "doc_id",
+            "prev_component",
+            F.least("component", "c_comp").alias("component"),
         )
         # Truncate lineage EVERY round: the self-join references labels
         # twice, so without a cut the logical plan doubles per round
@@ -153,14 +170,24 @@ def cc_resolve(nodes, edges, iters: int = _CC_ITERS):
         # iterative-algorithm norm (GraphX checkpoints the same way).  At
         # 100 TB use spark.sparkContext.setCheckpointDir + .checkpoint()
         # instead: reliable storage survives executor loss.
-        labels = labels.localCheckpoint(eager=True)
+        new = new.localCheckpoint(eager=True)
+        changed = (
+            new.filter(F.col("component") != F.col("prev_component"))
+            .limit(1)
+            .count()
+        )
+        labels = new.select("doc_id", "component")
+        if changed == 0:
+            # zero-change round => the propagate step was already a
+            # fixpoint => exact components (see docstring)
+            return labels
     labels = _propagate(labels)
     converged_guard = F.assert_true(
         F.col("prev_component") == F.col("component"),
         F.lit(
             "dedup_connected_components: label still changing after "
-            f"{iters} rounds (cluster diameter exceeds the unroll depth); "
-            "raise the iteration count or switch to large-star/small-star"
+            f"{max_iters} rounds (cluster diameter exceeds the doubled "
+            "horizon); raise max_iters or switch to large-star/small-star"
         ),
     )
     return (

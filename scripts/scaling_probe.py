@@ -58,6 +58,31 @@ PROBES = [
     "q3_shipping_priority",
 ]
 
+# The two-decade (sf0.01 -> ~sf1, 100x) subset: dedup/ANN/text operators
+# over the deterministic synthetic sf1 corpus (scripts/gen_sf1_corpus.py),
+# which contains documents + embeddings only.  Excluded: the TPC-H and
+# events queries (tables absent at sf1) and dedup_ngram_jaccard (its PAIR
+# output is the documented quadratic yardstick — its bounded partner form
+# dedup_jaccard_partners probes the same exact pipeline instead).
+SF1_PROBES = [
+    "dedup_exact_normalized",
+    "dedup_jaccard_partners",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_simhash",
+    "dedup_semdedup",
+    "dedup_substring_spans",
+    "dedup_connected_components",
+    "similarity_brute_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "text_tfidf_top_terms",
+    "text_bigram_lm_logprob",
+    "decontam_eval_overlap",
+    "multimodal_phash_dedup",
+    "pipeline_end_to_end",
+]
+
 
 def child(sf_dir: str) -> None:
     sys.path.insert(0, REPO)  # script dir, not repo root, is sys.path[0]
@@ -72,12 +97,14 @@ def child(sf_dir: str) -> None:
     spark = eng.spark
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
-    registry.tables(spark, sf_dir)
+    loaded = registry.tables(spark, sf_dir)
     spark.table("documents").count()  # settle page cache + JIT
-    spark.table("lineitem").count()
+    if "lineitem" in loaded:
+        spark.table("lineitem").count()
+    probes = PROBES if "lineitem" in loaded else SF1_PROBES
     jvm_gc = spark.sparkContext._jvm.System.gc
     out: dict[str, dict] = {}
-    for name in PROBES:
+    for name in probes:
         fn = registry.QUERIES[name]
         spark.catalog.clearCache()
         jvm_gc()
@@ -95,8 +122,16 @@ def child(sf_dir: str) -> None:
 def main() -> None:
     lo_dir = os.environ.get("SPARK_GRAFT_SCALING_LO", "/root/testdata/sf0.01")
     hi_dir = os.environ.get("SPARK_GRAFT_SCALING_HI", "/root/testdata/sf0.1")
+    xhi_dir = os.environ.get("SPARK_GRAFT_SCALING_XHI")
+    if xhi_dir is None and not os.environ.get("SPARK_GRAFT_SCALING_NO_SF1"):
+        # third decade: deterministic synthetic sf1 corpus, regenerated
+        # whenever the driver's sf0.1 source fingerprint changes
+        from gen_sf1_corpus import generate
+
+        xhi_dir = generate(hi_dir)
+    tiers = [d for d in (lo_dir, hi_dir, xhi_dir) if d]
     results = {}
-    for sf_dir in (lo_dir, hi_dir):
+    for sf_dir in tiers:
         env = dict(os.environ, SPARK_GRAFT_SCALING_SECTION=sf_dir)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -107,6 +142,7 @@ def main() -> None:
             raise SystemExit(f"child failed for {sf_dir}")
         results[sf_dir] = json.loads(proc.stdout.strip().splitlines()[-1])
     lo, hi = results[lo_dir], results[hi_dir]
+    xhi = results.get(xhi_dir, {}) if xhi_dir else {}
     table = {}
     for name in PROBES:
         t_lo, t_hi = lo[name]["sec"], hi[name]["sec"]
@@ -124,9 +160,21 @@ def main() -> None:
             "rows_exponent": row_alpha,
             "meaningful": t_hi >= 1.0,
         }
+        if name in xhi:
+            # two-decade (100x) per-decade exponents, sf0.01 -> sf1
+            t_x, r_x = xhi[name]["sec"], xhi[name]["rows"]
+            table[name]["sec_sf1"] = t_x
+            table[name]["rows_sf1"] = r_x
+            table[name]["time_exponent_2dec"] = (
+                round(math.log10(t_x / t_lo) / 2, 2) if t_lo > 0 else None
+            )
+            table[name]["rows_exponent_2dec"] = (
+                round(math.log10(r_x / r_lo) / 2, 2) if r_lo and r_x else None
+            )
     out = {
         "lo": lo_dir,
         "hi": hi_dir,
+        "xhi": xhi_dir,
         "loadavg_end": round(os.getloadavg()[0], 2),
         "probes": table,
     }
@@ -134,14 +182,21 @@ def main() -> None:
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     w = max(len(n) for n in PROBES)
-    print(f"{'operator':<{w}}  t(0.01)  t(0.1)  alpha  rows-alpha  flag")
+    print(
+        f"{'operator':<{w}}  t(0.01)  t(0.1)   t(1)  alpha  alpha/dec(100x)"
+        f"  rows-alpha  flag"
+    )
     for name, r in table.items():
         flag = ""
         if r["meaningful"] and r["time_exponent"] is not None and r["time_exponent"] > 1.3:
             flag = "SUPERLINEAR"
+        t_x = r.get("sec_sf1")
+        a2 = r.get("time_exponent_2dec")
         print(
             f"{name:<{w}}  {r['sec_sf0.01']:>7.3f}  {r['sec_sf0.1']:>6.3f}"
-            f"  {str(r['time_exponent']):>5}  {str(r['rows_exponent']):>10}  {flag}"
+            f"  {(f'{t_x:.2f}' if t_x is not None else '-'):>5}"
+            f"  {str(r['time_exponent']):>5}  {str(a2):>15}"
+            f"  {str(r['rows_exponent']):>10}  {flag}"
         )
     print(f"wrote {path}")
 
