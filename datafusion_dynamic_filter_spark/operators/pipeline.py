@@ -171,11 +171,14 @@ def cc_resolve(nodes, edges, max_iters: int = _CC_MAX_ITERS):
         # 100 TB use spark.sparkContext.setCheckpointDir + .checkpoint()
         # instead: reliable storage survives executor loss.
         new = new.localCheckpoint(eager=True)
-        changed = (
-            new.filter(F.col("component") != F.col("prev_component"))
-            .limit(1)
-            .count()
-        )
+        # Loop-control action — allowlisted by name in
+        # tests/test_registry_coverage.py: ONE scalar job per round over
+        # the just-checkpointed n-row label table (limit(1) short-circuits
+        # on the first changed row), the GraphX/Pregel convergence-probe
+        # norm.  It is control flow, not a data collect: no rows ever
+        # reach the driver, and the builder cannot terminate a
+        # data-dependent fixpoint loop without observing a scalar.
+        changed = new.filter(F.col("component") != F.col("prev_component")).limit(1).count()
         labels = new.select("doc_id", "component")
         if changed == 0:
             # zero-change round => the propagate step was already a

@@ -45,9 +45,21 @@ def test_two_clusters_and_singletons(spark):
         assert comp[singleton] == singleton
 
 
-def test_guard_trips_past_the_doubled_horizon(spark):
-    # diameter 299 > 2^(iters+1)-2 = 126: the guard must FAIL the job
-    # with the diagnosis, not return split components.
+def test_default_converges_past_the_old_fixed_horizon(spark):
+    # r6 changed the kernel from a fixed unroll to a run-to-convergence
+    # loop after the sf1 probe chained clusters past diameter 510.  Pin
+    # the new contract: diameter 299 (beyond the old doubled horizon of
+    # 126) converges to ONE component under the defaults.
+    nodes, edges = _path_graph(spark, 300)
+    out = cc_resolve(nodes, edges).collect()
+    assert len(out) == 300
+    assert all(r.component == 0 for r in out), "path split into pieces"
+
+
+def test_guard_trips_when_max_iters_is_exhausted(spark):
+    # The runaway cap still guards: with max_iters=2 the loop covers
+    # diameter ~2^3-2 = 6, so a diameter-299 path must FAIL the job with
+    # the diagnosis, not return split components.
     nodes, edges = _path_graph(spark, 300)
     with pytest.raises(Exception, match="still changing"):
-        cc_resolve(nodes, edges).collect()
+        cc_resolve(nodes, edges, max_iters=2).collect()

@@ -23,7 +23,19 @@ OPERATOR_MODULES = sorted(
 # module -> one query it is expected to register (existence proves import ran)
 _ACTION_RE = re.compile(r"\.(collect|first|toPandas|count|head|take)\(\)")
 _ALLOWED_ACTION_LINES = {
+    # The semantic point of prepared_repeat_execution: two executions of
+    # one statement, the first consumed inside the builder by design.
     ("relational.py", 'stmt.execute({"$1": 1}).collect()'),
+    # cc_resolve's convergence probe: one scalar job per round over the
+    # just-checkpointed n-row label table (limit(1) short-circuits), the
+    # GraphX/Pregel loop-control norm.  A data-dependent fixpoint loop
+    # cannot terminate without observing a scalar; no rows reach the
+    # driver.  Allowlisted by exact line so any OTHER action added to
+    # pipeline.py still trips the gate.
+    (
+        "pipeline.py",
+        'changed = new.filter(F.col("component") != F.col("prev_component")).limit(1).count()',
+    ),
 }
 
 
