@@ -342,8 +342,13 @@ def _exact_jaccard_pairs(spark, sf_dir, threshold: float = 0.8):
     sh_a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
     sh_b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     jac = F.round(token_jaccard(F.col("tok_a"), F.col("tok_b")), 4)
+    # No broadcast hint on cand: the candidate pair relation is UNBOUNDED
+    # (759k rows at sf0.1 on the self-similar corpus; GBs at 100 TB), and a
+    # hint bypasses autoBroadcastJoinThreshold — driver/executor OOM at
+    # scale (r6 verdict).  Plain equi-joins let AQE broadcast at runtime
+    # exactly when the measured size is small.
     return (
-        F.broadcast(cand)
+        cand
         .join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
@@ -537,13 +542,15 @@ def _minhash_verified_pairs(
         size_prune=size_prune,
     )
     # Exact verify only on candidates: join element arrays back in.  The
-    # candidate pair set is orders of magnitude smaller than the corpus, so
-    # broadcast IT — the array-bearing sig relation is consumed where the
-    # agg left it, never reshuffled.
+    # candidate pair set is orders of magnitude smaller than the corpus,
+    # but it is still UNBOUNDED (grows with the data), so no broadcast
+    # hint — AQE broadcasts it at runtime when the measured size is small
+    # (the sf0.1 case) and falls back to a shuffled equi-join when not
+    # (the 100 TB case), instead of a hint-forced OOM.
     sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("elems").alias("sh_a"))
     sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("elems").alias("sh_b"))
     return (
-        F.broadcast(cand)
+        cand
         .join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .withColumn("jaccard", F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
@@ -628,8 +635,10 @@ def dedup_minhash_error(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
     )
     est = F.round(agree / F.lit(float(num_hashes)), 4)
     jac = F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+    # cand is unbounded — no broadcast hint; AQE decides (see
+    # _minhash_verified_pairs).
     return (
-        F.broadcast(cand)
+        cand
         .join(side_a, "doc_a")
         .join(side_b, "doc_b")
         .withColumn("est_jaccard", est)

@@ -253,9 +253,10 @@ def similarity_lsh_topk(
     - candidates: posexplode the 12 keys (ids + ints only, never the
       vectors) and equi-join on (table, bucket) against the broadcast
       query buckets; dedup on (q_id, neighbor_id) — an id-pair shuffle;
-    - re-rank: broadcast the candidate id-pairs back onto the persisted
-      corpus (broadcast hash join — the corpus is never reshuffled), join
-      the tiny broadcast query vectors, score, per-query top-k window.
+    - re-rank: join the candidate id-pairs back onto the persisted corpus
+      with NO broadcast hint (the candidate relation is unbounded; AQE
+      broadcasts it at runtime when small, shuffles when not), join the
+      tiny broadcast query vectors, score, per-query top-k window.
 
     NOTE: the DuckDB oracle covers only the default (b=4, L=12); other
     values are legal but run outside the parity gate."""
@@ -287,8 +288,13 @@ def similarity_lsh_topk(
     qv = corpus.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    # cand is UNBOUNDED (~candidate-fraction x |corpus| x |query batch|,
+    # quadratic in corpus size on this geometry) — no broadcast hint, or
+    # the forced broadcast hits Spark's 8 GB hard limit / driver OOM at
+    # scale (r6 advice).  AQE broadcasts it at runtime when small; the
+    # bounded query-side relations (qblk, qv) keep their hints.
     scored = (
-        F.broadcast(cand)
+        cand
         .join(
             corpus.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
         )

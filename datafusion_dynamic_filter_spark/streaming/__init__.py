@@ -439,7 +439,11 @@ def streaming_static_join_dedup(spark, sf_dir):
     join against it, so each arriving document is flagged keeper-or-
     duplicate without rescanning the corpus.  This is how a 100 TB/day
     pipeline decontaminates/dedups its feed: the index is the standing
-    artifact, the stream only pays a broadcast-hash probe per micro-batch
+    artifact, the stream only pays a hash-probe of it per micro-batch
+    (auto-broadcast while the index's size estimate is small — no hint:
+    the index grows with the corpus, and a hint-forced broadcast of a
+    corpus-sized relation OOMs at scale; past the threshold Spark probes
+    it as a shuffled join per batch)
     (stream-static joins are stateless — nothing accumulates in the state
     store, unlike the stream-stream variant).
 
@@ -455,7 +459,7 @@ def streaming_static_join_dedup(spark, sf_dir):
     flagged = (
         _documents_stream(spark, sf_dir)
         .withColumn("fp", fingerprint_md5("text"))
-        .join(F.broadcast(index), "fp")
+        .join(index, "fp")
         .select(
             "doc_id",
             "keeper_doc_id",

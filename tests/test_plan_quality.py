@@ -197,6 +197,21 @@ def test_ngram_jaccard_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_exact_verify_joins_stay_equi_without_broadcast_hint(spark):
+    """r6 verdict: the candidate-pair relations feeding the exact-verify
+    joins are unbounded, so their F.broadcast hints were dropped in favor
+    of AQE.  The joins must STILL plan as equi-joins (hash or sort-merge —
+    AQE picks by measured size); a CartesianProduct/BNLJ here would mean
+    the join keys were lost with the hint."""
+    for q in ("dedup_lsh_verified", "dedup_jaccard_partners"):
+        df = registry.QUERIES[q](spark, SF_DIR)
+        df.count()  # finalize AQE so the inspected plan is the real one
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+        registry.release_persisted()
+
+
 def test_bpe_pair_stats_single_agg_shuffle(spark):
     """Pair counting = per-row transform + explode + one pair-keyed
     aggregation; top-k rides TakeOrdered, not a global sort shuffle."""

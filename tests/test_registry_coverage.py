@@ -71,6 +71,69 @@ def test_no_driver_side_actions_in_builders():
     )
 
 
+# Every F.broadcast() in the package must name a relation that is BOUNDED
+# independent of corpus size (dims, centroids, planes, query batches,
+# user-supplied params, 1-row scalars).  An unbounded relation behind a
+# broadcast hint bypasses autoBroadcastJoinThreshold and OOMs at scale —
+# the r6 verdict's scale-killer (candidate pair sets grew with the data).
+# Unbounded relations get NO hint: AQE/the static planner broadcast them
+# at runtime exactly when the measured/estimated size is small.
+_BROADCAST_RE = re.compile(r"F\.broadcast\(")
+_ALLOWED_BROADCAST_LINES = {
+    # prepared JOIN templates: the point-filtered side of the bound join —
+    # the dynamic-filter analogue; a point/param filter makes it small.
+    ("simple_parser.py", "df = F.broadcast(df)"),
+    ("simple_parser.py", "jdf = F.broadcast(jdf)"),
+    # user-supplied IN-list params: bounded by the param count.
+    ("simple_parser.py", 'df = df.join(F.broadcast(params_df), cond, "left_semi")'),
+    # ANN query batches / their bucket keys / their vectors: bounded by
+    # the probe batch, not the corpus.
+    ("operators/similarity.py", "F.broadcast(queries)"),
+    ("operators/similarity.py", "F.broadcast(qblk)"),
+    ("operators/similarity.py", '.join(F.broadcast(qv), "q_id")'),
+    ("operators/similarity.py", "cand = F.broadcast(queries).join("),
+    ("operators/similarity.py", "F.broadcast(probes)"),
+    # k-row centroid relations (IVF cells / semantic-dedup clusters).
+    ("operators/similarity.py", "emb.crossJoin(F.broadcast(centv))"),
+    ("operators/similarity.py", 'joined = emb.join(F.broadcast(cent), "label")'),
+    ("operators/dedup.py", "scored = emb.crossJoin(F.broadcast(cent)).select("),
+    # fixed 4-row histogram bin relation.
+    (
+        "operators/events.py",
+        "e.join(F.broadcast(bins), (e.value >= bins.lo) & (e.value < bins.hi))",
+    ),
+    # eval-suite n-grams: bounded by the benchmark suite, not the corpus.
+    ("operators/curation.py", '.join(F.broadcast(eval_grams), "g")'),
+    # TPC-H dims (25-row nation, 5-row region).
+    (
+        "operators/relational.py",
+        '.join(F.broadcast(t["nation"]), t["customer"].c_nationkey == t["nation"].n_nationkey)',
+    ),
+    (
+        "operators/relational.py",
+        '.join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)',
+    ),
+    # 1-row relations: the BPE round winner and a COUNT(*) scalar.
+    ("operators/text.py", 'docs.crossJoin(F.broadcast(w.select("a", "b")))'),
+    ("operators/text.py", ".crossJoin(F.broadcast(n))"),
+}
+
+
+def test_no_unbounded_broadcast_hints():
+    offenders = []
+    for path in sorted(PKG.rglob("*.py")):
+        rel = str(path.relative_to(PKG))
+        for lineno, line in enumerate(path.read_text().splitlines(), 1):
+            if _BROADCAST_RE.search(line):
+                if (rel, line.strip()) not in _ALLOWED_BROADCAST_LINES:
+                    offenders.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not offenders, (
+        "F.broadcast() of a relation not in the bounded-relation allowlist "
+        "(hints bypass autoBroadcastJoinThreshold; unbounded relations must "
+        "be left to AQE): " + "; ".join(offenders)
+    )
+
+
 def test_oracle_coverage_ratio():
     """Nearly all registered queries must carry a DuckDB oracle; the few
     genuinely non-SQL-expressible ones are named here explicitly."""
