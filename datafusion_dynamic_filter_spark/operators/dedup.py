@@ -14,6 +14,8 @@ chosen for 100 TB operation —
 
 from __future__ import annotations
 
+import inspect
+
 from pyspark.sql import functions as F
 
 from ..functions import (
@@ -1025,3 +1027,19 @@ def dedup_substring_spans(
         )
         .orderBy("doc_id")
     )
+
+
+# The promised drive-by-change guard (see the SPAN_* constants' comment):
+# the registry invokes the signature DEFAULTS, and the DuckDB oracle above
+# hardcodes 40/8/8, so both must equal the constants — checked when the
+# registered form is built (module import), not at call time.
+_span_sig = inspect.signature(dedup_substring_spans)
+assert (
+    _span_sig.parameters["span_len"].default,
+    _span_sig.parameters["gram"].default,
+    _span_sig.parameters["modulus"].default,
+) == (SPAN_LEN, SPAN_GRAM, SPAN_MODULUS) == (40, 8, 8), (
+    "dedup_substring_spans defaults diverged from the oracle-covered "
+    "constants (40, 8, 8) — update the DuckDB oracle SQL in lockstep"
+)
+del _span_sig

@@ -391,8 +391,11 @@ def bpe_train_merges(spark, sf_dir, *, rounds: int = BPE_ROUNDS):
     Scale shape, per round: pair counting is the bpe_merge_pair_stats plan
     (per-row transform, explode, ONE map-side-combined pair-keyed
     aggregation); the winner is a 1-row relation BROADCAST onto the corpus
-    (never collected to the driver); merge application is a pure per-row
-    array map.  After each round the token relation is localCheckpoint'ed
+    (never collected to the driver); merge application is per-row array
+    work — a linear match map, ONE aggregate() left fold for the
+    non-overlap mask (O(n) lambda evaluations per doc; the r6-advice fix
+    for a per-position filter that was O(n^2)), and a linear emit map.
+    After each round the token relation is localCheckpoint'ed
     — the cc_resolve pattern (pipeline.py) — so plan size stays constant
     in k instead of nesting k aggregations, and each round's input is the
     materialized previous round.  k is a fixed small constant (a real
@@ -450,14 +453,21 @@ def bpe_train_merges(spark, sf_dir, *, rounds: int = BPE_ROUNDS):
                     ),
                 )
                 .withColumn(
+                    # ONE left fold (aggregate) over ip — O(n) lambda
+                    # evaluations per doc — via the greedy recurrence
+                    # ms[i] = ip[i] AND NOT ms[i-1]: within a consecutive
+                    # match-run ms alternates T,F,T,..., i.e. exactly
+                    # "run length ending at i is odd" (the docstring
+                    # semantics).  Replaces a per-position filter over all
+                    # prior positions that was O(n^2) lambda evals per doc
+                    # (r6 advice).  array_append still copies the
+                    # accumulator per step — a flat memcopy, the fold's
+                    # only residual super-linearity.
                     "ms",
                     F.expr(
-                        "transform(sequence(1, greatest(size(ip), 1)), i -> "
-                        "coalesce(try_element_at(ip, i), false) AND "
-                        "((i - coalesce(array_max(filter("
-                        "sequence(1, greatest(size(ip), 1)), "
-                        "j -> j < i AND NOT coalesce(try_element_at(ip, j), true)"
-                        ")), 0)) % 2 = 1))"
+                        "aggregate(ip, cast(array() as array<boolean>), "
+                        "(acc, x) -> array_append(acc, "
+                        "x AND NOT coalesce(try_element_at(acc, -1), false)))"
                     ),
                 )
                 .select(
