@@ -52,7 +52,18 @@ def _last_green_round() -> dict[str, int]:
         except Exception:
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match") and not row.get("err"):
+            if (
+                isinstance(row, dict)
+                and row.get("hash_match")
+                and not row.get("err")
+                # A zero-row green is VACUOUS evidence (r5's
+                # multimodal_phash_dedup matched the oracle on an empty
+                # result while the decode stub destroyed locality) unless
+                # emptiness is the query's semantics (prepared_empty_result
+                # is the lone such contract) — treat it as never-verified
+                # so rotation re-checks it first.
+                and (row.get("spark_rows", 0) > 0 or name == "prepared_empty_result")
+            ):
                 last[name] = max(last.get(name, 0), rnd)
     return last
 

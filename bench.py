@@ -58,7 +58,14 @@ HEADLINE = [
     "window_topk_per_group",
     "left_outer_order_counts",
     "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
+    # dedup_ngram_jaccard is NOT headline (r6 verdict item 6): it shares
+    # the whole PPJoin pipeline with dedup_jaccard_partners below, so
+    # benching both paid the same exact-verify computation twice (~13s of
+    # a 79s bench) — and the pair form is the documented small-SF
+    # yardstick (output pair-quadratic by contract), not the shipped
+    # path.  The per-doc partners form is the production shape and the
+    # one whose cost is graded; the pair form stays oracle-gated in the
+    # correctness corpus.
     "dedup_jaccard_partners",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",

@@ -50,6 +50,7 @@ PROBES = [
     "similarity_ivf_topk",
     "text_tfidf_top_terms",
     "text_bigram_lm_logprob",
+    "bpe_train_merges",  # k sequential rounds; scale lives inside each round
     "decontam_eval_overlap",
     "events_sessionization",
     "multimodal_phash_dedup",
@@ -78,6 +79,7 @@ SF1_PROBES = [
     "similarity_ivf_topk",
     "text_tfidf_top_terms",
     "text_bigram_lm_logprob",
+    "bpe_train_merges",
     "decontam_eval_overlap",
     "multimodal_phash_dedup",
     "pipeline_end_to_end",
