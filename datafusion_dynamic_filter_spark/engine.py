@@ -45,6 +45,16 @@ def default_spark_conf(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Runtime size gate for broadcast decisions (r7): candidate-pair
+        # relations in the exact-verify dedup/ANN joins carry NO broadcast
+        # hint (they are unbounded — a hint would force-OOM at scale), so
+        # whether they broadcast is AQE's call on the MEASURED size.  The
+        # 10 MB default made the 759k-pair sf0.1 verify join fall back to
+        # a sort-merge shuffle of the token arrays (measured 4-5x slower);
+        # 64 MB is well within executor memory at any tier and still
+        # orders of magnitude below the 8 GB broadcast hard limit, so
+        # big-at-scale relations keep falling back to shuffled equi-joins.
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
         "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
         "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",

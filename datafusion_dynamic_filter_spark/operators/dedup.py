@@ -325,6 +325,21 @@ def _exact_jaccard_pairs(spark, sf_dir, threshold: float = 0.8):
             F.explode(F.slice("sorted_tok", F.lit(1), plen)).alias("ptok"),
         )
     )
+    # Two fixes the r7 AQE probe forced (measured 26s -> ~2s at sf0.1):
+    # (1) AQE's bytes-based partition coalescing shrank the tiny
+    #     by_rarity shuffle to ONE partition and the whole compute-dense
+    #     chain hanging off it (prefix explode, candidate self-join,
+    #     dedup, array-Jaccard verify) stage-fused onto that one core.
+    #     Bytes are the wrong proxy when compute-per-byte is extreme, so
+    #     pin the prefix relation to cluster parallelism with an explicit
+    #     numbered repartition — REPARTITION_BY_NUM is exempt from AQE
+    #     coalescing, and on a real cluster defaultParallelism is the
+    #     executor-core count, exactly the fan-out wanted.
+    # (2) pref feeds BOTH sides of the candidate self-join (and was being
+    #     recomputed per side); persist it once.
+    pref = track_persist(
+        pref.repartition(spark.sparkContext.defaultParallelism)
+    )
     a = pref.alias("a")
     b = pref.alias("b")
     scale = int(threshold * 10)
@@ -336,7 +351,10 @@ def _exact_jaccard_pairs(spark, sf_dir, threshold: float = 0.8):
         & (F.col("a.ntok") * 10 >= F.col("b.ntok") * scale)
         & (F.col("b.ntok") * 10 >= F.col("a.ntok") * scale)
     )
-    cand = (
+    cand = track_persist(
+        # persisted: consumed by the verify join below, and callers like
+        # dedup_jaccard_partners read the verified-pair relation twice
+        # (symmetrize) — the cache stops the whole PPJoin re-running.
         a.join(b, pair_cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
@@ -397,7 +415,10 @@ def dedup_jaccard_partners(spark, sf_dir, *, threshold: float = 0.8):
     and the argmax partner via max(struct(jaccard, -partner)) — max on
     jaccard first, then on the negated id, i.e. ties break to the LOWEST
     partner id, matching the oracle's row_number ordering."""
-    pairs = _exact_jaccard_pairs(spark, sf_dir, threshold)
+    # Persisted: the symmetrize below reads the verified-pair relation
+    # TWICE (one select per pair direction) — without the cache the
+    # verify join runs twice.
+    pairs = track_persist(_exact_jaccard_pairs(spark, sf_dir, threshold))
     sym = pairs.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("partner"),
