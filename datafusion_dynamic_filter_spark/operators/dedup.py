@@ -796,11 +796,54 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     )
 
 
-@query(
-    "dedup_semdedup",
-    oracle="""
+#: SemDeDup cell-refinement parameters (r7): cells are subdivided by a
+#: 6-plane sign-LSH sub-bucket whose COUNT derives from the corpus size
+#: inside the plan — n_sub = clamp(n_vecs // (250 * n_cells), 1, 64) —
+#: so per-cell pair work stays ~bounded as the corpus grows (fixed cells
+#: went pair-quadratic: the r7 two-decade probe measured alpha/decade
+#: 1.06, 135 s at ~sf1).  At the driver SFs (<= 2,500 vecs per the
+#: formula) n_sub = 1 and the operator is byte-identical to the plain
+#: per-label form.
+_SEM_TARGET_CELL = 250
+_SEM_SUB_PLANES = 6
+_SEM_MAX_SUB = 64
+
+
+def _sem_packed_signs():
+    from ..functions import lsh_plane_signs
+
+    planes = lsh_plane_signs(_SEM_SUB_PLANES)
+    return [
+        sum((1 << p) for p in range(_SEM_SUB_PLANES) if planes[p][d] > 0)
+        for d in range(len(planes[0]))
+    ]
+
+
+def _semdedup_oracle(threshold: float = 0.3) -> str:
+    packed = ", ".join(str(v) for v in _sem_packed_signs())
+    proj_cols = ",\n".join(
+        f"round(SUM(x * (((pk >> {p}) & 1) * 2 - 1)), 6) AS proj{p}"
+        for p in range(_SEM_SUB_PLANES)
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN proj{p} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_SEM_SUB_PLANES)
+    )
+    return f"""
     WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), nn AS (
+    SELECT greatest(1, least({_SEM_MAX_SUB},
+    count(*) // ({_SEM_TARGET_CELL} * count(DISTINCT label)))) AS n_sub
+    FROM embeddings
+    ), ed AS (
+    SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v
+    ), edp AS (
+    SELECT vec_id, x, ([{packed}])[pos] AS pk FROM ed
+    ), pr AS (
+    SELECT vec_id, {proj_cols} FROM edp GROUP BY vec_id
+    ), sb AS (
+    SELECT pr.vec_id, ({sig_expr}) % nn.n_sub AS sub FROM pr CROSS JOIN nn
     ), bydim AS (
     SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings
     ), cent AS (
@@ -813,24 +856,27 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(cv.c, cv.c))), 4) AS cc
     FROM v CROSS JOIN centv cv
     ), assigned AS (
-    SELECT vec_id, cell, cc, v FROM (
+    SELECT t.vec_id, t.cell, t.cc, t.v, sb.sub FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cell) AS rn
-    FROM scored) t WHERE rn = 1
+    FROM scored) t JOIN sb ON sb.vec_id = t.vec_id WHERE t.rn = 1
     ), pairs AS (
     SELECT a.cell AS cell, a.vec_id AS va, b.vec_id AS vb, a.cc AS cca, b.cc AS ccb,
     round(list_dot_product(a.v, b.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cs
-    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.sub = b.sub AND a.vec_id < b.vec_id
     ), drops AS (
     SELECT DISTINCT cell,
     CASE WHEN cca > ccb OR (cca = ccb AND va > vb) THEN va ELSE vb END AS vec_id
-    FROM pairs WHERE cs >= 0.3
+    FROM pairs WHERE cs >= {threshold}
     )
     SELECT d.cell AS cell, d.vec_id AS vec_id, a.cc AS centroid_cos
     FROM drops d JOIN assigned a ON d.vec_id = a.vec_id
     ORDER BY cell, vec_id
-    """,
-)
+    """
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
 def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     k-means-like cells, then near-duplicate pruning WITHIN each cell only.
@@ -844,9 +890,23 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
        window; cosine rounded to 4dp before ranking so cross-engine float
        last-ulp noise cannot flip the argmax, tie -> lowest cell id).
        No shuffle of the corpus — a broadcast nested-loop over k rows.
-    3. Intra-cell pairs: equi-join on the assigned cell (never all-pairs;
-       cell sizes are ~n/k, so pair work is n^2/k bounded), cosine >=
-       threshold marks a duplicate pair.
+    3. Intra-cell pairs: equi-join on (assigned cell, LSH sub-bucket) —
+       never all-pairs.  With FIXED cells, cell density grows linearly
+       with the corpus and intra-cell pair work quadratically: the r7
+       two-decade probe measured exactly that (alpha/decade 1.06, 135 s
+       at ~sf1).  Real SemDeDup keeps cell size constant by growing k
+       with n; the declarative analog here subdivides each cell by a
+       6-plane sign-LSH sub-bucket (seed-fixed literal planes, the
+       similarity-module machinery) taken modulo n_sub, where n_sub =
+       clamp(n_vecs // (250 * n_cells), 1, 64) is computed INSIDE the
+       plan from a 1-row count relation — no driver action, and the
+       DuckDB oracle evaluates the identical formula.  Near-duplicate
+       vectors agree on sign bits with high probability, so refinement
+       costs little recall (the k-means-granularity trade the paper
+       already makes); at the driver SFs n_sub = 1 and the operator is
+       byte-identical to the plain per-label form.  Join-key cardinality
+       (cell x sub) also GROWS with the corpus, keeping the pair join's
+       shuffle parallel at scale instead of capped at 10 label keys.
     4. Keeper policy, per the paper: within a duplicate pair, DROP the
        member MORE similar to its centroid (keeping low-centroid-similarity
        exemplars preserves diversity); ties drop the higher vec_id.
@@ -860,8 +920,39 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     from ..functions import cosine, vec_double
 
     t = tables(spark, sf_dir)
-    emb = t["embeddings"].select(
-        "vec_id", "label", vec_double("embedding").alias("v")
+    packed = _sem_packed_signs()
+    packed_lits = ", ".join(str(x) for x in packed)
+    projs = [
+        F.expr(
+            f"round(aggregate(zip_with(v, slice(array({packed_lits}), 1, size(v)), "
+            f"(x, pk) -> x * (CAST((shiftright(pk, {p}) & 1) * 2 - 1 AS DOUBLE))), "
+            "0D, (acc, e) -> acc + e), 6)"
+        )
+        for p in range(_SEM_SUB_PLANES)
+    ]
+    sig = sum(
+        (F.when(projs[p] > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        for p in range(_SEM_SUB_PLANES)
+    )
+    stats = t["embeddings"].agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.countDistinct("label").alias("n_cells"),
+    )
+    n_sub = F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(_SEM_MAX_SUB),
+            F.floor(
+                F.col("n_vecs") / (F.lit(_SEM_TARGET_CELL) * F.col("n_cells"))
+            ),
+        ),
+    )
+    emb = (
+        t["embeddings"]
+        .select("vec_id", "label", vec_double("embedding").alias("v"))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("sub", F.pmod(sig, n_sub).cast("long"))
+        .drop("n_vecs", "n_cells")
     )
     by_dim = emb.select("label", F.posexplode("v").alias("dim", "x"))
     cent = (
@@ -877,6 +968,7 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "v",
+        "sub",
         "cell",
         F.round(cosine(F.col("v"), F.col("c")), 4).alias("cc"),
     )
@@ -884,12 +976,14 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     assigned = track_persist(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cell", "cc", "v")
+        .select("vec_id", "cell", "sub", "cc", "v")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.sub") == F.col("b.sub"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
     ).select(
         F.col("a.cell").alias("cell"),
         F.col("a.vec_id").alias("va"),

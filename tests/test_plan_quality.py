@@ -357,12 +357,15 @@ def test_semdedup_broadcasts_centroids_pairs_equi_join(spark):
     # the persisted assignment feeds both pair-join sides and the final
     # centroid_cos join — three cache reads, zero recomputes
     assert plan.count("InMemoryTableScan") >= 3, plan
-    # The ONLY nested-loop join is the k-row centroid assignment inside the
-    # cached subtree: its plan text reprints once per cache-read site, so
-    # at top level (outside InMemoryRelation) there must be none.
-    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
-        "InMemoryTableScan"
-    ), plan
+    # The only nested-loop joins are the bounded broadcasts inside the
+    # cached assignment subtree (k-row centroids + the 1-row corpus-stats
+    # relation feeding the n_sub formula): the subtree's plan text
+    # reprints once per cache-read site, so the BNLJ count must be an
+    # exact per-site multiple — a BNLJ at top level (outside
+    # InMemoryRelation) would break the multiplicity.
+    n_sites = plan.count("InMemoryTableScan")
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_sites > 0 and n_bnlj % n_sites == 0, plan
 
 
 def test_substring_spans_persists_anchored_spans(spark):

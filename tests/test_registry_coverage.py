@@ -97,6 +97,9 @@ _ALLOWED_BROADCAST_LINES = {
     ("operators/similarity.py", "emb.crossJoin(F.broadcast(centv))"),
     ("operators/similarity.py", 'joined = emb.join(F.broadcast(cent), "label")'),
     ("operators/dedup.py", "scored = emb.crossJoin(F.broadcast(cent)).select("),
+    # 1-row corpus-stats relation (count + label count) feeding the
+    # declarative n_sub formula in dedup_semdedup.
+    ("operators/dedup.py", ".crossJoin(F.broadcast(stats))"),
     # fixed 4-row histogram bin relation.
     (
         "operators/events.py",
