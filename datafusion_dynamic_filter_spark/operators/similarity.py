@@ -284,6 +284,12 @@ def similarity_lsh_topk(
         )
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
         .dropDuplicates(["q_id", "neighbor_id"])
+        # Pin the re-rank's parallelism: the id-pair relation is tiny in
+        # BYTES, so AQE's byte-based coalescing shrinks its shuffle read
+        # to ~1 partition and the downstream cosine re-rank serializes
+        # onto that read (the PPJoin lesson, dedup.py) — a numbered
+        # repartition is exempt from AQE coalescing.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     qv = corpus.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
