@@ -184,7 +184,10 @@ def test_lsh_similarity_no_cartesian_no_corpus_reshuffle(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert shuffle_count(df) <= 3, executed_plan(df)
+    # candidate dedup + the r7 parallelism-pinning repartition of the
+    # id-pair relation (AQE-coalesce exemption) + rank/sort: all keyed or
+    # round-robin on ids only — never the vectors.
+    assert shuffle_count(df) <= 4, executed_plan(df)
 
 
 def test_ngram_jaccard_is_equi_join(spark):
