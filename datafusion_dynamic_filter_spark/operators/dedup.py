@@ -1111,7 +1111,12 @@ def dedup_substring_spans(
     values are legal but run outside the parity gate.
     """
     t = tables(spark, sf_dir)
-    docs = t["documents"].select(
+    # fan_out (r7): the per-character md5 anchor transform is the
+    # operator's dominant cost and the compressed documents file is a
+    # single scan split even at ~sf1 (5.9 MB < maxPartitionBytes) — the
+    # whole transform was running on ONE core.  On a real multi-split
+    # table fan_out is a no-op.
+    docs = fan_out(t["documents"]).select(
         "doc_id", F.lower(F.trim("text")).alias("txt")
     ).where(F.length("txt") >= span_len)
     spans = docs.select(
