@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions import distinct_tokens, h60, h60_sql, tokens, word_shingles
+from ..functions import distinct_tokens, fan_out, h60, h60_sql, tokens, word_shingles
 from ..registry import query, tables
 from .dedup import _RAWTOK_SQL, _SHINGLES_SQL, _TOK_SQL
 
@@ -62,7 +62,10 @@ def decontam_eval_overlap(spark, sf_dir):
     equi-join on the shingle key (linear, well-distributed — shingle keys
     are near-unique).
     """
-    d = tables(spark, sf_dir)["documents"].select(
+    # fan_out: the shingle explode is compute-dense and the compressed
+    # documents file is one scan split even at ~sf1 (r7 probe); no-op on
+    # real multi-split tables.
+    d = fan_out(tables(spark, sf_dir)["documents"]).select(
         "doc_id",
         "lang",
         "text",
