@@ -159,7 +159,7 @@ def _minhash_error_oracle(
     """
 
 
-def _simhash_oracle(max_hamming: int = 3) -> str:
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     mask = (1 << SIMHASH_CHUNK_BITS) - 1
     return f"""
     WITH tk AS (
@@ -183,7 +183,30 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
     FROM chunks a JOIN chunks b
     ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
-    ORDER BY doc_a, doc_b
+    """
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    return _simhash_pairs_sql(max_hamming) + "ORDER BY doc_a, doc_b"
+
+
+def _simhash_partners_oracle(max_hamming: int = 3) -> str:
+    return f"""
+    WITH pairs AS ({_simhash_pairs_sql(max_hamming)}),
+    sym AS (
+    SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs
+    ), ranked AS (
+    SELECT doc_id, partner, hamming,
+    row_number() OVER (PARTITION BY doc_id ORDER BY hamming, partner) AS rn,
+    count(*) OVER (PARTITION BY doc_id) AS n_partners
+    FROM sym
+    )
+    SELECT doc_id, CAST(n_partners AS BIGINT) AS n_partners,
+    partner AS best_partner, hamming AS best_hamming
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
     """
 
 
@@ -738,7 +761,17 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
     Pigeonhole: any pair with Hamming distance <= 3 shares at least one of
     the four 15-bit chunks, so blocking on chunks finds all such pairs with
     an equi-join instead of a cross join.
+
+    Output is the PAIR relation — quadratic rows on a self-similar corpus
+    (measured rows alpha ~2.0, SCALING.json); the bounded per-doc form a
+    100 TB run writes is dedup_simhash_partners below.
     """
+    return _simhash_pairs(spark, sf_dir, max_hamming).orderBy("doc_a", "doc_b")
+
+
+def _simhash_pairs(spark, sf_dir, max_hamming: int = 3):
+    """The SimHash chunk-blocked pipeline (see dedup_simhash) returning the
+    unordered pair relation (doc_a < doc_b, hamming)."""
     t = tables(spark, sf_dir)
     # No size(tok)>0 filter: split() of any non-NULL string yields >= 1
     # element, so the filter is vacuous — and because Catalyst inlines
@@ -792,7 +825,43 @@ def dedup_simhash(spark, sf_dir, *, max_hamming: int = 3):
             hamming64(F.col("a.sig"), F.col("b.sig")).cast("int").alias("hamming"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("dedup_simhash_partners", oracle=_simhash_partners_oracle())
+def dedup_simhash_partners(spark, sf_dir, *, max_hamming: int = 3):
+    """Bounded-output production form of SimHash near-dup detection (the
+    dedup_jaccard_partners pattern applied to the Hamming family): per
+    involved document, how many partners sit at Hamming <= max_hamming and
+    the single closest partner (min Hamming, ties to the lowest partner
+    id — matching the oracle's row_number ordering).
+
+    Same chunk-blocked pipeline as dedup_simhash — identical recall — but
+    the EMITTED relation is one row per involved doc (rows alpha ~1 by
+    construction) instead of the pair list that goes quadratic on a
+    self-similar corpus (rows alpha ~2.0 measured).  The pair relation is
+    consumed immediately by ONE map-side-combinable groupBy(doc_id) after
+    symmetrization; argmin partner via min(struct(hamming, partner))."""
+    # Persisted: the symmetrize below reads the pair relation twice.
+    pairs = track_persist(_simhash_pairs(spark, sf_dir, max_hamming))
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("partner"), "hamming"
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner"), "hamming"
+        )
+    )
+    best = F.min(F.struct(F.col("hamming").alias("h"), F.col("partner").alias("p")))
+    return (
+        sym.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_partners"), best.alias("best"))
+        .select(
+            "doc_id",
+            "n_partners",
+            F.col("best.p").alias("best_partner"),
+            F.col("best.h").alias("best_hamming"),
+        )
+        .orderBy("doc_id")
     )
 
 

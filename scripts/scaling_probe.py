@@ -42,6 +42,7 @@ PROBES = [
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_simhash",
+    "dedup_simhash_partners",  # bounded per-doc form: rows alpha ~1
     "dedup_semdedup",
     "dedup_substring_spans",
     "dedup_connected_components",
@@ -71,6 +72,7 @@ SF1_PROBES = [
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_simhash",
+    "dedup_simhash_partners",
     "dedup_semdedup",
     "dedup_substring_spans",
     "dedup_connected_components",
