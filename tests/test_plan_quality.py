@@ -200,6 +200,17 @@ def test_ngram_jaccard_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_compute_dense_chains_pin_parallelism(spark):
+    """r7 regression gate: AQE's bytes-based coalescing serialized the
+    PPJoin and ANN re-rank chains onto one core (tiny-by-bytes shuffle
+    reads).  The fix is an explicit numbered repartition (exempt from AQE
+    coalescing) — its REPARTITION_BY_NUM exchange must stay in the plan."""
+    for q in ("dedup_ngram_jaccard", "similarity_lsh_topk"):
+        df = registry.QUERIES[q](spark, SF_DIR)
+        assert "REPARTITION_BY_NUM" in executed_plan(df), (q, executed_plan(df))
+        registry.release_persisted()
+
+
 def test_exact_verify_joins_stay_equi_without_broadcast_hint(spark):
     """r6 verdict: the candidate-pair relations feeding the exact-verify
     joins are unbounded, so their F.broadcast hints were dropped in favor
