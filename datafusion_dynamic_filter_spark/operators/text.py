@@ -316,11 +316,13 @@ def bpe_merge_pair_stats(spark, sf_dir):
 BPE_ROUNDS = 4
 
 
-def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
+def _bpe_train_oracle(rounds: int = BPE_ROUNDS, encode: bool = False) -> str:
     """Unrolled k-round BPE-merge oracle: per round, count adjacent pairs,
     pick the (freq DESC, a, b) winner, apply the greedy left-to-right merge
     via the run-parity positional rule (see bpe_train_merges), repeat on
-    the merged sequences."""
+    the merged sequences.  With ``encode`` the LAST round's merge is also
+    applied and the query emits per-doc raw/encoded token counts (the
+    bpe_encode_token_counts oracle) instead of the merges table."""
     ctes = [
         r"""d0 AS (
     SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS tok
@@ -343,7 +345,7 @@ def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
     GROUP BY a, b ORDER BY freq DESC, a, b LIMIT 1
     )"""
         )
-        if r < rounds:
+        if r < rounds or encode:
             ctes.append(
                 f"""d{r} AS (
     SELECT doc_id,
@@ -363,6 +365,14 @@ def _bpe_train_oracle(rounds: int = BPE_ROUNDS) -> str:
     FROM {prev} CROSS JOIN w{r}))
     )"""
             )
+    if encode:
+        final = f"""
+    SELECT d0.doc_id AS doc_id,
+    CAST(len(d0.tok) AS BIGINT) AS n_tokens_raw,
+    CAST(len(d{rounds}.tok) AS BIGINT) AS n_tokens_bpe,
+    round(CAST(len(d0.tok) AS DOUBLE) / len(d{rounds}.tok), 4) AS compression
+    FROM d0 JOIN d{rounds} USING (doc_id) ORDER BY doc_id"""
+        return "WITH " + ",\n".join(ctes) + final
     unions = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, a AS pair_a, b AS pair_b, freq FROM w{r}"
         for r in range(1, rounds + 1)
@@ -405,33 +415,10 @@ def bpe_train_merges(spark, sf_dir, *, rounds: int = BPE_ROUNDS):
     NOTE: the oracle covers only rounds=4 (BPE_ROUNDS).
     """
     t = tables(spark, sf_dir)
-    docs = (
-        fan_out(t["documents"])
-        .filter(F.col("n_chars") > 0)
-        .select("doc_id", tokens("text").alias("tok"))
-    )
+    docs = _bpe_base_docs(t)
     per_round = []
     for r in range(1, rounds + 1):
-        pairs = (
-            docs.filter(F.size("tok") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(tok)-1), "
-                        "i -> struct(element_at(tok, i) AS a, "
-                        "element_at(tok, i+1) AS b))"
-                    )
-                ).alias("p")
-            )
-            .select("p.a", "p.b")
-        )
-        w = (
-            pairs.groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("freq"))
-            .orderBy(F.desc("freq"), "a", "b")
-            .limit(1)
-            .localCheckpoint()  # 1 row; consumed by the merge AND the output
-        )
+        w = _bpe_top_pair(docs)
         per_round.append(
             w.select(
                 F.lit(r).alias("round"),
@@ -441,54 +428,123 @@ def bpe_train_merges(spark, sf_dir, *, rounds: int = BPE_ROUNDS):
             )
         )
         if r < rounds:
-            merged = (
-                docs.crossJoin(F.broadcast(w.select("a", "b")))
-                .withColumn(
-                    "ip",
-                    F.expr(
-                        "CASE WHEN size(tok) >= 2 THEN "
-                        "transform(sequence(1, size(tok)-1), "
-                        "i -> element_at(tok, i) = a AND element_at(tok, i+1) = b) "
-                        "ELSE array() END"
-                    ),
-                )
-                .withColumn(
-                    # ONE left fold (aggregate) over ip — O(n) lambda
-                    # evaluations per doc — via the greedy recurrence
-                    # ms[i] = ip[i] AND NOT ms[i-1]: within a consecutive
-                    # match-run ms alternates T,F,T,..., i.e. exactly
-                    # "run length ending at i is odd" (the docstring
-                    # semantics).  Replaces a per-position filter over all
-                    # prior positions that was O(n^2) lambda evals per doc
-                    # (r6 advice).  array_append still copies the
-                    # accumulator per step — a flat memcopy, the fold's
-                    # only residual super-linearity.
-                    "ms",
-                    F.expr(
-                        "aggregate(ip, cast(array() as array<boolean>), "
-                        "(acc, x) -> array_append(acc, "
-                        "x AND NOT coalesce(try_element_at(acc, -1), false)))"
-                    ),
-                )
-                .select(
-                    "doc_id",
-                    F.expr(
-                        "CASE WHEN size(tok) < 2 THEN tok ELSE "
-                        "filter(transform(sequence(1, size(tok)), i -> "
-                        "CASE WHEN coalesce(try_element_at(ms, i), false) "
-                        "THEN concat(a, b) "
-                        "WHEN i > 1 AND "
-                        "coalesce(try_element_at(ms, greatest(i-1, 1)), false) "
-                        "THEN NULL "
-                        "ELSE element_at(tok, i) END), x -> x IS NOT NULL) END"
-                    ).alias("tok"),
-                )
-            )
-            docs = merged.localCheckpoint()
+            docs = _bpe_apply_merge(docs, w).localCheckpoint()
     out = per_round[0]
     for d in per_round[1:]:
         out = out.unionAll(d)
     return out.orderBy("round")
+
+
+def _bpe_base_docs(t):
+    return (
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", tokens("text").alias("tok"))
+    )
+
+
+def _bpe_top_pair(docs):
+    """The round's winning merge: ONE map-side-combined pair count over the
+    current token sequences; 1-row result localCheckpoint'ed (consumed by
+    both the merge application and the output, never collected)."""
+    pairs = (
+        docs.filter(F.size("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tok)-1), "
+                    "i -> struct(element_at(tok, i) AS a, "
+                    "element_at(tok, i+1) AS b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "a", "b")
+        .limit(1)
+        .localCheckpoint()
+    )
+
+
+def _bpe_apply_merge(docs, w, carry=()):
+    """Apply ONE learned merge (1-row broadcast relation ``w``) to every
+    token sequence — per-row array work only: a linear match map, ONE
+    aggregate() left fold for the greedy non-overlap mask (O(n) lambda
+    evaluations per doc via the recurrence ms[i] = ip[i] AND NOT ms[i-1]:
+    within a consecutive match-run ms alternates T,F,T,..., i.e. exactly
+    "run length ending at i is odd" — the r6-advice fix for a per-position
+    filter that was O(n^2); array_append still copies the accumulator per
+    step, a flat memcopy), and a linear emit map.  ``carry`` columns pass
+    through untouched."""
+    return (
+        docs.crossJoin(F.broadcast(w.select("a", "b")))
+        .withColumn(
+            "ip",
+            F.expr(
+                "CASE WHEN size(tok) >= 2 THEN "
+                "transform(sequence(1, size(tok)-1), "
+                "i -> element_at(tok, i) = a AND element_at(tok, i+1) = b) "
+                "ELSE array() END"
+            ),
+        )
+        .withColumn(
+            "ms",
+            F.expr(
+                "aggregate(ip, cast(array() as array<boolean>), "
+                "(acc, x) -> array_append(acc, "
+                "x AND NOT coalesce(try_element_at(acc, -1), false)))"
+            ),
+        )
+        .select(
+            "doc_id",
+            *carry,
+            F.expr(
+                "CASE WHEN size(tok) < 2 THEN tok ELSE "
+                "filter(transform(sequence(1, size(tok)), i -> "
+                "CASE WHEN coalesce(try_element_at(ms, i), false) "
+                "THEN concat(a, b) "
+                "WHEN i > 1 AND "
+                "coalesce(try_element_at(ms, greatest(i-1, 1)), false) "
+                "THEN NULL "
+                "ELSE element_at(tok, i) END), x -> x IS NOT NULL) END"
+            ).alias("tok"),
+        )
+    )
+
+
+@query("bpe_encode_token_counts", oracle=_bpe_train_oracle(encode=True))
+def bpe_encode_token_counts(spark, sf_dir, *, rounds: int = BPE_ROUNDS):
+    """Tokenizer APPLICATION — the companion to bpe_train_merges: learn the
+    same k merges, apply ALL of them (the trainer applies k-1: it never
+    consumes the last winner), and emit per-document token accounting —
+    raw whitespace-token count, post-BPE token count, and the compression
+    ratio.  This is the per-doc token-count report a training pipeline
+    writes next to its tokenizer: sequence-length budgeting, cost
+    estimation, and pack_sequences all consume exactly these numbers.
+
+    Scale shape: the training rounds are bpe_train_merges unchanged
+    (shared helpers); the extra work is ONE more broadcast merge map plus
+    a per-row size() — output is one bounded row per document.  The raw
+    count is computed at the base and CARRIED through the merge maps, so
+    the corpus is scanned once (no end-of-loop re-join with the source).
+
+    NOTE: the oracle covers only rounds=4 (BPE_ROUNDS)."""
+    t = tables(spark, sf_dir)
+    docs = _bpe_base_docs(t).withColumn("n_tokens_raw", F.size("tok"))
+    for r in range(1, rounds + 1):
+        w = _bpe_top_pair(docs)
+        docs = _bpe_apply_merge(docs, w, carry=("n_tokens_raw",)).localCheckpoint()
+    return docs.select(
+        "doc_id",
+        F.col("n_tokens_raw").cast("long").alias("n_tokens_raw"),
+        F.size("tok").cast("long").alias("n_tokens_bpe"),
+        F.round(
+            F.col("n_tokens_raw").cast("double") / F.size("tok"), 4
+        ).alias("compression"),
+    ).orderBy("doc_id")
 
 
 @query(
