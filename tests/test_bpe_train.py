@@ -26,6 +26,15 @@ def planted_dir(spark, tmp_path_factory):
     return str(d)
 
 
+def test_encode_counts_hand_derived(spark, planted_dir):
+    # Same merges as below, but the encoder ALSO applies round 4's winner:
+    # doc0: [b c b c b c] -> [bc bc bc] -> [bcbc bc] -> [bcbcbc]  (6 -> 1)
+    # doc1: [z z z z] -> greedy non-overlap -> [zz zz]            (4 -> 2)
+    rows = registry.QUERIES["bpe_encode_token_counts"](spark, planted_dir).collect()
+    got = [(r.doc_id, r.n_tokens_raw, r.n_tokens_bpe, r.compression) for r in rows]
+    assert got == [(0, 6, 1, 6.0), (1, 4, 2, 2.0)], got
+
+
 def test_greedy_rounds_hand_derived(spark, planted_dir):
     rows = registry.QUERIES["bpe_train_merges"](spark, planted_dir).collect()
     got = [(r.round, r.pair_a, r.pair_b, r.freq) for r in rows]
