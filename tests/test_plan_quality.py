@@ -395,3 +395,63 @@ def test_substring_spans_persists_anchored_spans(spark):
         assert "CartesianProduct" not in plan, plan
     finally:
         registry.release_persisted()
+
+
+def test_fuzzy_decontam_equi_join_no_cartesian(spark):
+    """Fuzzy decontam's scale contract: train-vs-eval candidates come from
+    a bucket EQUI-join (never all-pairs), and the exact verify stays an
+    equi-join without a broadcast hint (the candidate relation is
+    unbounded; AQE decides at runtime).  The shared signature relation is
+    persisted and read from cache by the bucketing and both verify sides."""
+    try:
+        df = registry.QUERIES["decontam_fuzzy_minhash"](spark, SF_DIR)
+        df.count()  # finalize AQE so the inspected plan is the real one
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        registry.release_persisted()
+
+
+def test_token_budget_prefix_sum_is_two_level(spark):
+    """The global running sum must NOT plan as a single-partition window
+    over the document relation (the classic prefix-sum scale trap).  The
+    doc-level Window must be hash-partitioned on the score bucket; the
+    only unpartitioned window allowed is over the <=1001-row per-bucket
+    aggregate."""
+    try:
+        df = registry.QUERIES["corpus_token_budget_select"](spark, SF_DIR)
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        # the per-doc running sum (keyed by quality_score DESC, doc_id) is
+        # partitioned by the bucket column qb
+        import re
+
+        doc_windows = [
+            ln for ln in plan.splitlines()
+            if "Window" in ln and "quality_score" in ln and "doc_id" in ln
+        ]
+        assert doc_windows, plan
+        assert all(re.search(r"\[qb[#L0-9]*\]", ln) for ln in doc_windows), (
+            "doc-level window not partitioned by qb:\n" + "\n".join(doc_windows)
+        )
+    finally:
+        registry.release_persisted()
+
+
+def test_adaptive_threshold_single_scan_partial_agg(spark):
+    """Per-domain percentile thresholds: one groupBy(source) aggregation
+    whose exact-percentile state is bounded (integer-quantized scores),
+    joined back as an equi-join — no cartesian, bounded shuffles."""
+    try:
+        df = registry.QUERIES["quality_adaptive_threshold"](spark, SF_DIR)
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # fan_out repartition + percentile agg exchange + verdict agg
+        # exchange + final order-by range exchange (+1 for the cached
+        # subtree's own repartition reprinting per cache-read site)
+        assert shuffle_count(df) <= 5, plan
+    finally:
+        registry.release_persisted()
