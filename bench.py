@@ -67,6 +67,12 @@ HEADLINE = [
     # one whose cost is graded; the pair form stays oracle-gated in the
     # correctness corpus.
     "dedup_jaccard_partners",
+    "decontam_fuzzy_minhash",
+    "corpus_token_budget_select",
+    "quality_adaptive_threshold",
+    "token_vocab_stats",
+    "text_ngram_novelty",
+    "embedding_int8_quantize",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
     "dedup_minhash_error",

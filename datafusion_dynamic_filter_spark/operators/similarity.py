@@ -761,3 +761,107 @@ def embedding_centroid_distance(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH v AS (
+    SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    ), bydim AS (
+    SELECT unnest(v) AS x, generate_subscripts(v, 1) AS i FROM v
+    ), mm0 AS (
+    SELECT i, min(x) AS mn, max(x) AS mx FROM bydim GROUP BY i
+    ), mm AS (
+    SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx FROM mm0
+    ), q AS (
+    SELECT vec_id, label, v,
+    list_transform(range(1, len(v) + 1), i -> CASE WHEN mm.mx[i] > mm.mn[i]
+    THEN mm.mn[i] + round((v[i] - mm.mn[i]) / (mm.mx[i] - mm.mn[i]) * 254.0)
+         * (mm.mx[i] - mm.mn[i]) / 254.0
+    ELSE v[i] END) AS xq
+    FROM v, mm
+    ), perv AS (
+    SELECT label,
+    list_sum(list_transform(range(1, len(v) + 1), i -> (v[i] - xq[i]) * (v[i] - xq[i])))
+      / len(v) AS mse,
+    list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * xq[i]))
+      / (sqrt(list_sum(list_transform(v, x -> x * x)))
+         * sqrt(list_sum(list_transform(xq, x -> x * x)))) AS cos
+    FROM q
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+    round(avg(mse), 8) AS avg_mse,
+    round(avg(cos), 6) AS avg_cos,
+    round(min(cos), 6) AS min_cos
+    FROM perv GROUP BY label ORDER BY label
+    """,
+)
+def embedding_int8_quantize(spark, sf_dir):
+    """Int8 scalar quantization audit for the embedding column: per-dim
+    global [min, max] ranges, symmetric 255-level quantization (the stored
+    code is round((x-mn)/(mx-mn)*254) - 127, an int8), and the fidelity
+    report per label — reconstruction MSE and original-vs-dequantized
+    cosine.  This is the compression step a 100 TB ANN index takes before
+    the IVF/LSH operators here run over it (4x less I/O and memory per
+    vector); the audit quantifies what recall that costs.
+
+    Shape at 100 TB: the per-dim range relation is ONE map-side-combinable
+    aggregate collapsing to a single row of two fixed-length arrays (dim
+    entries — KBs regardless of corpus size), recombined via the same
+    bounded 1-row crossJoin pattern as the semdedup corpus-stats relation;
+    quantize + error are pure per-row array expressions (zip_with/
+    aggregate folds in array order, matching DuckDB's list fold order);
+    the only shuffles are the dim-range aggregate and the final per-label
+    rollup.  For a production run you'd swap global min/max for clipped
+    quantiles; min/max keeps the oracle exact.
+    """
+    t = tables(spark, sf_dir)
+    emb = t["embeddings"].select("label", "vec_id", vec_double("embedding").alias("v"))
+    mm = (
+        emb.select(F.posexplode("v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("p"))
+        .select(
+            F.transform("p", lambda s: s.getField("mn")).alias("mn"),
+            F.transform("p", lambda s: s.getField("mx")).alias("mx"),
+        )
+    )
+
+    def el(name, i):
+        return F.element_at(F.col(name), i + F.lit(1))
+
+    xq = F.transform(
+        "v",
+        lambda x, i: F.when(
+            el("mx", i) > el("mn", i),
+            el("mn", i)
+            + F.round((x - el("mn", i)) / (el("mx", i) - el("mn", i)) * F.lit(254.0))
+            * (el("mx", i) - el("mn", i))
+            / F.lit(254.0),
+        ).otherwise(x),
+    )
+    q = emb.crossJoin(mm).select("label", "vec_id", "v", xq.alias("xq"))
+    err2 = F.aggregate(
+        F.zip_with("v", "xq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    perv = q.select(
+        "label",
+        (err2 / F.size("v")).alias("mse"),
+        cosine(F.col("v"), F.col("xq")).alias("cos"),
+    )
+    return (
+        perv.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mse"), 8).alias("avg_mse"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
+            F.round(F.min("cos"), 6).alias("min_cos"),
+        )
+        .orderBy("label")
+    )

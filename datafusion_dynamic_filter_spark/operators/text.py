@@ -6,8 +6,15 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..functions import distinct_tokens, fan_out, fingerprint_md5, tokens
+from ..functions import (
+    distinct_tokens,
+    fan_out,
+    fingerprint_md5,
+    tokens,
+    word_shingles,
+)
 from ..registry import query, tables, track_persist
+from .dedup import _RAWTOK_SQL, _SHINGLES_SQL
 
 # Tiny per-language stopword lists for the n-gram/stopword-hit heuristic.
 _LANG_MARKERS = {
@@ -915,6 +922,117 @@ def text_bigram_lm_logprob(spark, sf_dir):
             F.round(
                 F.avg(F.log(F.col("n12").cast("double") / F.col("n1"))), 4
             ).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "token_vocab_stats",
+    oracle=r"""
+    WITH tk AS (
+    SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents WHERE n_chars > 0
+    ), c AS (
+    SELECT source, w, count(*) AS n FROM tk GROUP BY source, w
+    )
+    SELECT source,
+    CAST(sum(n) AS BIGINT) AS total_tokens,
+    CAST(count(*) AS BIGINT) AS vocab_size,
+    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_count,
+    round(CAST(count(*) AS DOUBLE) / sum(n), 4) AS type_token_ratio
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def token_vocab_stats(spark, sf_dir):
+    """Per-source vocabulary statistics: total token count, vocabulary
+    size, hapax-legomena count (tokens seen exactly once — the Heaps'-law
+    tail a tokenizer-training run sizes against), and type/token ratio.
+
+    Shape at 100 TB: explode to (source, token), then TWO map-side-
+    combinable aggregations — per-(source, token) counts (uniform hash
+    keys; the heavy shuffle carries one row per distinct (source, token),
+    not per occurrence, thanks to partial aggregation) and the per-source
+    rollup.  No joins; skew bounded by the token frequency distribution's
+    head, which partial aggregation absorbs before the shuffle.
+    """
+    tk = (
+        fan_out(tables(spark, sf_dir)["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select("source", F.explode(tokens("text")).alias("w"))
+    )
+    c = tk.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).alias("vocab_size"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax_count"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("n"), 4
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+    SELECT doc_id, unnest({_SHINGLES_SQL}) AS g
+    FROM (SELECT doc_id, {_RAWTOK_SQL} AS tok FROM documents WHERE n_chars > 0)
+    ), df AS (
+    SELECT g, count(*) AS df FROM sh GROUP BY g
+    )
+    SELECT s.doc_id,
+    CAST(count(*) AS BIGINT) AS n_shingles,
+    round(avg(CAST(d.df AS DOUBLE)), 4) AS avg_df,
+    CAST(max(d.df) AS BIGINT) AS max_df,
+    round(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+      AS novelty
+    FROM sh s JOIN df d ON s.g = d.g
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Corpus-relative novelty per document: for each doc's distinct
+    word-3-gram shingles, the corpus-wide document frequency of those
+    shingles — low novelty (high avg_df) marks boilerplate/templated text,
+    high novelty marks unique content.  The per-doc novelty fraction
+    (share of shingles appearing in no other doc) is the signal dedup and
+    quality pipelines weight selection by.
+
+    Shape at 100 TB: explode distinct shingles per doc, ONE groupBy(g)
+    document-frequency aggregation (map-side combinable, uniform string
+    hash keys), equi-join the df relation back on the shingle key, ONE
+    groupBy(doc_id) rollup.  Linear in corpus shingle volume; the df
+    relation has one row per DISTINCT shingle so the join probe side is
+    the only full-volume pass.  All aggregates are integer counts —
+    exact parity, no float drift.
+    """
+    t = tables(spark, sf_dir)
+    sh = (
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select("doc_id", tokens("text").alias("tok"))
+        .select("doc_id", F.explode(word_shingles(F.col("tok"), 3)).alias("g"))
+    )
+    df_rel = sh.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df_rel, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(F.avg(F.col("df").cast("double")), 4).alias("avg_df"),
+            F.max("df").cast("long").alias("max_df"),
+            F.round(
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty"),
         )
         .orderBy("doc_id")
     )

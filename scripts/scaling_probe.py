@@ -53,6 +53,12 @@ PROBES = [
     "text_bigram_lm_logprob",
     "bpe_train_merges",  # k sequential rounds; scale lives inside each round
     "decontam_eval_overlap",
+    "decontam_fuzzy_minhash",  # MinHash-LSH across the train/eval boundary
+    "corpus_token_budget_select",  # distributed two-level prefix sum
+    "quality_adaptive_threshold",
+    "token_vocab_stats",
+    "text_ngram_novelty",
+    "embedding_int8_quantize",
     "events_sessionization",
     "multimodal_phash_dedup",
     "pipeline_end_to_end",
@@ -83,6 +89,12 @@ SF1_PROBES = [
     "text_bigram_lm_logprob",
     "bpe_train_merges",
     "decontam_eval_overlap",
+    "decontam_fuzzy_minhash",  # MinHash-LSH across the train/eval boundary
+    "corpus_token_budget_select",  # distributed two-level prefix sum
+    "quality_adaptive_threshold",
+    "token_vocab_stats",
+    "text_ngram_novelty",
+    "embedding_int8_quantize",
     "multimodal_phash_dedup",
     "pipeline_end_to_end",
 ]

@@ -455,3 +455,39 @@ def test_adaptive_threshold_single_scan_partial_agg(spark):
         assert shuffle_count(df) <= 5, plan
     finally:
         registry.release_persisted()
+
+
+def test_vocab_stats_two_level_agg_no_join(spark):
+    """Vocabulary stats: explode + two map-side-combinable aggregations,
+    no joins — the heavy shuffle carries one row per distinct
+    (source, token), not per occurrence."""
+    df = registry.QUERIES["token_vocab_stats"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    # fan_out repartition + (source, token) agg + source rollup + order-by
+    assert shuffle_count(df) <= 4, plan
+
+
+def test_ngram_novelty_equi_join_linear(spark):
+    """Novelty scoring: the document-frequency relation joins back on the
+    shingle key as an EQUI join (hash/sort-merge); an all-pairs plan here
+    would be quadratic in corpus size."""
+    df = registry.QUERIES["text_ngram_novelty"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_int8_quantize_bounded_crossjoin_only(spark):
+    """Quantization audit: the only non-equi join is the 1-row dim-range
+    relation recombination (bounded crossJoin, the semdedup corpus-stats
+    pattern); everything else is per-row array math + one label rollup."""
+    df = registry.QUERIES["embedding_int8_quantize"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the dim-range recombination is a broadcast nested-loop against a
+    # 1-row relation — allowed; a second BNLJ would mean an unbounded one
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    # dim-range agg (+AQE) + final label rollup + order-by; no vector
+    # shuffle beyond the posexplode feeding the 64-row dim aggregate
+    assert shuffle_count(df) <= 4, plan
