@@ -71,6 +71,8 @@ HEADLINE = [
     "corpus_token_budget_select",
     "quality_adaptive_threshold",
     "token_vocab_stats",
+    "token_cms_topk",
+    "token_hll_distinct",
     "text_ngram_novelty",
     "embedding_int8_quantize",
     "dedup_minhash_lsh",

@@ -10,6 +10,8 @@ from ..functions import (
     distinct_tokens,
     fan_out,
     fingerprint_md5,
+    h60,
+    h60_sql,
     tokens,
     word_shingles,
 )
@@ -1035,4 +1037,207 @@ def text_ngram_novelty(spark, sf_dir):
             ).alias("novelty"),
         )
         .orderBy("doc_id")
+    )
+
+
+# --- Mergeable-sketch audits ----------------------------------------------
+# Count-min and HyperLogLog built from the cross-engine h60 hash so the
+# SKETCH ITSELF has an exact DuckDB oracle (unlike approx_count_distinct,
+# whose engine-internal HLL differs between Spark and DuckDB and can only
+# be tolerance-checked).  Both sketches are the mergeable, bounded-size
+# aggregation states a 100 TB streaming/combining pipeline ships between
+# executors instead of raw values.
+_CMS_D = 4  # hash rows
+_CMS_W = 1024  # buckets per row
+_HLL_M = 256  # registers
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)  # standard bias constant
+_HLL_ALPHA_MM = _HLL_ALPHA * _HLL_M * _HLL_M  # one double literal both engines
+
+
+@query(
+    "token_cms_topk",
+    oracle=f"""
+    WITH tk AS (
+    SELECT unnest({_RAWTOK_SQL}) AS w FROM documents WHERE n_chars > 0
+    ), cnt AS (
+    SELECT w, count(*) AS true_count FROM tk GROUP BY w
+    ), top AS (
+    SELECT w, true_count FROM cnt ORDER BY true_count DESC, w LIMIT 20
+    ), rows_ AS (
+    SELECT unnest([{", ".join(str(i) for i in range(_CMS_D))}]) AS r
+    ), cms AS (
+    SELECT r, {h60_sql("'cms' || r || ':' || w")} % {_CMS_W} AS b, count(*) AS c
+    FROM tk, rows_ GROUP BY r, b
+    ), probe AS (
+    SELECT t.w, t.true_count, rr.r,
+    {h60_sql("'cms' || rr.r || ':' || t.w")} % {_CMS_W} AS b
+    FROM top t, rows_ rr
+    )
+    SELECT p.w, CAST(p.true_count AS BIGINT) AS true_count,
+    CAST(min(c.c) AS BIGINT) AS est_count,
+    CAST(min(c.c) - p.true_count AS BIGINT) AS overestimate
+    FROM probe p JOIN cms c ON p.r = c.r AND p.b = c.b
+    GROUP BY p.w, p.true_count
+    ORDER BY true_count DESC, w
+    """,
+)
+def token_cms_topk(spark, sf_dir):
+    """Count-min-sketch heavy-hitter audit: build a d=4 x w=1024 CMS over
+    all token occurrences, then compare the sketch's estimate against the
+    exact count for the exact top-20 tokens (CMS guarantees est >= true;
+    the overestimate column is the collision noise).
+
+    Shape at 100 TB: the CMS relation is a FIXED 4096-row aggregate —
+    map-side combinable (partial counts merge by (row, bucket) addition,
+    the defining mergeable-sketch property), so the shuffle carries KBs
+    regardless of corpus size.  This is the frequency structure a
+    streaming pipeline keeps when the exact per-token groupBy (also run
+    here, as the audit's ground truth) no longer fits."""
+    from ..functions import h60
+
+    t = tables(spark, sf_dir)
+    tk = track_persist(
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select(F.explode(tokens("text")).alias("w"))
+    )
+
+    def rb_array():
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    (
+                        h60(F.concat(F.lit(f"cms{i}:"), F.col("w"))) % _CMS_W
+                    ).alias("b"),
+                )
+                for i in range(_CMS_D)
+            ]
+        )
+
+    cnt = tk.groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
+    top = cnt.orderBy(F.desc("true_count"), "w").limit(20)
+    cms = (
+        tk.select(F.explode(rb_array()).alias("rb"))
+        .select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probe = top.select("w", "true_count", F.explode(rb_array()).alias("rb")).select(
+        "w", "true_count", "rb.r", "rb.b"
+    )
+    return (
+        probe.join(cms, ["r", "b"])
+        .groupBy("w", "true_count")
+        .agg(F.min("c").alias("est"))
+        .select(
+            "w",
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("est").cast("long").alias("est_count"),
+            (F.col("est") - F.col("true_count")).cast("long").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), "w")
+    )
+
+
+@query(
+    "token_hll_distinct",
+    oracle=f"""
+    WITH tk AS (
+    SELECT source, unnest({_RAWTOK_SQL}) AS w
+    FROM documents WHERE n_chars > 0
+    ), hz AS (
+    SELECT source, w, {h60_sql("w")} % {_HLL_M} AS reg,
+    {h60_sql("w")} // {_HLL_M} AS rest
+    FROM tk
+    ), rk AS (
+    SELECT source, reg,
+    max(CASE WHEN rest = 0 THEN 53
+        ELSE CAST(round(log2(rest & (-rest))) AS INT) + 1 END) AS m
+    FROM hz GROUP BY source, reg
+    ), z AS (
+    SELECT source, sum(power(2.0, -m)) AS z_present,
+    CAST(count(*) AS BIGINT) AS n_present
+    FROM rk GROUP BY source
+    ), ex AS (
+    SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct FROM tk
+    GROUP BY source
+    ), est AS (
+    SELECT z.source, ex.exact_distinct,
+    CASE WHEN (CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+               / (z.z_present + {_HLL_M} - z.n_present)) <= {2.5 * _HLL_M}
+              AND z.n_present < {_HLL_M}
+    THEN {_HLL_M} * ln({float(_HLL_M)} / ({_HLL_M} - z.n_present))
+    ELSE CAST({_HLL_ALPHA_MM!r} AS DOUBLE)
+         / (z.z_present + {_HLL_M} - z.n_present) END AS raw
+    FROM z JOIN ex ON z.source = ex.source
+    )
+    SELECT source, exact_distinct, round(raw, 2) AS hll_estimate,
+    round(abs(raw - exact_distinct) / exact_distinct, 4) AS rel_error
+    FROM est ORDER BY source
+    """,
+)
+def token_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-token audit per source: m=256 registers fed by
+    the cross-engine h60 hash (register = hash mod m, rank = trailing-zero
+    count of the remaining bits + 1), standard bias-corrected harmonic
+    estimate with the linear-counting small-range branch — compared
+    against the exact per-source distinct count.
+
+    Shape at 100 TB: the register relation is a bounded
+    (source x 256)-row max-aggregate — map-side combinable (max merges),
+    the mergeable-sketch property that lets a 1000-executor scan combine
+    distinct-count state in KBs per source instead of shuffling the token
+    stream.  The exact count(DISTINCT) runs alongside as ground truth;
+    at production scale only the sketch side survives.  Unlike
+    approx_count_distinct, every bit of this sketch is oracle-replicated
+    in DuckDB — the estimate itself is cross-checked, not just bounded."""
+    t = tables(spark, sf_dir)
+    tk = track_persist(
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select("source", F.explode(tokens("text")).alias("w"))
+    )
+    z = h60("w")
+    hz = tk.select(
+        "source",
+        "w",
+        (z % _HLL_M).alias("reg"),
+        F.shiftright(z, 8).alias("rest"),
+    )
+    rank = (
+        F.when(F.col("rest") == 0, 53)
+        .otherwise(
+            F.round(F.log2(F.col("rest").bitwiseAND(-F.col("rest")))).cast("int")
+            + F.lit(1)
+        )
+    )
+    rk = hz.withColumn("rank", rank).groupBy("source", "reg").agg(
+        F.max("rank").alias("m")
+    )
+    zrel = rk.groupBy("source").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    ex = tk.groupBy("source").agg(
+        F.countDistinct("w").alias("exact_distinct")
+    )
+    raw_hll = F.lit(_HLL_ALPHA_MM) / (
+        F.col("z_present") + F.lit(_HLL_M) - F.col("n_present")
+    )
+    raw = F.when(
+        (raw_hll <= F.lit(2.5 * _HLL_M)) & (F.col("n_present") < _HLL_M),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / (F.lit(_HLL_M) - F.col("n_present"))),
+    ).otherwise(raw_hll)
+    return (
+        zrel.join(ex, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.round(raw, 2).alias("hll_estimate"),
+            F.round(
+                F.abs(raw - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_error"),
+        )
+        .orderBy("source")
     )

@@ -57,6 +57,8 @@ PROBES = [
     "corpus_token_budget_select",  # distributed two-level prefix sum
     "quality_adaptive_threshold",
     "token_vocab_stats",
+    "token_cms_topk",  # fixed 4096-row mergeable sketch
+    "token_hll_distinct",  # bounded (source x 256) register aggregate
     "text_ngram_novelty",
     "embedding_int8_quantize",
     "events_sessionization",
@@ -93,6 +95,8 @@ SF1_PROBES = [
     "corpus_token_budget_select",  # distributed two-level prefix sum
     "quality_adaptive_threshold",
     "token_vocab_stats",
+    "token_cms_topk",  # fixed 4096-row mergeable sketch
+    "token_hll_distinct",  # bounded (source x 256) register aggregate
     "text_ngram_novelty",
     "embedding_int8_quantize",
     "multimodal_phash_dedup",

@@ -491,3 +491,32 @@ def test_int8_quantize_bounded_crossjoin_only(spark):
     # dim-range agg (+AQE) + final label rollup + order-by; no vector
     # shuffle beyond the posexplode feeding the 64-row dim aggregate
     assert shuffle_count(df) <= 4, plan
+
+
+def test_cms_topk_bounded_sketch_and_takeordered(spark):
+    """The CMS relation is a fixed 4096-row map-side-combinable aggregate
+    and the exact top-20 rides TakeOrdered (no global sort shuffle of the
+    token counts); every join is an equi-join of bounded relations."""
+    try:
+        df = registry.QUERIES["token_cms_topk"](spark, SF_DIR)
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "TakeOrderedAndProject" in plan, plan
+    finally:
+        registry.release_persisted()
+
+
+def test_hll_distinct_mergeable_register_agg(spark):
+    """HLL registers come from a bounded (source x 256)-row max-aggregate;
+    the exact ground-truth distinct and the sketch side recombine on one
+    source equi-join — no cartesian, bounded shuffles."""
+    try:
+        df = registry.QUERIES["token_hll_distinct"](spark, SF_DIR)
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        # fan_out + register agg + source rollup + distinct-expand agg +
+        # final join/sort exchanges
+        assert shuffle_count(df) <= 7, plan
+    finally:
+        registry.release_persisted()
