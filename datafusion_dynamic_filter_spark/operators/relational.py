@@ -1338,3 +1338,73 @@ def prepared_intersect_template(spark, sf_dir):
         "SELECT o_custkey FROM orders WHERE o_orderstatus = $2"
     )
     return stmt.execute({"$1": 150000, "$2": "F"})
+
+
+# Runtime Bloom-filter join: Spark's direct analog of the reference's
+# dynamic JOIN filter (src/physical.rs DynamicFilterPhysicalExpr: the hash
+# join's build-side values become a probe-side scan filter at runtime).
+# Spark's InjectRuntimeFilter rule does exactly this — a bloom_filter_agg
+# over the filtered build side becomes a might_contain() predicate on the
+# probe-side scan — but its default thresholds target multi-GB scans, so
+# the driver-SF plans never exercise it.  The builder widens the thresholds
+# ONLY while this plan's logical optimization runs (materialized eagerly
+# inside the conf window, then confs restored — the session's other plans
+# keep their defaults; bloom filters never change results, only scan I/O).
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "64MB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "join_bloom_runtime_filter",
+    oracle="""
+    SELECT o_orderpriority,
+    CAST(count(*) AS BIGINT) AS n_items,
+    round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_bloom_runtime_filter(spark, sf_dir):
+    """Selective fact-fact join under a runtime Bloom filter: the filtered
+    orders side's join keys are aggregated into a Bloom filter at runtime
+    and applied as a might_contain() predicate on the lineitem SCAN —
+    rows for non-qualifying orders are dropped before the shuffle, the
+    join-side twin of the engine's bound-parameter scan pushdown (and the
+    closest Spark equivalent of the reference's mutable join filter
+    expression).  tests/test_plan_quality.py gates the plan on the
+    injected bloom + restored session confs.
+
+    Shape at 100 TB: this is THE mechanism for selective fact-fact joins —
+    the probe side's shuffle volume scales with the build side's
+    selectivity instead of the probe table's size; the bloom itself is a
+    fixed-size mergeable aggregate (map-side combined, broadcast once).
+    """
+    tables(spark, sf_dir)
+    saved = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = spark.sql(
+            "SELECT o_orderpriority, "
+            "count(*) AS n_items, "
+            "round(sum(l_extendedprice), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_totalprice > 400000 "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        )
+        # Materialize logical optimization NOW so InjectRuntimeFilter runs
+        # under the widened thresholds; the physical/AQE stages reuse this
+        # optimized plan, so the bloom survives the conf restore below.
+        df._jdf.queryExecution().optimizedPlan()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return df

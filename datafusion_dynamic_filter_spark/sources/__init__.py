@@ -470,3 +470,54 @@ def prepared_layout_point_lookup(spark, sf_dir):
         df = stmt.execute({"$1": k})
         out = df if out is None else out.unionAll(df)
     return out.orderBy("o_orderkey")
+
+
+def roundtrip_text(df: DataFrame, path: str) -> DataFrame:
+    """Raw line-oriented text sink + source (``spark.read.text``) — the
+    format LLM ingestion starts from (one document per line; newlines
+    normalized to spaces on write so the line <-> document bijection
+    survives any corpus)."""
+    df.coalesce(1).write.mode("overwrite").text(path)
+    return df.sparkSession.read.text(path)
+
+
+@query(
+    "source_text_roundtrip",
+    oracle=r"""
+    WITH n AS (
+    SELECT regexp_replace(text, '[\r\n]+', ' ', 'g') AS v
+    FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+    CAST(sum(length(v)) AS BIGINT) AS total_chars,
+    CAST(min(length(v)) AS BIGINT) AS min_len,
+    CAST(max(length(v)) AS BIGINT) AS max_len
+    FROM n
+    """,
+)
+def source_text_roundtrip(spark, sf_dir):
+    """documents.text -> raw line-oriented .txt -> spark.read.text -> line
+    stats; the line count and every character must survive the round-trip
+    (oracle derives the same stats from the parquet source directly, so a
+    dropped/merged/mangled line breaks parity).  Completes the format
+    surface (CSV/JSON/ORC/binaryFile/parquet/text) with the one format raw
+    web/text corpora actually arrive in.
+
+    Shape at 100 TB: line-oriented text splits by newline at HDFS block
+    boundaries — ``spark.read.text`` scans are embarrassingly parallel and
+    the stats are one map-side-combinable aggregate.  (The coalesce(1) on
+    the write is sf-dir-local test hygiene — one deterministic file per
+    derived layout — not part of the scale path.)"""
+    t = tables(spark, sf_dir)
+    lines = roundtrip_text(
+        t["documents"]
+        .filter(F.col("n_chars") > 0)
+        .select(F.regexp_replace("text", r"[\r\n]+", " ").alias("value")),
+        _sink_dir(sf_dir, "documents_txt"),
+    )
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.min(F.length("value")).cast("long").alias("min_len"),
+        F.max(F.length("value")).cast("long").alias("max_len"),
+    )

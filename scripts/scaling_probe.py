@@ -66,6 +66,7 @@ PROBES = [
     "pipeline_end_to_end",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "join_bloom_runtime_filter",  # runtime bloom join (TPC-H tables: lo/hi only)
 ]
 
 # The two-decade (sf0.01 -> ~sf1, 100x) subset: dedup/ANN/text operators

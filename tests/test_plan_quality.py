@@ -520,3 +520,29 @@ def test_hll_distinct_mergeable_register_agg(spark):
         assert shuffle_count(df) <= 7, plan
     finally:
         registry.release_persisted()
+
+
+def test_bloom_runtime_filter_injected_and_confs_restored(spark):
+    """The reference's dynamic JOIN filter analog: the filtered build
+    side's keys must reach the probe-side scan as a runtime
+    might_contain() predicate (InjectRuntimeFilter), and the builder's
+    widened thresholds must NOT leak into the session."""
+    before = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    df = registry.QUERIES["join_bloom_runtime_filter"](spark, SF_DIR)
+    after = {k: spark.conf.get(k, None) for k in before}
+    assert before == after, (before, after)
+    df.collect()
+    plan = executed_plan(df)
+    low = plan.lower()
+    assert "might_contain" in low, plan
+    assert "bloom_filter_agg" in low, plan
+    # the bloom predicate must sit on the lineitem (probe) side scan
+    probe = [ln for ln in plan.splitlines() if "might_contain" in ln.lower()]
+    assert any("l_orderkey" in ln for ln in probe), probe
