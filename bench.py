@@ -58,6 +58,8 @@ HEADLINE = [
     "window_topk_per_group",
     "left_outer_order_counts",
     "join_bloom_runtime_filter",
+    "quantile_histogram_sketch",
+    "layout_zorder_pruning",
     "dedup_exact_normalized",
     # dedup_ngram_jaccard is NOT headline (r6 verdict item 6): it shares
     # the whole PPJoin pipeline with dedup_jaccard_partners below, so

@@ -1408,3 +1408,122 @@ def join_bloom_runtime_filter(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     return df
+
+
+@query(
+    "quantile_histogram_sketch",
+    oracle="""
+    WITH src AS (
+    SELECT l_extendedprice AS x FROM lineitem
+    ), mm AS (
+    SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS n FROM src
+    ), h AS (
+    SELECT least(CAST(floor((s.x - mm.mn) / ((mm.mx - mm.mn) / 1024.0)) AS BIGINT),
+                 1023) AS bin,
+    count(*) AS c
+    FROM src s, mm GROUP BY bin
+    ), ch AS (
+    SELECT bin, c, sum(c) OVER (ORDER BY bin) AS cum FROM h
+    ), tgt AS (
+    SELECT q, CAST(ceil(q * mm.n) AS BIGINT) AS t
+    FROM (SELECT unnest([0.5, 0.95, 0.99]) AS q), mm
+    ), pick AS (
+    SELECT tgt.q, min(ch.bin) AS bin
+    FROM tgt JOIN ch ON ch.cum >= tgt.t GROUP BY tgt.q
+    ), est AS (
+    SELECT p.q, mm.mn + (p.bin + 0.5) * ((mm.mx - mm.mn) / 1024.0) AS est
+    FROM pick p, mm
+    ), ex AS (
+    SELECT 0.5 AS q, quantile_cont(x, 0.5) AS exact FROM src
+    UNION ALL SELECT 0.95, quantile_cont(x, 0.95) FROM src
+    UNION ALL SELECT 0.99, quantile_cont(x, 0.99) FROM src
+    )
+    SELECT CAST(e.q AS DOUBLE) AS q, round(ex.exact, 4) AS exact_value,
+    round(e.est, 4) AS est_value,
+    round(abs(e.est - ex.exact) / ex.exact, 6) AS rel_error
+    FROM est e JOIN ex ON e.q = ex.q
+    ORDER BY e.q
+    """,
+)
+def quantile_histogram_sketch(spark, sf_dir):
+    """Mergeable quantile sketch audit: a fixed 1024-bin equi-width
+    histogram over l_extendedprice (range from a 1-row min/max relation),
+    quantiles read off the cumulative histogram at bin-midpoint
+    resolution, compared against the exact interpolated percentile.
+    Completes the mergeable-sketch trio (count-min = frequency, HLL =
+    cardinality, histogram = quantiles).
+
+    Shape at 100 TB: the histogram is a <=1024-row map-side-combinable
+    count aggregate (partial histograms merge by addition), built in ONE
+    pass after a min/max pre-pass — the two-pass equi-width scheme every
+    distributed profiler uses; cumulative + quantile pick run on the
+    bounded histogram relation (1-task window + a 3x1024 bounded
+    range-join).  The exact percentile runs alongside as ground truth; at
+    production scale only the histogram side survives.  Error bound by
+    construction: half a bin width, (max-min)/2048."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..registry import track_persist
+
+    t = tables(spark, sf_dir)
+    src = track_persist(t["lineitem"].select(F.col("l_extendedprice").alias("x")))
+    mm = src.agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(1024.0)
+    h = (
+        src.crossJoin(mm)
+        .select(
+            F.least(
+                F.floor((F.col("x") - F.col("mn")) / width).cast("long"),
+                F.lit(1023).cast("long"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # <=1024 rows by construction: bounded-cardinality window, 1 task
+    ch = h.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tgt = mm.select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("q"), "n"
+    ).select("q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("t"))
+    pick = (
+        tgt.join(ch, F.col("cum") >= F.col("t"))
+        .groupBy("q")
+        .agg(F.min("bin").alias("bin"))
+    )
+    est = pick.crossJoin(mm).select(
+        "q", (F.col("mn") + (F.col("bin") + 0.5) * width).alias("est")
+    )
+    exact_wide = src.agg(
+        F.expr("percentile(x, 0.5)").alias("p50"),
+        F.expr("percentile(x, 0.95)").alias("p95"),
+        F.expr("percentile(x, 0.99)").alias("p99"),
+    )
+    exact = exact_wide.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.5).alias("q"), F.col("p50").alias("exact")),
+                F.struct(F.lit(0.95).alias("q"), F.col("p95").alias("exact")),
+                F.struct(F.lit(0.99).alias("q"), F.col("p99").alias("exact")),
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact")
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            F.round("exact", 4).alias("exact_value"),
+            F.round("est", 4).alias("est_value"),
+            F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("q")
+    )

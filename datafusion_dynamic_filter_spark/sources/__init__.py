@@ -521,3 +521,83 @@ def source_text_roundtrip(spark, sf_dir):
         F.min(F.length("value")).cast("long").alias("min_len"),
         F.max(F.length("value")).cast("long").alias("max_len"),
     )
+
+
+def _zorder_key(a, b, bits: int = 18):
+    """Bit-interleaved (Morton) key of two non-negative integral columns:
+    z = sum_i (a_i << 2i) | (b_i << 2i+1).  36-bit result — exact in a
+    long; pure codegen'd bit arithmetic (no UDF)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            )
+        )
+    return z
+
+
+@query(
+    "layout_zorder_pruning",
+    oracle="""
+    SELECT o_orderstatus,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+    AND o_orderdate >= '1993-01-01' AND o_orderdate <= '1995-12-31'
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def layout_zorder_pruning(spark, sf_dir):
+    """Multi-dimensional box query over a Z-ORDERED standing copy of
+    orders: rows are clustered by the Morton interleave of
+    (o_custkey, days(o_orderdate)), so parquet row-group min/max stats are
+    tight on BOTH dimensions at once and a 2-D box prunes most of the
+    table at the scan — the layout technique (Delta/Iceberg OPTIMIZE
+    ZORDER) for tables queried on two selective columns where a single
+    sort key can only serve one.  Results are byte-identical to the same
+    box on the base table (the oracle); the copy is write-once with
+    fingerprint invalidation, exactly like the point layout.
+
+    Shape at 100 TB: the one-time layout write is a range-partition +
+    within-partition sort on the z key (one shuffle of the table, the
+    standing cost every clustered table pays); every subsequent box query
+    reads only the row groups whose (custkey, date) envelopes intersect
+    the box — I/O proportional to the box, not the table.  At test SFs
+    each written file is one row group, so pruning granularity = the 64
+    range partitions; at 100 TB it is the 128 MB row group.
+    tests/test_plan_quality.py gates rows_read << full-table scan."""
+    t = tables(spark, sf_dir)
+    path = _sink_dir(sf_dir, "orders_zorder")
+    source_path = os.path.join(sf_dir, "orders.parquet")
+    if _cached_layout_stale(path, source_path):
+        days = F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).cast("long")
+        z = _zorder_key(F.col("o_custkey").cast("long"), days)
+        (
+            t["orders"]
+            .withColumn("_z", z)
+            .repartitionByRange(64, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _write_layout_marker(path, source_path)
+    zt = spark.read.parquet(path)
+    return (
+        zt.filter(
+            (F.col("o_custkey").between(100, 200))
+            & (F.col("o_orderdate") >= "1993-01-01")
+            & (F.col("o_orderdate") <= "1995-12-31")
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -67,6 +67,8 @@ PROBES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "join_bloom_runtime_filter",  # runtime bloom join (TPC-H tables: lo/hi only)
+    "quantile_histogram_sketch",  # mergeable 1024-bin quantile sketch
+    "layout_zorder_pruning",  # 2-D clustered layout box scan
 ]
 
 # The two-decade (sf0.01 -> ~sf1, 100x) subset: dedup/ANN/text operators

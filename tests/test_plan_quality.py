@@ -546,3 +546,26 @@ def test_bloom_runtime_filter_injected_and_confs_restored(spark):
     # the bloom predicate must sit on the lineitem (probe) side scan
     probe = [ln for ln in plan.splitlines() if "might_contain" in ln.lower()]
     assert any("l_orderkey" in ln for ln in probe), probe
+
+
+def test_zorder_layout_prunes_box_scan(spark):
+    """Z-order clustering contract, measured at sf0.1 (at sf0.001 the box
+    covers a third of the key space, so there is nothing to prune): the
+    2-D box over the z-ordered copy must read a small fraction of the
+    table's rows via row-group stats — the multi-dimensional analog of
+    the point layout's bucket pruning.  Granularity at test SF is the 64
+    single-row-group files; at 100 TB it is the 128 MB row group."""
+    from datafusion_dynamic_filter_spark.plans import scan_metrics
+
+    sf_dir = "/root/testdata/sf0.1"
+    try:
+        df = registry.QUERIES["layout_zorder_pruning"](spark, sf_dir)
+        df.collect()
+        m = scan_metrics(df)
+        total = spark.read.parquet(sf_dir + "/orders.parquet").count()
+        assert m["scan_output_rows"] < 0.25 * total, (m, total)
+    finally:
+        # re-point the shared session's temp views at the suite's SF --
+        # leaving them on sf0.1 breaks later tests that spark.sql() the
+        # same table names against SF_DIR-loaded fixtures
+        registry.tables(spark, SF_DIR)
