@@ -1527,3 +1527,37 @@ def quantile_histogram_sketch(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+@query(
+    "prepared_window_topk_template",
+    oracle="""
+    WITH ranked AS (
+    SELECT o_custkey, o_orderkey, o_totalprice,
+    row_number() OVER (PARTITION BY o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+    FROM orders
+    )
+    SELECT o_custkey, rnk, round(o_totalprice, 2) AS price
+    FROM ranked WHERE rnk <= 2 AND o_custkey = 7
+    ORDER BY rnk
+    """,
+)
+def prepared_window_topk_template(spark, sf_dir):
+    """Prepared top-k-per-group template: the window function (CTE body)
+    plans ONCE at prepare time; per-execute work is binding (k, custkey)
+    into the outer WHERE — both placeholders ride the dynamic fast path
+    (stmt.mode == 'dynamic', pinned in tests/test_prepared_basic.py).
+    The reference prepares any non-DDL plan, window functions included
+    (src/preparable_context.rs:15-30); a parameterized rank cutoff over a
+    pre-planned window is the classic leaderboard/feed query shape."""
+    tables(spark, sf_dir)
+    stmt = Engine(spark).prepare(
+        "WITH ranked AS (SELECT o_custkey, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rnk "
+        "FROM orders) "
+        "SELECT o_custkey, rnk, round(o_totalprice, 2) AS price "
+        "FROM ranked WHERE rnk <= $1 AND o_custkey = $2 ORDER BY rnk"
+    )
+    return stmt.execute([2, 7])

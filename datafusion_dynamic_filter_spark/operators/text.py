@@ -1241,3 +1241,102 @@ def token_hll_distinct(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+#: Fixed keyword query for the BM25 retrieval operator below — terms chosen
+#: to exist in the synthetic corpus vocabulary at every scale factor.
+_BM25_TERMS = ("scan", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+    SELECT doc_id, {_RAWTOK_SQL} AS tok FROM documents
+    ), dd AS (
+    SELECT doc_id, len(tok) AS dl, tok FROM d
+    ), st AS (
+    SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dd
+    ), p AS (
+    SELECT doc_id, dl, unnest(tok) AS term FROM dd
+    ), tf AS (
+    SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+    FROM p WHERE term IN ('scan', 'merge', 'window')
+    GROUP BY doc_id, dl, term
+    ), dfreq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), sc AS (
+    SELECT tf.doc_id,
+    CAST(count(*) AS BIGINT) AS n_hit_terms,
+    round(sum(
+    ln(1 + (st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+    * tf.tf * {_BM25_K1 + 1.0}
+    / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * tf.dl
+    / (CAST(st.sum_dl AS DOUBLE) / st.n_docs)))
+    ), 4) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN st
+    GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_hit_terms, score
+    FROM sc ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def text_bm25_topk(spark, sf_dir, *, k: int = 10):
+    """Keyword retrieval with BM25 (Robertson–Sparck Jones; k1=1.2,
+    b=0.75): score every document against a fixed 3-term query and return
+    the top-k — the relevance-scoring primitive a curation pipeline uses
+    for targeted corpus slicing (pull the docs most about X) and for
+    quality-by-retrievability audits.
+
+    Scale shape: ONE corpus scan feeds both the corpus stats (count +
+    total length — a 1-row aggregate, broadcast via crossJoin) and the
+    postings explode; the explode is filtered to the query terms BEFORE
+    any shuffle, so the (doc, term) aggregation shuffles only query-term
+    postings (|terms| x avg-tf rows per doc, not the full token stream).
+    Document frequency is a |terms|-row aggregate joined back broadcast-
+    small.  The final top-k is an orderBy+limit, which Spark executes as
+    TakeOrderedAndProject — per-partition heaps, no global sort.  IDF uses
+    the ln(1 + (N-df+0.5)/(df+0.5)) form, positive for any df."""
+    t = tables(spark, sf_dir)
+    docs = (
+        fan_out(t["documents"])
+        .select("doc_id", tokens("text").alias("tok"))
+        .withColumn("dl", F.size("tok"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        docs.select("doc_id", "dl", F.explode("tok").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    term_score = (
+        idf
+        * F.col("tf")
+        * F.lit(_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.round(F.sum(term_score), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )

@@ -601,3 +601,78 @@ def layout_zorder_pruning(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "source_parquet_merge_schema",
+    oracle="""
+    WITH legacy AS (
+    SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 0
+    ), current AS (
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    ), u AS (
+    SELECT * FROM legacy UNION ALL SELECT * FROM current
+    )
+    SELECT coalesce(o_orderpriority, '<legacy>') AS priority,
+    CAST(count(*) AS BIGINT) AS n_orders,
+    round(sum(o_totalprice), 2) AS total_price
+    FROM u GROUP BY 1 ORDER BY 1
+    """,
+)
+def source_parquet_merge_schema(spark, sf_dir):
+    """Schema-evolution read: a dataset written over time where old files
+    lack a later-added column.  Half the orders (even keys) are written
+    with the ORIGINAL two-column schema, half (odd keys) with the EVOLVED
+    schema carrying o_orderpriority; one read with mergeSchema=true
+    reconciles the footers by name and surfaces the missing column as
+    NULL in legacy files — the standard Spark answer to append-only data
+    lakes gaining columns (DataFusion inherits the same union-by-name
+    behavior from its listing-table provider).
+
+    Scale shape: schema merge is a FOOTER-only planning step (per-file
+    metadata, no data read); the scan itself stays a plain columnar
+    parquet scan with pushdown intact, so evolution costs nothing per row
+    at 100 TB.  The aggregate proves values and NULL-fill survive the
+    merge, not just that the read plans."""
+    t = tables(spark, sf_dir)
+    path = _sink_dir(sf_dir, "orders_evolving")
+    src = os.path.join(sf_dir, "orders.parquet")
+    if _cached_layout_stale(path, src):
+        base = t["orders"]
+        (
+            base.filter(F.col("o_orderkey") % 2 == 0)
+            .select("o_orderkey", "o_totalprice")
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "epoch=legacy"))
+        )
+        (
+            base.filter(F.col("o_orderkey") % 2 == 1)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority")
+            .coalesce(4)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "epoch=current"))
+        )
+        _write_layout_marker(path, src)
+    evolved = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", path)
+        .parquet(
+            os.path.join(path, "epoch=legacy"),
+            os.path.join(path, "epoch=current"),
+        )
+    )
+    return (
+        evolved.select(
+            F.coalesce("o_orderpriority", F.lit("<legacy>")).alias("priority"),
+            "o_totalprice",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("priority")
+    )

@@ -298,3 +298,18 @@ def test_bind_data_generated_code_key_independent(engine, users):
     p2 = norm(stmt.execute({"$1": 5}))
     assert p1 == p2
     assert "1" not in p1 or "5" not in p2  # keys are data, not plan text
+
+
+def test_window_cte_template_takes_fast_path(engine, users):
+    # r7 grammar reach-check: a CTE whose body computes a window function,
+    # with BOTH placeholders in the outer WHERE (one against the window
+    # column) — the prepared_window_topk_template shape.  The window plans
+    # once at prepare; binding stays on the dynamic fast path.
+    stmt = engine.prepare(
+        "WITH ranked AS (SELECT id, name, "
+        "row_number() OVER (ORDER BY id DESC) AS rnk FROM users) "
+        "SELECT id, rnk FROM ranked WHERE rnk <= $1 AND id >= $2"
+    )
+    assert stmt.mode == "dynamic"
+    rows = stmt.execute({"$1": 2, "$2": 0}).collect()
+    assert sorted((r.id, r.rnk) for r in rows) == [(4, 2), (5, 1)]

@@ -119,6 +119,10 @@ _ALLOWED_BROADCAST_LINES = {
     # 1-row relations: the BPE round winner and a COUNT(*) scalar.
     ("operators/text.py", 'docs.crossJoin(F.broadcast(w.select("a", "b")))'),
     ("operators/text.py", ".crossJoin(F.broadcast(n))"),
+    # BM25: |query-terms|-row document-frequency relation and the 1-row
+    # corpus-stats (count + total length) relation.
+    ("operators/text.py", 'tf.join(F.broadcast(dfreq), "term")'),
+    ("operators/text.py", ".crossJoin(F.broadcast(stats))"),
 }
 
 
