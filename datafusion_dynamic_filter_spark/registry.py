@@ -119,6 +119,7 @@ def load_all() -> None:
         multimodal,
         pipeline,
         relational,
+        tpch,
         similarity,
         text,
         udfs,

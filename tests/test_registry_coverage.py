@@ -80,6 +80,16 @@ def test_no_driver_side_actions_in_builders():
 # at runtime exactly when the measured/estimated size is small.
 _BROADCAST_RE = re.compile(r"F\.broadcast\(")
 _ALLOWED_BROADCAST_LINES = {
+    # TPC-H star dims: nation is 25 rows and region 5 rows at EVERY scale
+    # factor (fixed-cardinality dimensions) — the canonical always-broadcast
+    # relations.
+    ("operators/tpch.py", "n1 = F.broadcast("),
+    ("operators/tpch.py", "n2 = F.broadcast("),
+    ("operators/tpch.py", 'reg = F.broadcast(t["region"].filter(F.col("r_name") == "ASIA"))'),
+    (
+        "operators/tpch.py",
+        '.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))',
+    ),
     # prepared JOIN templates: the point-filtered side of the bound join —
     # the dynamic-filter analogue; a point/param filter makes it small.
     ("simple_parser.py", "df = F.broadcast(df)"),
