@@ -58,9 +58,9 @@ from ..registry import query, tables
     """,
 )
 def q4_order_priority(spark, sf_dir):
-    # TPC-H Q4 shape: date-sliced orders, EXISTS semi-join against the fact
-    # table, tiny-cardinality rollup.  Catalyst plans the EXISTS as a
-    # left-semi hash join on l_orderkey; the date filter pushes to the scan.
+    """TPC-H Q4 shape: date-sliced orders, EXISTS semi-join against the fact
+    table, tiny-cardinality rollup.  Catalyst plans the EXISTS as a
+    left-semi hash join on l_orderkey; the date filter pushes to the scan."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -89,9 +89,9 @@ def q4_order_priority(spark, sf_dir):
     """,
 )
 def q6_forecast_revenue(spark, sf_dir):
-    # TPC-H Q6 shape: the canonical pushdown query — one scan, all four
-    # predicates land in PushedFilters, two-column ReadSchema, single
-    # global aggregate.  At 100 TB this is a pure map-side scan+combine.
+    """TPC-H Q6 shape: the canonical pushdown query — one scan, all four
+    predicates land in PushedFilters, two-column ReadSchema, single
+    global aggregate.  At 100 TB this is a pure map-side scan+combine."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -127,10 +127,10 @@ def q6_forecast_revenue(spark, sf_dir):
     """,
 )
 def q7_volume_shipping(spark, sf_dir):
-    # TPC-H Q7 shape: fact-to-fact join chain with TWO broadcast copies of
-    # the nation dimension and a disjunctive cross-nation predicate.
-    # DataFrame API so the dimension broadcasts are pinned explicitly —
-    # at 100 TB nation is KB-sized and must never shuffle the fact table.
+    """TPC-H Q7 shape: fact-to-fact join chain with TWO broadcast copies of
+    the nation dimension and a disjunctive cross-nation predicate.
+    DataFrame API so the dimension broadcasts are pinned explicitly —
+    at 100 TB nation is KB-sized and must never shuffle the fact table."""
     t = tables(spark, sf_dir)
     n1 = F.broadcast(
         t["nation"].select(
@@ -203,9 +203,9 @@ def q7_volume_shipping(spark, sf_dir):
     """,
 )
 def q8_market_share(spark, sf_dir):
-    # TPC-H Q8 shape: 7-relation join with a conditional-share aggregate.
-    # region/nation (and, under AQE at this SF, part/supplier) broadcast;
-    # the orders-lineitem spine is the only shuffle at scale.
+    """TPC-H Q8 shape: 7-relation join with a conditional-share aggregate.
+    region/nation (and, under AQE at this SF, part/supplier) broadcast;
+    the orders-lineitem spine is the only shuffle at scale."""
     t = tables(spark, sf_dir)
     n1 = F.broadcast(
         t["nation"].select(
@@ -263,9 +263,9 @@ def q8_market_share(spark, sf_dir):
     """,
 )
 def q9_product_profit(spark, sf_dir):
-    # TPC-H Q9 shape: profit by supplier nation x order year.  The schema
-    # has no partsupp, so unit cost is priced as 0.1 * p_retailprice
-    # (documented adaptation); the LIKE filter prunes part before the join.
+    """TPC-H Q9 shape: profit by supplier nation x order year.  The schema
+    has no partsupp, so unit cost is priced as 0.1 * p_retailprice
+    (documented adaptation); the LIKE filter prunes part before the join."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -303,9 +303,9 @@ def q9_product_profit(spark, sf_dir):
     """,
 )
 def q10_returned_items(spark, sf_dir):
-    # TPC-H Q10 shape: returned-revenue top-k per customer.  DataFrame API
-    # with the nation broadcast pinned; revenue DESC + custkey gives the
-    # total order the value-hash compare needs.
+    """TPC-H Q10 shape: returned-revenue top-k per customer.  DataFrame API
+    with the nation broadcast pinned; revenue DESC + custkey gives the
+    total order the value-hash compare needs."""
     t = tables(spark, sf_dir)
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
@@ -350,9 +350,9 @@ def q10_returned_items(spark, sf_dir):
     """,
 )
 def q13_customer_distribution(spark, sf_dir):
-    # TPC-H Q13 shape: left outer join with a join-level residual predicate
-    # (the schema has no o_comment, so the classic NOT LIKE becomes a
-    # priority exclusion), then a distribution-of-counts re-aggregation.
+    """TPC-H Q13 shape: left outer join with a join-level residual predicate
+    (the schema has no o_comment, so the classic NOT LIKE becomes a
+    priority exclusion), then a distribution-of-counts re-aggregation."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -379,9 +379,9 @@ def q13_customer_distribution(spark, sf_dir):
     """,
 )
 def q14_promo_revenue(spark, sf_dir):
-    # TPC-H Q14 shape: one month of lineitem joined to part, conditional
-    # ratio aggregate.  The date slice pushes to the fact scan so the join
-    # probes only ~1/36 of lineitem.
+    """TPC-H Q14 shape: one month of lineitem joined to part, conditional
+    ratio aggregate.  The date slice pushes to the fact scan so the join
+    probes only ~1/36 of lineitem."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -413,11 +413,11 @@ def q14_promo_revenue(spark, sf_dir):
     """,
 )
 def q15_top_supplier(spark, sf_dir):
-    # TPC-H Q15 shape: revenue CTE + argmax supplier.  The classic form
-    # compares against a scalar MAX subquery; a deterministic total order
-    # (rounded revenue DESC, suppkey) picks the same winner on both engines
-    # without re-scanning the CTE — on a cluster this is one shuffle for
-    # the agg and a broadcast of the 1-row top.
+    """TPC-H Q15 shape: revenue CTE + argmax supplier.  The classic form
+    compares against a scalar MAX subquery; a deterministic total order
+    (rounded revenue DESC, suppkey) picks the same winner on both engines
+    without re-scanning the CTE — on a cluster this is one shuffle for
+    the agg and a broadcast of the 1-row top."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -448,10 +448,10 @@ def q15_top_supplier(spark, sf_dir):
     """,
 )
 def q17_small_qty_revenue(spark, sf_dir):
-    # TPC-H Q17 shape: correlated scalar subquery — per-part average
-    # quantity threshold.  Catalyst de-correlates it into an aggregate +
-    # join (no per-row re-execution); the threshold is rounded to 6dp on
-    # both engines so summation order can't flip the strict inequality.
+    """TPC-H Q17 shape: correlated scalar subquery — per-part average
+    quantity threshold.  Catalyst de-correlates it into an aggregate +
+    join (no per-row re-execution); the threshold is rounded to 6dp on
+    both engines so summation order can't flip the strict inequality."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -480,10 +480,10 @@ def q17_small_qty_revenue(spark, sf_dir):
     """,
 )
 def q19_discounted_revenue(spark, sf_dir):
-    # TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts across
-    # the join (shipmode/shipinstruct conjuncts dropped — not in schema).
-    # Catalyst extracts the common join key and pushes the p_brand IN
-    # (...) / p_size <= 35 envelope below the join.
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts across
+    the join (shipmode/shipinstruct conjuncts dropped — not in schema).
+    Catalyst extracts the common join key and pushes the p_brand IN
+    (...) / p_size <= 35 envelope below the join."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -519,13 +519,13 @@ def q19_discounted_revenue(spark, sf_dir):
     """,
 )
 def q22_prospect_customers(spark, sf_dir):
-    # TPC-H Q22 shape: above-average-balance customers with NO urgent
-    # orders (anti-join), grouped by country code.  Two schema-forced
-    # adaptations: the phone-prefix country code becomes c_nationkey, and
-    # the anti-join is against URGENT orders only (the dense synthetic
-    # orders table leaves no customer order-less).  The scalar avg
-    # broadcasts; NOT EXISTS plans as a left-anti hash join against the
-    # filtered o_custkey projection.
+    """TPC-H Q22 shape: above-average-balance customers with NO urgent
+    orders (anti-join), grouped by country code.  Two schema-forced
+    adaptations: the phone-prefix country code becomes c_nationkey, and
+    the anti-join is against URGENT orders only (the dense synthetic
+    orders table leaves no customer order-less).  The scalar avg
+    broadcasts; NOT EXISTS plans as a left-anti hash join against the
+    filtered o_custkey projection."""
     tables(spark, sf_dir)
     return spark.sql(
         """
@@ -564,11 +564,11 @@ def q22_prospect_customers(spark, sf_dir):
     """,
 )
 def q18_large_volume_customer(spark, sf_dir):
-    # TPC-H Q18 shape: the IN-subquery is a self-semi-join against a
-    # HAVING aggregate over the same fact table (top ~1% of orders by
-    # total quantity).  Catalyst plans it as agg -> left-semi hash join;
-    # at 100 TB both sides shuffle on l_orderkey/o_orderkey and AQE
-    # broadcasts the small qualifying-keys side.
+    """TPC-H Q18 shape: the IN-subquery is a self-semi-join against a
+    HAVING aggregate over the same fact table (top ~1% of orders by
+    total quantity).  Catalyst plans it as agg -> left-semi hash join;
+    at 100 TB both sides shuffle on l_orderkey/o_orderkey and AQE
+    broadcasts the small qualifying-keys side."""
     tables(spark, sf_dir)
     return spark.sql(
         """
