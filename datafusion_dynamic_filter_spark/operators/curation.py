@@ -556,3 +556,107 @@ def quality_adaptive_threshold(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# Illustrative linear quality-classifier weights (fastText-style quality
+# scorers in public pipelines — e.g. CCNet/DCLM-shaped — reduce to a linear
+# model over cheap doc statistics; these coefficients are synthetic but the
+# FEATURE SET and the scoring plan shape are the real thing).  Bias chosen
+# so the synthetic corpus splits into both classes (threshold 0.5 lands
+# near the corpus median score).
+_QC_BIAS = -3.0
+_QC_W_LOGLEN = 0.35  # ln(1 + word count): longer docs mildly favored
+_QC_W_WORDLEN = 0.20  # mean word length: penalizes char-soup
+_QC_W_STOP = 3.00  # stopword token ratio: strong naturalness signal
+_QC_W_DIGIT = -4.00  # digit char ratio: tables/IDs/logs penalized
+_QC_W_DISTINCT = 1.00  # distinct-token ratio: penalizes repetition
+
+
+@query(
+    "quality_classifier_linear",
+    oracle=f"""
+    WITH d AS (
+    SELECT doc_id, source, {_RAWTOK_SQL} AS tok, {_TOK_SQL} AS utok, text, n_chars
+    FROM documents WHERE n_chars > 0
+    ), f AS (
+    SELECT doc_id, source,
+    ln(1 + len(tok)) AS f_loglen,
+    CAST(list_sum(list_transform(tok, t -> len(t))) AS DOUBLE) / len(tok)
+      AS f_wordlen,
+    CAST(len(list_filter(tok, t -> list_contains({_STOPWORDS!r}, t)))
+      AS DOUBLE) / len(tok) AS f_stop,
+    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / n_chars
+      AS f_digit,
+    CAST(len(utok) AS DOUBLE) / len(tok) AS f_distinct
+    FROM d WHERE len(tok) > 0
+    ), s AS (
+    SELECT doc_id, source,
+    1.0 / (1.0 + exp(-({_QC_BIAS}
+    + {_QC_W_LOGLEN} * f_loglen + {_QC_W_WORDLEN} * f_wordlen
+    + {_QC_W_STOP} * f_stop + {_QC_W_DIGIT} * f_digit
+    + {_QC_W_DISTINCT} * f_distinct))) AS score
+    FROM f
+    )
+    SELECT doc_id, round(score, 6) AS score,
+    score >= 0.5 AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def quality_classifier_linear(spark, sf_dir):
+    """Linear (logistic) quality classifier over cheap document statistics
+    — the model-scoring stage of a curation pipeline, run Spark-first:
+    every feature is a JVM-side column expression (tokenize once, fold
+    lengths, two regexp counts), the dot product + sigmoid is codegen'd
+    arithmetic, and the whole operator is ONE scan with no shuffle until
+    the output sort.  At 100 TB this is embarrassingly parallel scoring;
+    swapping in real learned weights (or a quantized MLP via pandas_udf)
+    changes the coefficients, not the plan."""
+    t = tables(spark, sf_dir)
+    d = (
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "text",
+            "n_chars",
+            F.split(F.lower(F.trim("text")), r"\s+").alias("tok"),
+        )
+        .withColumn("utok", F.array_distinct("tok"))
+        .filter(F.size("tok") > 0)
+    )
+    stop_arr = F.array([F.lit(s) for s in _STOPWORDS])
+    feats = d.select(
+        "doc_id",
+        F.log(F.lit(1) + F.size("tok")).alias("f_loglen"),
+        (
+            F.aggregate("tok", F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.size("tok")
+        ).alias("f_wordlen"),
+        (
+            F.size(F.filter("tok", lambda t: F.array_contains(stop_arr, t)))
+            .cast("double")
+            / F.size("tok")
+        ).alias("f_stop"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+            / F.col("n_chars")
+        ).alias("f_digit"),
+        (F.size("utok").cast("double") / F.size("tok")).alias("f_distinct"),
+    )
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_LOGLEN) * F.col("f_loglen")
+        + F.lit(_QC_W_WORDLEN) * F.col("f_wordlen")
+        + F.lit(_QC_W_STOP) * F.col("f_stop")
+        + F.lit(_QC_W_DIGIT) * F.col("f_digit")
+        + F.lit(_QC_W_DISTINCT) * F.col("f_distinct")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        feats.select(
+            "doc_id",
+            F.round(score, 6).alias("score"),
+            (score >= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

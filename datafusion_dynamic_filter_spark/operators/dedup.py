@@ -1444,3 +1444,103 @@ def dedup_source_overlap(spark, sf_dir):
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def _incremental_lsh_oracle(
+    num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+) -> str:
+    """SQL mirror of dedup_incremental_lsh: banded candidates restricted to
+    (index-side, batch-side) pairs, exact verify, then the per-batch-doc
+    argmax decision row."""
+    ctes, jac = _minhash_ctes(num_hashes, bands, "shingles")
+    return f"""
+    {ctes}, cand_inc AS (
+    SELECT DISTINCT a.doc_id AS index_doc, b.doc_id AS batch_doc
+    FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.bucket = b.bucket
+    AND a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+    ), verified AS (
+    SELECT c.batch_doc, c.index_doc, {jac} AS jaccard
+    FROM cand_inc c
+    JOIN hdocs da ON da.doc_id = c.index_doc
+    JOIN hdocs db ON db.doc_id = c.batch_doc
+    WHERE {jac} >= {threshold}
+    )
+    SELECT batch_doc, index_doc AS dup_of, jaccard
+    FROM (SELECT batch_doc, index_doc, jaccard,
+    row_number() OVER (PARTITION BY batch_doc
+    ORDER BY jaccard DESC, index_doc) AS rn
+    FROM verified) ranked
+    WHERE rn = 1
+    ORDER BY batch_doc
+    """
+
+
+@query("dedup_incremental_lsh", oracle=_incremental_lsh_oracle())
+def dedup_incremental_lsh(
+    spark, sf_dir, *, num_hashes: int = 32, bands: int = 8, threshold: float = 0.5
+):
+    """Incremental-ingest near-dup detection: dedupe a NEW batch of
+    documents against an EXISTING corpus index without ever re-pairing the
+    index with itself — the shape a production 100 TB ingest pipeline runs
+    per arriving batch (the batch is small; the index is the corpus).
+
+    The index/batch split is a deterministic content-free partition of the
+    documents table (doc_id mod 10: 80% index, 20% batch), standing in for
+    "signatures already on disk" vs "today's crawl".  Pipeline:
+
+      1. shared MinHash signature front end (_minhash_sig — ONE scan for
+         both sides; in production the index side is a parquet read of
+         previously-written signatures, not a recompute)
+      2. banded buckets on both sides, candidates from an equi-join on
+         (band_idx, bucket) that CROSSES the split only — index x index
+         and batch x batch bucket pairs never materialize, so cost scales
+         with |batch| x bucket density, not |corpus|^2
+      3. exact shingle-hash-set Jaccard verify on candidates
+      4. one row per matched batch doc: its best-matching index doc
+         (argmax jaccard, doc_id tie-break) — the bounded keep/drop
+         decision relation a writer can consume directly.
+    """
+    sig = _minhash_sig(spark, sf_dir, num_hashes=num_hashes)
+    buckets = sig.select(
+        "doc_id",
+        F.size("elems").alias("n_elems"),
+        F.posexplode(band_bucket_array(num_hashes, bands)).alias("band_idx", "bucket"),
+    )
+    idx = buckets.filter(F.col("doc_id") % 10 < 8).alias("a")
+    new = buckets.filter(F.col("doc_id") % 10 >= 8).alias("b")
+    scale = int(threshold * 10)
+    cand = (
+        idx.join(
+            new,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            # PPJoin size-ratio implication of Jaccard >= t (pure pruning,
+            # result set unchanged — same derivation as _lsh_candidates).
+            & (F.col("a.n_elems") * 10 >= F.col("b.n_elems") * scale)
+            & (F.col("b.n_elems") * 10 >= F.col("a.n_elems") * scale),
+        )
+        .select(
+            F.col("a.doc_id").alias("index_doc"), F.col("b.doc_id").alias("batch_doc")
+        )
+        .dropDuplicates(["index_doc", "batch_doc"])
+    )
+    sh_i = sig.select(F.col("doc_id").alias("index_doc"), F.col("elems").alias("sh_i"))
+    sh_b = sig.select(F.col("doc_id").alias("batch_doc"), F.col("elems").alias("sh_b"))
+    verified = (
+        cand.join(sh_i, "index_doc")
+        .join(sh_b, "batch_doc")
+        .withColumn("jaccard", F.round(token_jaccard(F.col("sh_i"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("batch_doc").orderBy(F.desc("jaccard"), "index_doc")
+    )
+    return (
+        verified.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("batch_doc", F.col("index_doc").alias("dup_of"), "jaccard")
+        .orderBy("batch_doc")
+    )

@@ -865,3 +865,127 @@ def embedding_int8_quantize(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+_KM_K = 4  # clusters
+_KM_ITERS = 2  # Lloyd update rounds (unrolled; final assignment follows)
+_KM_DIM = 64  # embedding dimensionality (constant across SFs)
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _KM_DIM) -> str:
+    """Unrolled-SQL mirror of embedding_kmeans_train: same init, same
+    per-round 6-dp centroid rounding, same distance rounding and
+    cluster-id tie-break, so assignments are identical cross-engine."""
+    dist = (
+        f"round(list_sum(list_transform(range(1, {dim + 1}), "
+        "i -> (e.v[i]-c.c[i])*(e.v[i]-c.c[i]))), 6)"
+    )
+    parts = [
+        f"""WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    ), c0 AS (
+    SELECT CAST(vec_id AS BIGINT) AS cluster,
+    list_transform(v, x -> round(x, 6)) AS c
+    FROM emb WHERE vec_id < {k}
+    )"""
+    ]
+    for r in range(iters + 1):
+        parts.append(f""", d{r} AS (
+    SELECT e.vec_id, e.v, c.cluster, {dist} AS dist
+    FROM emb e CROSS JOIN c{r} c
+    ), a{r} AS (
+    SELECT vec_id, v, cluster, dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM d{r}
+    ), m{r} AS (SELECT vec_id, v, cluster, dist FROM a{r} WHERE rn = 1)""")
+        if r < iters:
+            parts.append(f""", x{r} AS (
+    SELECT cluster, r.i, round(avg(v[r.i]), 6) AS cx
+    FROM m{r} CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY cluster, r.i
+    ), c{r + 1} AS (
+    SELECT cluster, array_agg(cx ORDER BY i) AS c FROM x{r} GROUP BY cluster
+    )""")
+    parts.append(f"""
+    SELECT m.cluster, CAST(count(*) AS BIGINT) AS n_members,
+    round(sum(m.dist), 2) AS inertia,
+    round(sqrt(list_sum(list_transform(c.c, x -> x*x))), 4) AS centroid_norm
+    FROM m{iters} m JOIN c{iters} c ON m.cluster = c.cluster
+    GROUP BY m.cluster, c.c
+    ORDER BY m.cluster""")
+    return "".join(parts)
+
+
+@query("embedding_kmeans_train", oracle=_kmeans_oracle())
+def embedding_kmeans_train(
+    spark, sf_dir, *, k: int = _KM_K, iters: int = _KM_ITERS
+):
+    """Lloyd's k-means over the embedding corpus — the cluster-training
+    stage behind SemDeDup-style pruning and IVF index building, run as a
+    fixed number of unrolled distributed rounds.
+
+    Per round (classic scalable k-means, the MLlib plan shape rebuilt on
+    DataFrames): broadcast the k-row centroid relation, assign each vector
+    to its nearest centroid (codegen'd fold over the 64-dim arrays — one
+    corpus scan, NO shuffle of the corpus), then recompute centroids with
+    a per-(cluster, dim) map-side-combined average — the only shuffle, k x
+    dim rows wide.  At 100 TB: assignment cost is linear per round,
+    centroid state is KB-sized, and rounds compose as a constant-depth
+    plan (no driver-side collect — the centroid relation stays a
+    DataFrame; determinism comes from 6-dp rounding of centroids and
+    distances each round, identical in the oracle).
+
+    Init = the first k vectors by vec_id (deterministic, same on both
+    engines).  Output: per-cluster membership count, inertia, and centroid
+    norm after the final assignment."""
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", vec_double("embedding").alias("v")
+    )
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster"),
+        F.transform("v", lambda x: F.round(x, 6)).alias("c"),
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    assigned = None
+    for r in range(iters + 1):
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster", "dist")
+        )
+        if r < iters:
+            cent = (
+                assigned.select("cluster", F.posexplode("v").alias("p", "x"))
+                .groupBy("cluster", "p")
+                .agg(F.round(F.avg("x"), 6).alias("cx"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("p", "cx"))).alias("ps"))
+                .select(
+                    "cluster",
+                    F.transform("ps", lambda s: s.getField("cx")).alias("c"),
+                )
+            )
+    norm = F.round(
+        F.sqrt(F.aggregate(F.col("c"), F.lit(0.0), lambda a, x: a + x * x)), 4
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.round(F.sum("dist"), 2).alias("inertia"))
+        .join(cent, "cluster")
+        .select("cluster", "n_members", "inertia", norm.alias("centroid_norm"))
+        .orderBy("cluster")
+    )

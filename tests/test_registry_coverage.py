@@ -90,6 +90,9 @@ _ALLOWED_BROADCAST_LINES = {
         "operators/tpch.py",
         '.join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))',
     ),
+    # k-means: the k-row centroid relation (k=4 x 64 doubles, KB-sized at
+    # every corpus scale — cluster state, not data).
+    ("operators/similarity.py", "emb.crossJoin(F.broadcast(cent))"),
     # prepared JOIN templates: the point-filtered side of the bound join —
     # the dynamic-filter analogue; a point/param filter makes it small.
     ("simple_parser.py", "df = F.broadcast(df)"),
