@@ -55,6 +55,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "window_topk_per_group",
     "left_outer_order_counts",
     "join_bloom_runtime_filter",
@@ -80,6 +82,9 @@ HEADLINE = [
     "embedding_int8_quantize",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_incremental_lsh",
+    "quality_classifier_linear",
+    "embedding_kmeans_train",
     "dedup_minhash_error",
     "dedup_simhash",
     "dedup_semdedup",

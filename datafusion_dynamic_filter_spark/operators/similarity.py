@@ -989,3 +989,100 @@ def embedding_kmeans_train(
         .select("cluster", "n_members", "inertia", norm.alias("centroid_norm"))
         .orderBy("cluster")
     )
+
+
+_PI_ITERS = 2  # power-iteration rounds (unrolled)
+
+
+def _power_iteration_oracle(iters: int = _PI_ITERS, dim: int = _KM_DIM) -> str:
+    """Unrolled-SQL mirror of embedding_power_iteration: same uniform init,
+    same per-round 6-dp rounding of the un-normalized iterate, so the
+    normalized direction is identical cross-engine."""
+    x0 = f"round(1.0 / sqrt({dim}), 6)"
+    parts = [
+        f"""WITH emb AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+    ), x0 AS (
+    SELECT list_transform(range(1, {dim + 1}), i -> {x0}) AS x
+    )"""
+    ]
+    for r in range(iters):
+        parts.append(f""", y{r} AS (
+    SELECT e.vec_id, e.v,
+    list_sum(list_transform(range(1, {dim + 1}), i -> e.v[i] * x.x[i])) AS y
+    FROM emb e CROSS JOIN x{r} x
+    ), zc{r} AS (
+    SELECT r.i, round(sum(v[r.i] * y), 6) AS z
+    FROM y{r} CROSS JOIN range(1, {dim + 1}) r(i)
+    GROUP BY r.i
+    ), z{r} AS (
+    SELECT array_agg(z ORDER BY i) AS z FROM zc{r}
+    ), x{r + 1} AS (
+    SELECT list_transform(z, e -> round(e / sqrt(list_sum(list_transform(z, w -> w*w))), 6)) AS x,
+    round(sqrt(list_sum(list_transform(z, w -> w*w))), 2) AS eigval
+    FROM z{r}
+    )""")
+    parts.append(f"""
+    SELECT CAST(r.i - 1 AS BIGINT) AS dim, x.x[r.i] AS loading, x.eigval
+    FROM x{iters} x CROSS JOIN range(1, {dim + 1}) r(i)
+    ORDER BY dim""")
+    return "".join(parts)
+
+
+@query("embedding_power_iteration", oracle=_power_iteration_oracle())
+def embedding_power_iteration(spark, sf_dir, *, iters: int = _PI_ITERS):
+    """Top principal direction of the (uncentered) embedding Gram matrix by
+    distributed power iteration — the whitening/top-component pass an
+    embedding-curation pipeline runs before spectral filtering or index
+    rotation.
+
+    The d x d Gram matrix is NEVER materialized: each round computes
+    y = X.x (one codegen'd fold per row against the broadcast 1-row
+    direction — a corpus scan, no shuffle) and then z = X'.y (posexplode
+    with the row weight, ONE map-side-combined sum per dimension — the
+    only shuffle, d rows wide).  Cost per round is linear in rows x dim at
+    any corpus size; direction state is a single d-vector DataFrame, no
+    driver-side collect.  Cross-engine determinism: the un-normalized
+    iterate is rounded to 6 dp each round before normalizing (sum-order
+    noise is ~1e-12, far below the rounding grain).
+
+    Output: the final unit direction (dim, loading) with the eigenvalue
+    estimate ||X'X x|| carried per row."""
+    t = tables(spark, sf_dir)
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", vec_double("embedding").alias("v")
+    )
+    dim = _KM_DIM
+    xdf = spark.range(1).select(
+        F.array([F.round(F.lit(1.0 / dim**0.5), 6) for _ in range(dim)]).alias("x")
+    )
+    for _ in range(iters):
+        y = emb.crossJoin(F.broadcast(xdf)).select(
+            "v",
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("x"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            ).alias("y"),
+        )
+        zc = (
+            y.select(F.posexplode("v").alias("p", "vx"), "y")
+            .groupBy("p")
+            .agg(F.round(F.sum(F.col("vx") * F.col("y")), 6).alias("z"))
+        )
+        zdf = zc.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("p", "z"))).alias("ps")
+        ).select(F.transform("ps", lambda s: s.getField("z")).alias("z"))
+        norm = F.sqrt(
+            F.aggregate(F.col("z"), F.lit(0.0), lambda a, w: a + w * w)
+        )
+        xdf = zdf.select(
+            F.transform("z", lambda e: F.round(e / norm, 6)).alias("x"),
+            F.round(norm, 2).alias("eigval"),
+        )
+    return (
+        xdf.select(F.posexplode("x").alias("p", "loading"), "eigval")
+        .select(F.col("p").cast("bigint").alias("dim"), "loading", "eigval")
+        .orderBy("dim")
+    )
