@@ -326,3 +326,67 @@ def events_retention_cohorts(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "matview_incremental_refresh",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(sum(value), 2) AS sum_value,
+    round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def matview_incremental_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: a daily rollup kept as
+    partial-aggregate state, refreshed by MERGING a new-batch delta
+    instead of recomputing over history — the pattern that keeps a 100 TB
+    hypertable rollup O(batch) per refresh instead of O(corpus).
+
+    The base/delta split is a deterministic partition of events (event_id
+    mod 10: 80% "already rolled up", 20% "today's arrivals").  Both sides
+    reduce to partial-aggregate rows (count, sum, max per (day, type) —
+    each mergeable: counts add, sums add, maxes max), and the refresh is
+    ONE tiny groupBy over base+delta partials, never touching raw history.
+    The oracle recomputes the rollup from ALL raw events — passing means
+    merge(base, delta) == recompute(corpus), the algebraic property that
+    makes the maintenance valid.  Plan: two scans (in production the base
+    side is a read of the stored rollup, not a recompute) + one union of
+    KB-sized partials + one merge agg; no shuffle of raw events beyond
+    the two partial aggs."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        "value",
+        (F.col("event_id") % 10 < 8).alias("is_base"),
+    )
+
+    def partials(side):
+        return side.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+
+    base = partials(ev.filter(F.col("is_base")))
+    delta = partials(ev.filter(~F.col("is_base")))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 2).alias("sum_value"),
+            F.round(F.max("max_value"), 2).alias("max_value"),
+        )
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "max_value",
+    ).orderBy("day", "event_type")

@@ -41,6 +41,7 @@ PROBES = [
     "dedup_jaccard_partners",  # same exact pipeline, bounded per-doc output
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_incremental_lsh",  # batch-vs-index form: candidates cross the split only
     "dedup_simhash",
     "dedup_simhash_partners",  # bounded per-doc form: rows alpha ~1
     "dedup_semdedup",
@@ -49,6 +50,9 @@ PROBES = [
     "similarity_brute_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "quality_classifier_linear",  # single-scan model scoring
+    "embedding_kmeans_train",  # per-round linear; centroid state KB-sized
+    "embedding_power_iteration",  # per-round linear; direction state 1 row
     "text_tfidf_top_terms",
     "text_bigram_lm_logprob",
     "bpe_train_merges",  # k sequential rounds; scale lives inside each round
@@ -82,6 +86,7 @@ SF1_PROBES = [
     "dedup_jaccard_partners",
     "dedup_minhash_lsh",
     "dedup_lsh_verified",
+    "dedup_incremental_lsh",
     "dedup_simhash",
     "dedup_simhash_partners",
     "dedup_semdedup",
@@ -90,6 +95,9 @@ SF1_PROBES = [
     "similarity_brute_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    "quality_classifier_linear",
+    "embedding_kmeans_train",
+    "embedding_power_iteration",
     "text_tfidf_top_terms",
     "text_bigram_lm_logprob",
     "bpe_train_merges",
