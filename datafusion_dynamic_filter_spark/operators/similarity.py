@@ -939,8 +939,6 @@ def embedding_kmeans_train(
     Init = the first k vectors by vec_id (deterministic, same on both
     engines).  Output: per-cluster membership count, inertia, and centroid
     norm after the final assignment."""
-    from pyspark.sql.window import Window
-
     t = tables(spark, sf_dir)
     emb = fan_out(t["embeddings"]).select(
         "vec_id", vec_double("embedding").alias("v")
@@ -949,23 +947,45 @@ def embedding_kmeans_train(
         F.col("vec_id").alias("cluster"),
         F.transform("v", lambda x: F.round(x, 6)).alias("c"),
     )
-    dist = F.round(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+
+    def sqdist(vcol, ccol):
+        return F.round(
+            F.aggregate(
+                F.zip_with(vcol, ccol, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
     assigned = None
     for r in range(iters + 1):
+        # ALL k centroids as one broadcast row; assignment is a pure map:
+        # per vector, distances to the k centroids and an inline argmin via
+        # array_min over (dist, cluster) structs — same (dist, cluster)
+        # tie-break as the oracle's row_number, but with NO k-x-corpus
+        # explode and NO per-round shuffle of the corpus.
+        cent_row = cent.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("cents")
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda cc: F.struct(
+                    sqdist(F.col("v"), cc.getField("c")).alias("dist"),
+                    cc.getField("cluster").alias("cluster"),
+                ),
+            )
+        )
         assigned = (
-            emb.crossJoin(F.broadcast(cent))
-            .withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster", "dist")
+            emb.crossJoin(F.broadcast(cent_row))
+            .withColumn("best", best)
+            .select(
+                "vec_id",
+                "v",
+                F.col("best.cluster").alias("cluster"),
+                F.col("best.dist").alias("dist"),
+            )
         )
         if r < iters:
             cent = (

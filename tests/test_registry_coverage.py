@@ -92,7 +92,7 @@ _ALLOWED_BROADCAST_LINES = {
     ),
     # k-means: the k-row centroid relation (k=4 x 64 doubles, KB-sized at
     # every corpus scale — cluster state, not data).
-    ("operators/similarity.py", "emb.crossJoin(F.broadcast(cent))"),
+    ("operators/similarity.py", "emb.crossJoin(F.broadcast(cent_row))"),
     # power iteration: the 1-row direction-vector relation (d doubles).
     ("operators/similarity.py", "y = emb.crossJoin(F.broadcast(xdf)).select("),
     # prepared JOIN templates: the point-filtered side of the bound join —
