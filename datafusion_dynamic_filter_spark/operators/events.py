@@ -390,3 +390,78 @@ def matview_incremental_refresh(spark, sf_dir):
         "sum_value",
         "max_value",
     ).orderBy("day", "event_type")
+
+
+_MAD_K = 3.0  # outlier threshold in robust sigmas
+_MAD_SCALE = 1.4826  # MAD -> sigma consistency constant for normal data
+
+
+@query(
+    "events_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM events GROUP BY event_type
+    ), dev AS (
+    SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+    SELECT event_type, quantile_cont(adev, 0.5) AS mad
+    FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(d.med, 4) AS median_value,
+    round(m.mad, 4) AS mad,
+    CAST(sum(CASE WHEN round(d.adev, 6) >
+    round({_MAD_K} * {_MAD_SCALE} * m.mad, 6) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, d.med, m.mad
+    ORDER BY d.event_type
+    """,
+)
+def events_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection per event type: median / MAD (median
+    absolute deviation) and the count of events beyond 3 robust sigmas —
+    the monitoring pass that survives the heavy-tailed value
+    distributions mean/stddev z-scores choke on.
+
+    Exact interpolated medians (percentile, not approx) so the oracle is
+    exact; both medians reduce per event_type (bounded cardinality), the
+    deviation join is an equi-join against the broadcast-small per-type
+    medians, and the outlier comparison is rounded to 6 dp on both
+    engines so interpolation ulps cannot flip the count.  At 100 TB the
+    exact median would move to approx_percentile with a documented error
+    bound — the plan shape (two grouped reductions + one equi-join) is
+    unchanged."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    is_out = F.round(F.col("adev"), 6) > F.round(
+        F.lit(_MAD_K * _MAD_SCALE) * F.col("mad"), 6
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 4).alias("median_value"),
+            F.round("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

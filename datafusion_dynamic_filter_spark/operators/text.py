@@ -1340,3 +1340,93 @@ def text_bm25_topk(spark, sf_dir, *, k: int = 10):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(k)
     )
+
+
+_PMI_MIN_COUNT = 5  # bigram support floor (standard collocation practice)
+_PMI_TOP_K = 20
+
+
+@query(
+    "token_bigram_pmi",
+    oracle=f"""
+    WITH tk AS (
+    SELECT doc_id, {_RAWTOK_SQL} AS tok FROM documents
+    ), bg AS (
+    SELECT unnest(list_transform(range(1, len(tok)), i ->
+    {{'a': tok[i], 'b': tok[i+1]}})) AS p
+    FROM tk WHERE len(tok) >= 2
+    ), bgc AS (
+    SELECT p.a AS a, p.b AS b, count(*) AS n_ab FROM bg GROUP BY p.a, p.b
+    ), ug AS (
+    SELECT unnest(tok) AS w FROM tk
+    ), ugc AS (
+    SELECT w, count(*) AS n_w FROM ug GROUP BY w
+    ), tot AS (
+    SELECT (SELECT count(*) FROM ug) AS t_uni,
+    (SELECT sum(n_ab) FROM bgc) AS t_bi
+    )
+    SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+    round(ln((CAST(n_ab AS DOUBLE) / t_bi)
+    / ((CAST(ua.n_w AS DOUBLE) / t_uni) * (CAST(ub.n_w AS DOUBLE) / t_uni))), 4)
+    AS pmi
+    FROM bgc JOIN ugc ua ON ua.w = a JOIN ugc ub ON ub.w = b CROSS JOIN tot
+    WHERE n_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, a, b
+    LIMIT {_PMI_TOP_K}
+    """,
+)
+def token_bigram_pmi(spark, sf_dir):
+    """Pointwise-mutual-information collocation mining over adjacent token
+    pairs — the corpus-analysis pass behind multi-word-token vocabulary
+    decisions (which bigrams are 'real' collocations vs chance
+    co-occurrence).
+
+    Plan shape at 100 TB: one scan builds BOTH count relations (bigrams
+    via an in-row transform over the token array — no positional
+    self-join — and unigrams via explode), each reduced by a map-side-
+    combined groupBy on uniform token keys; the PMI join probes the
+    bigram relation against the unigram counts twice (equi-joins on the
+    token — AQE broadcasts the smaller side when it fits), the two corpus
+    totals ride along as a broadcast 1-row relation, and the top-k is a
+    TakeOrdered, never a full sort."""
+    t = tables(spark, sf_dir)
+    tk = (
+        fan_out(t["documents"])
+        .select(F.split(F.lower(F.trim("text")), r"\s+").alias("tok"))
+    )
+    bigrams = tk.filter(F.size("tok") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tok") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tok"), i).alias("a"),
+                    F.element_at(F.col("tok"), i + 1).alias("b"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    unigrams = tk.select(F.explode("tok").alias("w"))
+    bgc = bigrams.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ugc = unigrams.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = bgc.agg(F.sum("n_ab").alias("t_bi")).crossJoin(
+        unigrams.agg(F.count(F.lit(1)).alias("t_uni"))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab").cast("double") / F.col("t_bi"))
+            / (
+                (F.col("ua_n").cast("double") / F.col("t_uni"))
+                * (F.col("ub_n").cast("double") / F.col("t_uni"))
+            )
+        ),
+        4,
+    )
+    return (
+        bgc.filter(F.col("n_ab") >= _PMI_MIN_COUNT)
+        .join(ugc.select(F.col("w").alias("a"), F.col("n_w").alias("ua_n")), "a")
+        .join(ugc.select(F.col("w").alias("b"), F.col("n_w").alias("ub_n")), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "n_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(_PMI_TOP_K)
+    )

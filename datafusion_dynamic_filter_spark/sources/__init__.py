@@ -676,3 +676,61 @@ def source_parquet_merge_schema(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "source_json_malformed_permissive",
+    oracle="""
+    SELECT CAST(count(*) FILTER (WHERE n_nationkey % 5 <> 4) AS BIGINT) AS n_clean,
+    CAST(count(*) FILTER (WHERE n_nationkey % 5 = 4) AS BIGINT) AS n_corrupt,
+    CAST(sum(n_regionkey) FILTER (WHERE n_nationkey % 5 <> 4) AS BIGINT)
+    AS sum_region_clean
+    FROM nation
+    """,
+)
+def source_json_malformed_permissive(spark, sf_dir):
+    """Malformed-input resilience of the JSON source: a JSONL file where a
+    deterministic subset of lines (nationkey % 5 == 4) is corrupted is
+    read back in PERMISSIVE mode with a _corrupt_record column — bad rows
+    are quarantined, not fatal, and clean rows parse fully.  The oracle
+    computes the expected clean/corrupt split from the canonical table
+    (the corruption rule is content-keyed, so the outcome is exact).
+
+    This is the ingest posture a 100 TB crawl pipeline needs: per-record
+    error isolation at the source (PERMISSIVE + corrupt-record routing to
+    a quarantine sink) rather than job-level failure (FAILFAST) or silent
+    loss (DROPMALFORMED)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    t = tables(spark, sf_dir)
+    nat = t["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    lines = nat.select(
+        F.when(
+            F.col("n_nationkey") % 5 == 4,
+            F.concat(F.lit('{"n_nationkey": '), F.col("n_name")),  # truncated JSON
+        )
+        .otherwise(F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")))
+        .alias("value")
+    )
+    path = _sink_dir(sf_dir, "nation_json_malformed")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    clean = F.col("_corrupt_record").isNull()
+    return parsed.agg(
+        F.sum(F.when(clean, 1).otherwise(0)).alias("n_clean"),
+        F.sum(F.when(~clean, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(clean, F.col("n_regionkey"))).alias("sum_region_clean"),
+    )

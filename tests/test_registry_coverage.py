@@ -95,6 +95,8 @@ _ALLOWED_BROADCAST_LINES = {
     ("operators/similarity.py", "emb.crossJoin(F.broadcast(cent_row))"),
     # power iteration: the 1-row direction-vector relation (d doubles).
     ("operators/similarity.py", "y = emb.crossJoin(F.broadcast(xdf)).select("),
+    # PMI: the 1-row (t_bi, t_uni) corpus-totals relation.
+    ("operators/text.py", ".crossJoin(F.broadcast(tot))"),
     # prepared JOIN templates: the point-filtered side of the bound join —
     # the dynamic-filter analogue; a point/param filter makes it small.
     ("simple_parser.py", "df = F.broadcast(df)"),
