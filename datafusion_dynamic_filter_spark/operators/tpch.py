@@ -6,19 +6,28 @@ shapes appear in its test corpus; see
 this module widens the same surface to the rest of the classic TPC-H
 patterns the reduced synthetic schema can express:
 
+- Q2  (correlated-MIN cheapest supplier)          -> ``q2_min_cost_supplier``
 - Q4  (semi-join EXISTS + priority rollup)        -> ``q4_order_priority``
 - Q6  (single-scan predicate-pushdown revenue)    -> ``q6_forecast_revenue``
 - Q7  (two-nation volume shipping, 5-way join)    -> ``q7_volume_shipping``
 - Q8  (market share ratio inside a region)        -> ``q8_market_share``
 - Q9  (profit by nation x year, 5-way join)       -> ``q9_product_profit``
 - Q10 (returned-items top-k, 4-way join)          -> ``q10_returned_items``
+- Q11 (value share above a scalar threshold)      -> ``q11_important_stock``
+- Q12 (conditional priority counts per class)     -> ``q12_priority_lines``
 - Q13 (distribution of orders per customer)       -> ``q13_customer_distribution``
 - Q14 (promo revenue ratio)                       -> ``q14_promo_revenue``
 - Q15 (top supplier over a revenue CTE)           -> ``q15_top_supplier``
+- Q16 (distinct suppliers per bucket, NOT IN)     -> ``q16_parts_supplier_relationship``
 - Q17 (correlated avg-quantity threshold)         -> ``q17_small_qty_revenue``
 - Q18 (large-volume orders via HAVING semi-join)  -> ``q18_large_volume_customer``
 - Q19 (OR-of-conjuncts discounted revenue)        -> ``q19_discounted_revenue``
+- Q20 (correlated half-of-total semi-join)        -> ``q20_potential_promotion``
+- Q21 (double-correlated EXISTS / NOT EXISTS)     -> ``q21_waiting_suppliers``
 - Q22 (anti-join prospects above avg balance)     -> ``q22_prospect_customers``
+
+With Q1/Q3/Q5 in ``relational.py`` this completes all 22 classic TPC-H
+query shapes (adapted to the reduced schema).
 
 Adaptations forced by the reduced schema (no partsupp, l_commitdate,
 l_receiptdate, l_shipmode, c_phone, comments): Q4's lateness EXISTS becomes
@@ -583,6 +592,331 @@ def q18_large_volume_customer(spark, sf_dir):
         GROUP BY c_name, c_custkey, o_orderkey,
                  date_format(o_orderdate, 'yyyy-MM-dd'), o_totalprice
         ORDER BY totalprice DESC, o_orderkey
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH unit_cost AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+    min(l_extendedprice * (1 - l_discount) / l_quantity) AS cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), offers AS (
+    SELECT uc.partkey, uc.suppkey, uc.cost, s_acctbal, s_name, n_name
+    FROM unit_cost uc JOIN supplier ON s_suppkey = uc.suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+    p_partkey, p_type, round(o.cost, 4) AS min_cost
+    FROM part JOIN offers o ON p_partkey = o.partkey
+    WHERE p_size <= 10 AND p_type = 'STANDARD'
+    AND o.cost = (SELECT min(o2.cost) FROM offers o2
+    WHERE o2.partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per qualifying part inside one
+    region, selected by a correlated MIN subquery.  Schema-forced
+    adaptation (no partsupp): the per-(part, supplier) supply cost is the
+    minimum observed effective unit price in lineitem history —
+    ``min(l_extendedprice * (1 - l_discount) / l_quantity)`` — which keeps
+    the classic plan SHAPE exactly: a grouped cost relation, dimension
+    joins to restrict the region, and a correlated min over the same cost
+    relation deciding the winner.
+
+    Scale notes (100 TB): the cost relation reduces lineitem with one
+    map-side-combined groupBy on (partkey, suppkey); supplier/nation/
+    region are broadcast dims; Catalyst de-correlates the MIN subquery
+    into an aggregate + equi-join on partkey (no per-row re-execution).
+    The double equality is exact — both sides are the SAME min over the
+    SAME IEEE-computed multiset, not two independently-derived floats."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH unit_cost AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 min(l_extendedprice * (1 - l_discount) / l_quantity) AS cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), offers AS (
+          SELECT uc.partkey, uc.suppkey, uc.cost, s_acctbal, s_name, n_name
+          FROM unit_cost uc JOIN supplier ON s_suppkey = uc.suppkey
+               JOIN nation ON s_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        )
+        SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+               p_partkey, p_type, round(o.cost, 4) AS min_cost
+        FROM part JOIN offers o ON p_partkey = o.partkey
+        WHERE p_size <= 10 AND p_type = 'STANDARD'
+          AND o.cost = (SELECT min(o2.cost) FROM offers o2
+                        WHERE o2.partkey = p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH supply AS (
+    SELECT l_partkey AS partkey,
+    sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+    * (1 - CAST(l_discount AS DECIMAL(4, 2)))) AS value
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    WHERE s_nationkey IN (0, 1, 2, 3, 4)
+    GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(round(value, 2) AS DOUBLE) AS value
+    FROM supply
+    WHERE value > (SELECT sum(value) * 0.001 FROM supply)
+    ORDER BY round(value, 2) DESC, partkey
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part supply value restricted to one supplier
+    country group, kept only where the part's value exceeds a FRACTION of
+    the global total (scalar subquery threshold).  Schema-forced
+    adaptation (no partsupp): value = discounted revenue supplied from
+    the chosen nations' suppliers, aggregated from lineitem.
+
+    Scale notes (100 TB): one shuffle on l_partkey with map-side partial
+    sums builds the supply relation; the global total is a 1-row scalar
+    that broadcasts into the filter; threshold 0.1% keeps the output a
+    small head.  Revenue accumulates in DECIMAL(18,2) x DECIMAL(4,2)
+    arithmetic — exact and accumulation-order-independent — so the
+    per-part values, the global threshold, and the 2-dp output are
+    bit-identical across engines (a raw double sum flipped a half-cent
+    rounding boundary here: many small part-level groups = many boundary
+    draws)."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH supply AS (
+          SELECT l_partkey AS partkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                 * (1 - CAST(l_discount AS DECIMAL(4, 2)))) AS value
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey IN (0, 1, 2, 3, 4)
+          GROUP BY l_partkey
+        )
+        SELECT partkey, CAST(round(value, 2) AS DOUBLE) AS value
+        FROM supply
+        WHERE value > (SELECT sum(value) * 0.001 FROM supply)
+        ORDER BY round(value, 2) DESC, partkey
+        """
+    )
+
+
+@query(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+    CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+    CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: orders-lineitem join with conditional CASE counts
+    of high- vs low-priority orders, grouped by a line attribute.
+    Schema-forced adaptation (no l_shipmode/commitdate/receiptdate): the
+    grouping key is l_returnflag and the date window is on l_shipdate —
+    the plan SHAPE (one fact-fact equi-join, date pushdown, two
+    conditional sums, 3-row output) is the classic one.
+
+    Scale notes (100 TB): the date filter pushes to the lineitem scan;
+    the join shuffles on orderkey (AQE broadcasts nothing here — both
+    sides are facts); the CASE-sums partial-aggregate map-side into a
+    3-group reduction.  All-integer outputs — parity is exact."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                   THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "q16_parts_supplier_relationship",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#15'
+    AND p_type NOT LIKE 'PROMO%'
+    AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+    WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can deliver each
+    qualifying (brand, type, size) bucket, excluding blacklisted
+    suppliers via NOT IN.  Schema-forced adaptation (no partsupp /
+    comments): the part-supplier relationship comes from lineitem
+    history, and the 'customer complaints' blacklist becomes
+    negative-balance suppliers.
+
+    Scale notes (100 TB): brand/type/size predicates push to the part
+    scan; the NOT IN is a tiny build side Catalyst plans as a
+    null-aware anti broadcast join; count(DISTINCT) shuffles on the
+    grouping key with per-key supplier sets partial-deduplicated
+    map-side.  All-integer outputs."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#15'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+    sum(l_quantity) AS qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+    SELECT sp.suppkey FROM shipped sp
+    WHERE sp.qty > 0.5 * (SELECT sum(sp2.qty) FROM shipped sp2
+    WHERE sp2.partkey = sp.partkey)
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers who dominate the supply of promoted
+    ('small%') parts in a year — a semi-join whose inner side compares a
+    per-(part, supplier) aggregate against a correlated 50%-of-part-total
+    threshold.  Schema-forced adaptation (no partsupp.availqty): the
+    classic 'availqty > half of shipped' becomes 'this supplier shipped
+    more than half of the part's total' — the nested
+    aggregate-with-correlated-scalar plan shape is identical.
+
+    Scale notes (100 TB): the name LIKE pushes to the part scan and
+    prunes lineitem via the join; one grouped reduction builds shipped;
+    Catalyst de-correlates the scalar into a partkey-grouped total +
+    equi-join (no per-row re-execution); the final IN is a left-semi
+    join against the ~100-row supplier dim.  Integral quantities make
+    the 0.5x compare exact in doubles on both engines."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH shipped AS (
+          SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+                 sum(l_quantity) AS qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_partkey, l_suppkey
+        )
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT sp.suppkey FROM shipped sp
+          WHERE sp.qty > 0.5 * (SELECT sum(sp2.qty) FROM shipped sp2
+                                WHERE sp2.partkey = sp.partkey)
+        )
+        ORDER BY s_name
+        """
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+    AND l1.l_returnflag = 'R'
+    AND EXISTS (SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+    AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+    AND l3.l_suppkey <> l1.l_suppkey
+    AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: in failed multi-supplier orders, count per
+    supplier the lines where THIS supplier is the only one whose line
+    was returned — the classic double-correlated EXISTS / NOT EXISTS
+    self-join pair over the fact table.  Schema-forced adaptation (no
+    commit/receipt dates): 'kept waiting' becomes 'sole returned line'
+    (l_returnflag = 'R'), preserving both correlated quantifiers.
+
+    Scale notes (100 TB): Catalyst plans the EXISTS as a left-semi and
+    the NOT EXISTS as a left-anti hash join, both shuffling on
+    l_orderkey — three co-partitioned passes over lineitem, no
+    nested-loop anywhere; the supplier dim broadcasts.  All-integer
+    outputs; (numwait DESC, s_name) is a total order."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
         LIMIT 100
         """
     )
