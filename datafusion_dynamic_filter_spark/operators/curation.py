@@ -660,3 +660,86 @@ def quality_classifier_linear(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_DECILE_QS = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@query(
+    "quality_score_decile_audit",
+    oracle=f"""
+    WITH s AS (
+    SELECT doc_id,
+    round(CAST(len(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS DOUBLE)
+    / len(string_split_regex(lower(trim(text)), '\\s+')), 4) AS score,
+    len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+    FROM documents WHERE n_chars > 0
+    ), b AS (
+    SELECT quantile_cont(score, {_DECILE_QS}) AS bounds FROM s
+    )
+    SELECT CAST(1 + len(list_filter(bounds, x -> score > x)) AS BIGINT) AS decile,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    min(score) AS min_score,
+    max(score) AS max_score,
+    CAST(sum(CASE WHEN n_tokens >= 20 AND score >= 0.3
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+    CAST(round(sum(CAST(score AS DECIMAL(8, 4))), 4) AS DOUBLE) AS sum_score
+    FROM s CROSS JOIN b
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def quality_score_decile_audit(spark, sf_dir):
+    """Decile audit of the lexical-diversity quality score: exact decile
+    boundaries over the corpus, then per-decile counts, score range,
+    keep-rule hits, and score mass — the calibration table a curation
+    team reads before choosing a quality threshold (where does the keep
+    rule start binding?  how heavy is the tail?).
+
+    Scale-safe decile assignment: NO global ntile window (that is a
+    single-partition sort).  Instead one grouped reduction computes the
+    nine exact interpolated boundaries (at 100 TB: approx_percentile
+    with a documented error bound — same plan shape), the 1-row bounds
+    relation broadcasts, and each row buckets itself with an in-row
+    filter over the 9-element array.  Both engines interpolate the same
+    sorted multiset, so the boundaries and every bucket assignment are
+    bit-identical; the score mass accumulates in DECIMAL(8,4) so the
+    sum is accumulation-order-independent."""
+    t = tables(spark, sf_dir)
+    d = t["documents"].filter(F.col("n_chars") > 0)
+    tok = tokens("text")
+    score = F.round(
+        F.size(distinct_tokens("text")).cast("double") / F.size(tok), 4
+    )
+    s = d.select(
+        score.alias("score"), F.size(tok).cast("long").alias("n_tokens")
+    )
+    bounds = s.agg(
+        F.expr(
+            f"percentile(score, array({', '.join(str(q) for q in _DECILE_QS)}))"
+        ).alias("bounds")
+    )
+    bucketed = s.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.size(F.filter("bounds", lambda x: F.col("score") > x)) + 1
+        ).cast("long").alias("decile"),
+        "score",
+        "n_tokens",
+    )
+    return (
+        bucketed.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.sum(
+                F.when(
+                    (F.col("n_tokens") >= 20) & (F.col("score") >= 0.3), 1
+                ).otherwise(0)
+            ).alias("n_keep"),
+            F.round(F.sum(F.col("score").cast("decimal(8,4)")), 4)
+            .cast("double")
+            .alias("sum_score"),
+        )
+        .orderBy("decile")
+    )

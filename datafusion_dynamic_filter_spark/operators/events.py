@@ -465,3 +465,65 @@ def events_anomaly_mad(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+_EWMA_ALPHA = 0.2  # smoothing factor: weight of the newest observation
+
+
+@query(
+    "events_ewma_value",
+    oracle=f"""
+    SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(list_reduce(list(value ORDER BY ts, event_id),
+    (acc, x) -> acc * {1 - _EWMA_ALPHA} + x * {_EWMA_ALPHA}), 6)
+    AS ewma_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_ewma_value(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values —
+    the classic online feature a training pipeline materializes per
+    entity (user health score, rate-limit signal, engagement feature).
+    EWMA is inherently sequential, so this is the pattern for ordered
+    per-key folds in a distributed engine: collect each key's (bounded)
+    event sequence into an in-row array, sort it IN the row, and fold
+    with ``F.aggregate`` — no window over a global sort, no Python.
+
+    Cross-engine determinism: both engines fold the SAME values in the
+    SAME (ts, event_id) order with the SAME IEEE double ops
+    (acc*0.8 + x*0.2, seeded by the first value), so the result is
+    bit-identical before the cosmetic 6-dp round.
+
+    Scale notes (100 TB): one shuffle on user_id; state per key is that
+    key's event array (bounded per entity — the same per-key-bounded
+    assumption every sessionizer makes).  For unbounded keys the fold
+    becomes the streaming twin (applyInPandasWithState); the batch form
+    stays a single map-side-combinable collect per key."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("tsu"),
+            F.col("event_id").alias("eid"),
+            F.col("value").alias("v"),
+        ).alias("obs"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("obs")).alias("seq")
+    )
+    vals = F.transform("seq", lambda o: o["v"])
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            acc * F.lit(1 - _EWMA_ALPHA) + x * F.lit(_EWMA_ALPHA)
+        ),
+    )
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    ).orderBy("user_id")

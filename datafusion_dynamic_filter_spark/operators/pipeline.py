@@ -496,3 +496,88 @@ def pipeline_end_to_end(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+_SCD2_NEW_KEY_OFFSET = 10_000_000  # new business keys land above every real key
+
+
+@query(
+    "scd2_merge_actions",
+    oracle=f"""
+    WITH snap AS (
+    SELECT c_custkey AS custkey,
+    c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS acctbal
+    FROM customer WHERE c_custkey % 11 <> 0
+    UNION ALL
+    SELECT c_custkey + {_SCD2_NEW_KEY_OFFSET}, 0.0
+    FROM customer WHERE c_custkey % 13 = 0
+    ), merged AS (
+    SELECT d.c_custkey AS dk, s.custkey AS sk,
+    d.c_acctbal AS da, s.acctbal AS sa
+    FROM customer d FULL OUTER JOIN snap s ON d.c_custkey = s.custkey
+    )
+    SELECT CASE WHEN dk IS NULL THEN 'insert'
+    WHEN sk IS NULL THEN 'retire'
+    WHEN da <> sa THEN 'update'
+    ELSE 'unchanged' END AS action,
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(coalesce(dk, sk)) AS BIGINT) AS key_checksum
+    FROM merged
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def scd2_merge_actions(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) merge classification: compare
+    the current dimension against an incoming snapshot and classify
+    every business key as insert / update / retire / unchanged — the
+    decision table that drives the close-old-row + write-new-row pass
+    of a warehouse dimension load.  The snapshot is derived
+    deterministically from the canonical table (keys %7 changed, %11
+    missing, %13 spawning a new key above every real one) so the oracle
+    computes the expected action counts exactly.
+
+    Scale notes (100 TB): the merge is ONE full-outer shuffle equi-join
+    on the business key — the canonical MERGE plan — followed by a
+    4-group classification rollup with map-side partial aggregation.
+    No collect, no window; the snapshot derivation is two scans of the
+    dim unioned.  Action counts and key checksums are exact integers."""
+    t = tables(spark, sf_dir)
+    cust = t["customer"]
+    snap = (
+        cust.filter(F.col("c_custkey") % 11 != 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            (
+                F.col("c_acctbal")
+                + F.when(F.col("c_custkey") % 7 == 0, 100.0).otherwise(0.0)
+            ).alias("acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + _SCD2_NEW_KEY_OFFSET).alias("custkey"),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+    )
+    merged = cust.select("c_custkey", "c_acctbal").join(
+        snap, F.col("c_custkey") == F.col("custkey"), "full_outer"
+    )
+    action = (
+        F.when(F.col("c_custkey").isNull(), "insert")
+        .when(F.col("custkey").isNull(), "retire")
+        .when(F.col("c_acctbal") != F.col("acctbal"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        merged.select(
+            action.alias("action"),
+            F.coalesce("c_custkey", "custkey").alias("k"),
+        )
+        .groupBy("action")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_checksum"),
+        )
+        .orderBy("action")
+    )

@@ -1561,3 +1561,129 @@ def prepared_window_topk_template(spark, sf_dir):
         "FROM ranked WHERE rnk <= $1 AND o_custkey = $2 ORDER BY rnk"
     )
     return stmt.execute([2, 7])
+
+
+@query(
+    "join_key_skew_profile",
+    oracle="""
+    WITH c AS (
+    SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ), t AS (
+    SELECT CAST(sum(cnt) AS BIGINT) AS total,
+    CAST(count(*) AS BIGINT) AS n_keys FROM c
+    )
+    SELECT l_partkey, CAST(cnt AS BIGINT) AS cnt,
+    round(CAST(cnt AS DOUBLE) / total, 6) AS share,
+    round(CAST(cnt AS DOUBLE) * n_keys / total, 2) AS skew_x
+    FROM c CROSS JOIN t
+    ORDER BY cnt DESC, l_partkey
+    LIMIT 5
+    """,
+)
+def join_key_skew_profile(spark, sf_dir):
+    """Shuffle-key skew profiler: the pre-flight diagnostic a 100 TB join
+    runs BEFORE shuffling on a key — per-key row counts, each heavy
+    hitter's share of the table, and its skew multiple vs the mean key
+    (skew_x = cnt / (total / n_keys)).  A key with skew_x in the
+    hundreds is the signal to salt that key or rely on AQE skew-join
+    splitting; this operator is how you find it cheaply.
+
+    Scale notes: one map-side-combined groupBy on the join key (the same
+    shuffle the real join would do, minus the payload), a 1-row totals
+    relation broadcast into the share computation, and a TakeOrdered
+    top-5 — never a full sort.  All ratios derive from exact integers,
+    so cross-engine parity is exact."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    counts = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("cnt").cast("double") * F.col("n_keys") / F.col("total"), 2
+            ).alias("skew_x"),
+        )
+        .orderBy(F.desc("cnt"), "l_partkey")
+        .limit(5)
+    )
+
+
+_RI_EDGES = [
+    # (edge label, child table, child key, parent table, parent key)
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{edge}' AS edge,
+    (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+    (SELECT CAST(count(*) AS BIGINT) FROM {child}
+    WHERE {ckey} NOT IN (SELECT {pkey} FROM {parent})) AS n_orphans
+    """
+        for edge, child, ckey, parent, pkey in _RI_EDGES
+    )
+    + "\nORDER BY edge",
+)
+def audit_referential_integrity(spark, sf_dir):
+    """Referential-integrity audit across every foreign-key edge of the
+    star schema: per edge, total child rows and orphan rows (child keys
+    with no parent).  The standard post-ingest data-quality gate — a
+    100 TB landing pipeline runs exactly this before exposing tables.
+
+    Scale notes: each edge is one left join of the child's key column
+    against the parent's de-duplicated key relation (a shuffle equi-join
+    per edge; AQE broadcasts the dims that fit), reduced to a 1-row
+    count pair — the seven 1-row results union into the report.  No
+    NOT-IN nested loop anywhere: the anti semantics come from null
+    probes of the outer join.  All-integer outputs."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    parts = []
+    for edge, child, ckey, parent, pkey in _RI_EDGES:
+        probe = (
+            t[child]
+            .select(F.col(ckey).alias("k"))
+            .join(
+                t[parent]
+                .select(F.col(pkey).alias("k"))
+                .distinct()
+                .withColumn("hit", F.lit(1)),
+                "k",
+                "left",
+            )
+        )
+        parts.append(
+            probe.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("hit").isNull(), 1).otherwise(0)
+                ).alias("n_orphans"),
+            ).select(F.lit(edge).alias("edge"), "n_child", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("edge")

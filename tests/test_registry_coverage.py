@@ -97,6 +97,10 @@ _ALLOWED_BROADCAST_LINES = {
     ("operators/similarity.py", "y = emb.crossJoin(F.broadcast(xdf)).select("),
     # PMI: the 1-row (t_bi, t_uni) corpus-totals relation.
     ("operators/text.py", ".crossJoin(F.broadcast(tot))"),
+    # skew profiler: the 1-row (total, n_keys) relation.
+    ("operators/relational.py", "counts.crossJoin(F.broadcast(tot))"),
+    # decile audit: the 1-row nine-boundary percentile relation.
+    ("operators/curation.py", "bucketed = s.crossJoin(F.broadcast(bounds)).select("),
     # prepared JOIN templates: the point-filtered side of the bound join —
     # the dynamic-filter analogue; a point/param filter makes it small.
     ("simple_parser.py", "df = F.broadcast(df)"),
