@@ -57,6 +57,13 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "join_key_skew_profile",
+    "audit_referential_integrity",
+    "events_ewma_value",
+    "scd2_merge_actions",
+    "quality_score_decile_audit",
     "window_topk_per_group",
     "left_outer_order_counts",
     "join_bloom_runtime_filter",

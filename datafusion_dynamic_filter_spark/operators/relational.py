@@ -1687,3 +1687,93 @@ def audit_referential_integrity(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("edge")
+
+
+_JSE_D = 4  # CMS hash rows
+_JSE_W = 1024  # CMS buckets per row
+
+
+from ..functions import h60_sql as _h60_sql
+
+_JSE_HASH = _h60_sql("'jse' || r || ':' || k")
+
+
+@query(
+    "join_size_estimate_cms",
+    oracle=f"""
+    WITH k AS (
+    SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem
+    ), cnt AS (
+    SELECT k, count(*) AS c FROM k GROUP BY k
+    ), exact AS (
+    SELECT CAST(sum(c * c) AS BIGINT) AS exact_pairs FROM cnt
+    ), rows_ AS (
+    SELECT unnest([{", ".join(str(i) for i in range(_JSE_D))}]) AS r
+    ), cms AS (
+    SELECT r, {_JSE_HASH} % {_JSE_W} AS b, count(*) AS c
+    FROM k, rows_ GROUP BY r, b
+    ), est AS (
+    SELECT CAST(min(s) AS BIGINT) AS est_pairs
+    FROM (SELECT r, sum(c * c) AS s FROM cms GROUP BY r)
+    )
+    SELECT exact_pairs, est_pairs,
+    round(CAST(est_pairs AS DOUBLE) / exact_pairs, 4) AS inflation
+    FROM exact, est
+    """,
+)
+def join_size_estimate_cms(spark, sf_dir):
+    """Sketch-based self-join cardinality estimate: the count-min inner
+    product (AMS-style F2 estimate; Alon-Matias-Szegedy 1996 / Cormode-
+    Muthukrishnan 2005) predicts |R join R| on a key WITHOUT running the
+    join — exactly the number a planner (or a dedup pipeline sizing its
+    candidate-pair stage) needs before committing to a shuffle.  The
+    estimate is sum-of-squares of each CMS row's bucket counts, min'd
+    across the d independent rows; the exact answer (sum of c(k)^2,
+    also computed here as ground truth) upper-bounds it from below —
+    est >= exact always, collisions only inflate.
+
+    Shape at 100 TB: the CMS is a fixed d x w = 4096-row aggregate —
+    partial counts merge by addition (the mergeable-sketch property),
+    so the shuffle carries KBs regardless of table size; the exact
+    ground-truth groupBy is the expensive audit half you would drop in
+    production.  All-integer arithmetic; parity is exact."""
+    from pyspark.sql import functions as F
+
+    from ..functions import h60
+
+    t = tables(spark, sf_dir)
+    k = t["lineitem"].select(F.col("l_partkey").cast("string").alias("k"))
+    exact = (
+        k.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact_pairs"))
+    )
+    rb = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                (h60(F.concat(F.lit(f"jse{i}:"), F.col("k"))) % _JSE_W).alias(
+                    "b"
+                ),
+            )
+            for i in range(_JSE_D)
+        ]
+    )
+    cms = (
+        k.select(F.explode(rb).alias("rb"))
+        .select("rb.r", "rb.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        cms.groupBy("r")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+        .agg(F.min("s").alias("est_pairs"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_pairs",
+        "est_pairs",
+        F.round(
+            F.col("est_pairs").cast("double") / F.col("exact_pairs"), 4
+        ).alias("inflation"),
+    )
