@@ -73,6 +73,14 @@ PROBES = [
     "join_bloom_runtime_filter",  # runtime bloom join (TPC-H tables: lo/hi only)
     "quantile_histogram_sketch",  # mergeable 1024-bin quantile sketch
     "layout_zorder_pruning",  # 2-D clustered layout box scan
+    "q21_waiting_suppliers",  # double-correlated EXISTS/NOT EXISTS self-joins
+    "join_key_skew_profile",  # pre-shuffle heavy-hitter diagnostic
+    "join_size_estimate_cms",  # fixed 4096-cell sketch + exact audit half
+    "scd2_merge_actions",  # one full-outer merge join
+    "events_ewma_value",  # per-key ordered in-row fold
+    "events_anomaly_mad",  # two grouped exact medians + equi-join
+    "quality_score_decile_audit",  # broadcast percentile bounds, no global sort
+    "token_bigram_pmi",  # two count relations off one scan
 ]
 
 # The two-decade (sf0.01 -> ~sf1, 100x) subset: dedup/ANN/text operators
@@ -112,6 +120,8 @@ SF1_PROBES = [
     "embedding_int8_quantize",
     "multimodal_phash_dedup",
     "pipeline_end_to_end",
+    "quality_score_decile_audit",
+    "token_bigram_pmi",
 ]
 
 

@@ -569,3 +569,86 @@ def test_zorder_layout_prunes_box_scan(spark):
         # leaving them on sf0.1 breaks later tests that spark.sql() the
         # same table names against SF_DIR-loaded fixtures
         registry.tables(spark, SF_DIR)
+
+
+def test_q21_correlated_quantifiers_plan_as_hash_joins(spark):
+    """Q21's EXISTS / NOT EXISTS pair must de-correlate into left-semi and
+    left-anti HASH joins on l_orderkey — a correlated re-execution or a
+    nested-loop here is the plan that dies at 100 TB."""
+    df = registry.QUERIES["q21_waiting_suppliers"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q2_q20_decorrelate_no_nested_loop(spark):
+    """The correlated MIN (Q2) and correlated half-of-total (Q20) scalars
+    must plan as aggregate + equi-join (Catalyst de-correlation), never a
+    per-row nested-loop re-execution."""
+    for q in ("q2_min_cost_supplier", "q20_potential_promotion"):
+        df = registry.QUERIES[q](spark, SF_DIR)
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan, (q, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
+
+
+def test_skew_profile_takeordered_no_full_sort(spark):
+    """The heavy-hitter top-5 must be a TakeOrdered, not a global sort of
+    the per-key counts (the counts relation is key-cardinality-sized)."""
+    df = registry.QUERIES["join_key_skew_profile"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ri_audit_all_edges_equi_joins(spark):
+    """Every foreign-key probe must be a hash/sort-merge equi join of the
+    child key against the de-duplicated parent keys — one NOT-IN planned
+    as a nested loop would dominate the audit at scale."""
+    df = registry.QUERIES["audit_referential_integrity"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_in_row_fold_no_window(spark):
+    """The EWMA fold happens inside each user's collected row — the plan
+    must contain NO Window operator (a windowed cumulative form would
+    sort every partition) and only the user_id shuffle + output sort."""
+    df = registry.QUERIES["events_ewma_value"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    assert shuffle_count(df) <= 2, plan
+
+
+def test_decile_audit_no_global_window(spark):
+    """Decile assignment must come from broadcast percentile bounds + an
+    in-row filter — NOT a global ntile Window (single-partition sort of
+    the corpus)."""
+    df = registry.QUERIES["quality_score_decile_audit"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    # the bounds relation must broadcast (1 row), and the score relation
+    # must bucket itself row-locally against it
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_scd2_merge_single_full_outer_equi_join(spark):
+    """The SCD2 classification must be exactly one full-outer EQUI join on
+    the business key (the canonical MERGE plan), never a nested loop."""
+    df = registry.QUERIES["scd2_merge_actions"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_join_size_estimate_sketch_bounded(spark):
+    """The CMS build must aggregate to the fixed d x w cell grid (bounded
+    shuffle payload); the only join is the 1-row x 1-row exact/estimate
+    cross join."""
+    df = registry.QUERIES["join_size_estimate_cms"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert shuffle_count(df) <= 6, plan
