@@ -27,6 +27,11 @@ from ..registry import query
 
 _sink_ids = itertools.count()
 
+# EWMA smoothing factor — MUST equal operators.events._EWMA_ALPHA so the
+# streaming twin, the batch operator, and the shared oracle recurrence agree.
+from ..operators.events import _EWMA_ALPHA as _EWMA_ALPHA_S  # noqa: E402
+
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over events.parquet (schema from the footer via a
@@ -513,3 +518,82 @@ def streaming_sliding_append(spark, sf_dir):
         "n_events",
         "total_value",
     ).orderBy("window_start")
+
+
+@query(
+    "streaming_ewma_value",
+    oracle=f"""
+    SELECT user_id,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(list_reduce(list(value ORDER BY ts, event_id),
+    (acc, x) -> acc * {1 - _EWMA_ALPHA_S} + x * {_EWMA_ALPHA_S}), 6)
+    AS ewma_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def streaming_ewma_value(spark, sf_dir):
+    """Streaming twin of ``events_ewma_value``: per-user EWMA kept as
+    applyInPandasWithState state — the custom-stateful-operator shape a
+    100 TB/day feed uses when the per-key fold must survive across
+    micro-batches (state = (count, ewma), constant per key, vs the batch
+    form's per-key event array).
+
+    Within each state update the batch's rows fold in (ts, event_id)
+    order with the same IEEE double recurrence as the batch operator and
+    the DuckDB oracle, so on finite one-batch input all three agree
+    bit-identically.  Cross-batch ordering rides on the source's
+    per-file ordering (the AvailableNow file source delivers the finite
+    input as one batch — the same assumption
+    ``streaming_stateful_user_stats`` documents); a production deploy
+    would add an event-time watermark + in-state reorder buffer."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    alpha = _EWMA_ALPHA_S
+
+    def update(key, pdfs, state: GroupState):
+        n, ewma = state.get if state.exists else (0, None)
+        chunk = pd.concat(list(pdfs), ignore_index=True)
+        chunk = chunk.sort_values(["ts", "event_id"])
+        for v in chunk["value"].tolist():
+            v = float(v)
+            ewma = v if n == 0 else ewma * (1 - alpha) + v * alpha
+            n += 1
+        state.update((n, float(ewma)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_value": [float(ewma)],
+            }
+        )
+
+    result = (
+        _events_stream(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, ewma_value double",
+            stateStructType="n long, ewma double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_to_memory(result, "update")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            # round JVM-side (same rounding mode as the batch operator and
+            # the oracle), not in Python (banker's rounding)
+            F.round("ewma_value", 6).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
