@@ -240,3 +240,57 @@ def cast_conversions(spark, sf_dir):
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "stats_regression_by_nation",
+    oracle="""
+    SELECT n_name,
+    CAST(count(*) AS BIGINT) AS n_pairs,
+    round(regr_slope(o_totalprice, c_acctbal), 6) AS slope,
+    round(corr(o_totalprice, c_acctbal), 6) AS corr_xy,
+    round(regr_r2(o_totalprice, c_acctbal), 6) AS r2,
+    round(stddev_samp(c_acctbal), 1) AS sd_acctbal
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def stats_regression_by_nation(spark, sf_dir):
+    """Statistical-aggregate family (SURVEY.md §2 Tier C aggregation row —
+    DataFusion ships regr_*/corr/covar/stddev in its default aggregate
+    registry): per-nation least-squares slope, Pearson correlation, R²,
+    and sample stddev of order value vs customer balance, via the
+    same-named built-ins on both engines.
+
+    Output columns are chosen for cross-engine rounding robustness:
+    slope/corr/R² are O(1) quantities whose last-ulp accumulation
+    differences sit ~1e-10 below the 6-dp rounding grain, and the
+    stddev is rounded at 0.1 against an O(3000) magnitude; the
+    magnitude-sensitive intercept/covariance forms are exercised but
+    not emitted (their absolute ulp error reaches the rounding grain —
+    the q11 half-cent lesson).
+
+    Scale notes: two equi-joins (customer and the 25-row nation dim
+    broadcast under AQE), then one map-side-combinable moment
+    aggregation — regr/corr/stddev all reduce to mergeable (n, Sx, Sy,
+    Sxx, Syy, Sxy) partials, so the shuffle carries 6 doubles per
+    (nation, partition)."""
+    t = tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.regr_slope("o_totalprice", "c_acctbal"), 6).alias(
+                "slope"
+            ),
+            F.round(F.corr("o_totalprice", "c_acctbal"), 6).alias("corr_xy"),
+            F.round(F.regr_r2("o_totalprice", "c_acctbal"), 6).alias("r2"),
+            F.round(F.stddev_samp("c_acctbal"), 1).alias("sd_acctbal"),
+        )
+        .orderBy("n_name")
+    )
