@@ -190,3 +190,79 @@ def sql_udf_registered(spark, sf_dir):
         "FROM part WHERE p_partkey < $1"
     )
     return stmt.execute([50])
+
+
+@query(
+    "per_group_ols_fit",
+    oracle="""
+    SELECT event_type,
+    CAST(count(*) AS BIGINT) AS n_events,
+    round(regr_slope(value, hour(ts)), 6) AS slope,
+    round(regr_intercept(value, hour(ts)), 4) AS intercept,
+    round(regr_r2(value, hour(ts)), 6) AS r2
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def per_group_ols_fit(spark, sf_dir):
+    """The 'many models' pattern: fit one model PER GROUP with
+    applyInPandas (here closed-form OLS of event value on hour-of-day,
+    computed with numpy inside each group's Arrow batch) — the shape a
+    feature pipeline uses for thousands of per-entity/per-segment models
+    where a single global fit won't do.
+
+    The DuckDB oracle is the DECLARATIVE form of the same fit
+    (regr_slope/intercept/r2), so parity proves the UDF path computes
+    exactly what the relational path would — the guarantee that lets a
+    pipeline swap between them.  The regressor is an integer (hour), so
+    its moment sums are exact; the value-side sums differ from the
+    engines' only in last-ulp accumulation order, far below the emitted
+    rounding grains.
+
+    Scale notes (100 TB): groups shuffle once on the group key; each fit
+    is O(group) inside its Arrow batch with constant output (the model
+    row).  Per-key-bounded groups is the same assumption as every
+    grouped fit; unbounded groups would move the moment sums to a
+    built-in aggregation (see stats_regression_by_nation) and keep only
+    the final solve in Python."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_type", F.hour("ts").cast("double").alias("x"), F.col("value").alias("y")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["y"].to_numpy(dtype="float64")
+        n = float(len(x))
+        sx, sy = x.sum(), y.sum()
+        sxx, syy, sxy = (x * x).sum(), (y * y).sum(), (x * y).sum()
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        slope = (n * sxy - sx * sy) / dx
+        intercept = (sy - slope * sx) / n
+        r2 = (n * sxy - sx * sy) ** 2 / (dx * dy)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [int(n)],
+                "slope": [slope],
+                "intercept": [intercept],
+                "r2": [r2],
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandas(
+        fit,
+        "event_type string, n_events long, slope double, intercept double, r2 double",
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        # round JVM-side (same rounding mode as the oracle's round())
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("event_type")
