@@ -1777,3 +1777,163 @@ def join_size_estimate_cms(spark, sf_dir):
             F.col("est_pairs").cast("double") / F.col("exact_pairs"), 4
         ).alias("inflation"),
     )
+
+
+_MB_TOP_K = 20
+
+
+@query(
+    "market_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+    SELECT i1.l_partkey AS a, i2.l_partkey AS b, count(*) AS support
+    FROM items i1 JOIN items i2
+    ON i1.l_orderkey = i2.l_orderkey AND i1.l_partkey < i2.l_partkey
+    GROUP BY a, b
+    ), item_n AS (
+    SELECT l_partkey AS p, count(*) AS n_orders_with FROM items GROUP BY p
+    ), tot AS (
+    SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+    )
+    SELECT a, b, CAST(support AS BIGINT) AS support,
+    round(CAST(support AS DOUBLE) * n_orders
+    / (na.n_orders_with * nb.n_orders_with), 4) AS lift
+    FROM pairs JOIN item_n na ON na.p = a JOIN item_n nb ON nb.p = b
+    CROSS JOIN tot
+    ORDER BY support DESC, a, b
+    LIMIT {_MB_TOP_K}
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence mining: the top part pairs bought in
+    the same order, with support count and lift (observed co-occurrence
+    vs independence) — the frequent-itemset-pairs pass behind
+    recommendations and assortment analysis.
+
+    Scale notes (100 TB): pair generation is a SELF-JOIN CO-PARTITIONED
+    ON THE ORDER KEY, so each order's pairs materialize locally and the
+    blowup is bounded by per-order basket size squared (~tens), never
+    corpus-squared; the pair counts reduce with map-side combine, the
+    per-item order counts join back as equi-joins (AQE broadcasts them
+    when they fit), the 1-row order total rides along, and the top-k is
+    a TakeOrdered.  Support and lift derive from exact integers."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    i2 = items.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("b")
+    )
+    pairs = (
+        items.join(
+            i2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("b")),
+        )
+        .groupBy(F.col("l_partkey").alias("a"), "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    item_n = items.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).alias("n_orders_with")
+    )
+    tot = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    return (
+        pairs.join(
+            item_n.select(F.col("p").alias("a"), F.col("n_orders_with").alias("na")),
+            "a",
+        )
+        .join(
+            item_n.select(F.col("p").alias("b"), F.col("n_orders_with").alias("nb")),
+            "b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "a", "b")
+        .limit(_MB_TOP_K)
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH rfm AS (
+    SELECT o_custkey AS custkey,
+    max(o_orderdate) AS last_order,
+    count(*) AS frequency,
+    sum(CAST(o_totalprice AS DECIMAL(18, 2))) AS monetary
+    FROM orders GROUP BY o_custkey
+    ), bounds AS (
+    SELECT max(last_order) AS horizon,
+    quantile_cont(frequency, 0.5) AS f_med,
+    quantile_cont(CAST(monetary AS DOUBLE), 0.5) AS m_med
+    FROM rfm
+    ), scored AS (
+    SELECT date_diff('day', last_order, horizon) <= 180 AS r_hi,
+    frequency > f_med AS f_hi,
+    CAST(monetary AS DOUBLE) > m_med AS m_hi,
+    monetary
+    FROM rfm CROSS JOIN bounds
+    )
+    SELECT r_hi, f_hi, m_hi,
+    CAST(count(*) AS BIGINT) AS n_customers,
+    CAST(round(sum(monetary), 2) AS DOUBLE) AS total_monetary
+    FROM scored
+    GROUP BY r_hi, f_hi, m_hi
+    ORDER BY r_hi, f_hi, m_hi
+    """,
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM (recency / frequency / monetary) customer segmentation: each
+    customer scored on the three classic axes, split at the corpus
+    medians (recency against a fixed 180-day horizon window), and
+    rolled up into the 8 RFM cells with customer counts and revenue
+    mass — the standard CRM segmentation pass.
+
+    Scale notes: one grouped reduction builds the per-customer RFM
+    relation; the 1-row bounds relation (horizon + two exact medians)
+    broadcasts into the scoring; the final rollup has 8 groups.
+    Monetary accumulates in DECIMAL(18,2) (order-independent, the q11
+    lesson); frequency is an integer, so both medians interpolate the
+    same exact values on both engines and every median comparison is
+    engine-identical."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    rfm = t["orders"].groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    bounds = rfm.agg(
+        F.max("last_order").alias("horizon"),
+        F.expr("percentile(frequency, 0.5)").alias("f_med"),
+        F.expr("percentile(CAST(monetary AS DOUBLE), 0.5)").alias("m_med"),
+    )
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        (F.datediff("horizon", "last_order") <= 180).alias("r_hi"),
+        (F.col("frequency") > F.col("f_med")).alias("f_hi"),
+        (F.col("monetary").cast("double") > F.col("m_med")).alias("m_hi"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_hi", "f_hi", "m_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).cast("double").alias("total_monetary"),
+        )
+        .orderBy("r_hi", "f_hi", "m_hi")
+    )

@@ -101,6 +101,10 @@ _ALLOWED_BROADCAST_LINES = {
     ("operators/relational.py", "counts.crossJoin(F.broadcast(tot))"),
     # decile audit: the 1-row nine-boundary percentile relation.
     ("operators/curation.py", "bucketed = s.crossJoin(F.broadcast(bounds)).select("),
+    # market basket: the 1-row distinct-order-count relation.
+    ("operators/relational.py", ".crossJoin(F.broadcast(tot))"),
+    # RFM: the 1-row (horizon, two medians) bounds relation.
+    ("operators/relational.py", "scored = rfm.crossJoin(F.broadcast(bounds)).select("),
     # prepared JOIN templates: the point-filtered side of the bound join —
     # the dynamic-filter analogue; a point/param filter makes it small.
     ("simple_parser.py", "df = F.broadcast(df)"),
