@@ -62,6 +62,8 @@ HEADLINE = [
     "join_key_skew_profile",
     "audit_referential_integrity",
     "events_ewma_value",
+    "market_basket_pairs",
+    "rfm_segmentation",
     "scd2_merge_actions",
     "quality_score_decile_audit",
     "window_topk_per_group",

@@ -77,6 +77,8 @@ PROBES = [
     "join_key_skew_profile",  # pre-shuffle heavy-hitter diagnostic
     "join_size_estimate_cms",  # fixed 4096-cell sketch + exact audit half
     "scd2_merge_actions",  # one full-outer merge join
+    "market_basket_pairs",  # order-key co-partitioned pair self-join
+    "rfm_segmentation",  # grouped reduce + broadcast median split
     "events_ewma_value",  # per-key ordered in-row fold
     "events_anomaly_mad",  # two grouped exact medians + equi-join
     "quality_score_decile_audit",  # broadcast percentile bounds, no global sort
