@@ -1544,3 +1544,54 @@ def dedup_incremental_lsh(
         .select("batch_doc", F.col("index_doc").alias("dup_of"), "jaccard")
         .orderBy("batch_doc")
     )
+
+
+@query(
+    "dedup_graph_degree_histogram",
+    oracle=f"""
+    WITH pairs AS ({_simhash_pairs_sql(3)}),
+    deg AS (
+    SELECT node, count(*) AS degree FROM (
+    SELECT doc_a AS node FROM pairs
+    UNION ALL
+    SELECT doc_b AS node FROM pairs
+    ) GROUP BY node
+    ),
+    alln AS (
+    SELECT d.doc_id, coalesce(deg.degree, 0) AS degree
+    FROM documents d LEFT JOIN deg ON deg.node = d.doc_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+    CAST(count(*) AS BIGINT) AS n_docs
+    FROM alln GROUP BY degree ORDER BY degree
+    """,
+)
+def dedup_graph_degree_histogram(spark, sf_dir):
+    """Degree distribution of the near-dup graph (SimHash Hamming<=3
+    edges over all documents, isolated docs included at degree 0) — the
+    diagnostic read BEFORE committing to connected components at 100 TB:
+    a heavy tail here predicts giant components / skewed CC rounds and
+    tells you whether to cap cluster sizes or pre-salt the propagation.
+
+    Scale notes: reuses the persisted chunk-blocked SimHash pair
+    pipeline (equi-join blocking, no all-pairs); symmetrize + one
+    count per node + one histogram rollup, all map-side combinable; the
+    isolated-node fill is a left join of the doc-id projection against
+    the degree relation.  All-integer outputs."""
+    pairs = _simhash_pairs(spark, sf_dir, 3)
+    t = tables(spark, sf_dir)
+    sym = pairs.select(F.col("doc_a").alias("node")).unionByName(
+        pairs.select(F.col("doc_b").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    alln = (
+        t["documents"]
+        .select("doc_id")
+        .join(deg, F.col("doc_id") == F.col("node"), "left")
+        .select(F.coalesce("degree", F.lit(0)).alias("degree"))
+    )
+    return (
+        alln.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
