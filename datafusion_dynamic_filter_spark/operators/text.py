@@ -1430,3 +1430,65 @@ def token_bigram_pmi(spark, sf_dir):
         .orderBy(F.desc("pmi"), "a", "b")
         .limit(_PMI_TOP_K)
     )
+
+
+_ZIPF_TOP_N = 100  # fit over the head of the rank-frequency curve
+
+
+@query(
+    "token_zipf_exponent",
+    oracle=f"""
+    WITH cnt AS (
+    SELECT w, count(*) AS c FROM (
+    SELECT unnest({_RAWTOK_SQL}) AS w FROM documents WHERE n_chars > 0
+    ) GROUP BY w
+    ), ranked AS (
+    SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rnk
+    FROM cnt ORDER BY c DESC, w LIMIT {_ZIPF_TOP_N}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_fit,
+    round(regr_slope(log10(CAST(c AS DOUBLE)), log10(CAST(rnk AS DOUBLE))), 6)
+    AS zipf_exponent,
+    round(regr_r2(log10(CAST(c AS DOUBLE)), log10(CAST(rnk AS DOUBLE))), 6)
+    AS r2
+    FROM ranked
+    """,
+)
+def token_zipf_exponent(spark, sf_dir):
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS slope of
+    log10(frequency) on log10(rank) for the top-100 tokens (natural text
+    sits near -1; a flat or cliff-shaped curve flags synthetic or
+    templated corpora) — the one-number corpus-health check a curation
+    run logs per snapshot.
+
+    Scale notes: one map-side-combined token count, a TakeOrdered top-N
+    (never a global sort), and the rank window + regression run over the
+    FIXED N=100-row head — constant post-reduction work at any corpus
+    size.  Ranks and counts are exact integers with deterministic
+    tie-breaks, both engines take identical log10 doubles, and the
+    regression is over 100 O(1)-magnitude values, so 6-dp rounding is
+    ulp-safe."""
+    from pyspark.sql.window import Window
+
+    t = tables(spark, sf_dir)
+    cnt = (
+        fan_out(t["documents"])
+        .filter(F.col("n_chars") > 0)
+        .select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), "w").limit(_ZIPF_TOP_N)
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), "w"))
+        .alias("rnk"),
+    )
+    lx = F.log10(F.col("rnk").cast("double"))
+    ly = F.log10(F.col("c").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_exponent"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+    )

@@ -652,3 +652,27 @@ def test_join_size_estimate_sketch_bounded(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert shuffle_count(df) <= 6, plan
+
+
+def test_market_basket_pair_join_is_equi_on_order_key(spark):
+    """Pair generation must hash/sort-merge on the ORDER key (the a<b
+    part rides as a post-join condition) — an all-pairs nested loop over
+    items is the plan that dies at 100 TB."""
+    df = registry.QUERIES["market_basket_pairs"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    # the pair join must be an equi hash/SMJ on the order key with the
+    # a<b part as a post-join condition
+    assert "[l_orderkey" in plan and "[o2" in plan, plan
+    # the ONLY nested-loop allowed is the deliberate 1-row totals cross
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rfm_no_global_window_bounds_broadcast(spark):
+    """RFM splits at broadcast exact medians — no Window, no global sort
+    of the per-customer relation."""
+    df = registry.QUERIES["rfm_segmentation"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
