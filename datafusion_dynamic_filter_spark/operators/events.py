@@ -527,3 +527,84 @@ def events_ewma_value(spark, sf_dir):
         F.size("seq").cast("long").alias("n_events"),
         F.round(ewma, 6).alias("ewma_value"),
     ).orderBy("user_id")
+
+
+_HOLT_ALPHA = 0.3  # level smoothing
+_HOLT_BETA = 0.1  # trend smoothing
+
+
+@query(
+    "events_holt_trend",
+    oracle="""
+    WITH RECURSIVE seq AS (
+    SELECT user_id, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+    FROM events
+    ), n AS (
+    SELECT user_id, count(*) AS n_events FROM seq GROUP BY user_id
+    ), state(user_id, idx, l, t) AS (
+    SELECT user_id, idx, value, 0.0e0 FROM seq WHERE idx = 1
+    UNION ALL
+    SELECT s.user_id, x.idx,
+    0.3e0 * x.value + 0.7e0 * (s.l + s.t),
+    0.1e0 * ((0.3e0 * x.value + 0.7e0 * (s.l + s.t)) - s.l) + 0.9e0 * s.t
+    FROM state s JOIN seq x ON x.user_id = s.user_id AND x.idx = s.idx + 1
+    )
+    SELECT st.user_id,
+    CAST(n.n_events AS BIGINT) AS n_events,
+    round(st.l, 6) AS level,
+    round(st.t, 6) AS trend
+    FROM state st JOIN n ON n.user_id = st.user_id AND st.idx = n.n_events
+    ORDER BY st.user_id
+    """,
+)
+def events_holt_trend(spark, sf_dir):
+    """Holt double-exponential smoothing per user: level AND trend kept
+    through one ordered fold — the two-state generalization of the EWMA
+    operator, and the standard short-horizon forecaster a feature
+    pipeline materializes per entity (forecast = level + trend).
+
+    The fold state is a (level, trend) STRUCT folded by Spark's
+    F.aggregate; the DuckDB oracle runs the same recurrence as a
+    RECURSIVE CTE stepping each user's (ts, event_id)-ranked sequence.
+    (Not list_reduce: DuckDB 1.0 evaluates a struct-lambda's fields
+    sequentially and MUTATES the accumulator between fields, so a
+    two-field state reads the new level while computing the trend —
+    measured, not documented; the recursive form has standard
+    semantics.)  Same values, same order, same IEEE ops =>
+    bit-identical before the cosmetic round.
+
+    Scale notes: identical shape to events_ewma_value — one shuffle on
+    user_id, per-key state bounded by that key's event array."""
+    t = tables(spark, sf_dir)
+    ev = t["events"].select(
+        "user_id",
+        F.struct(
+            F.unix_micros("ts").alias("tsu"),
+            F.col("event_id").alias("eid"),
+            F.col("value").alias("v"),
+        ).alias("obs"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("obs")).alias("seq")
+    )
+    vals = F.transform("seq", lambda o: o["v"])
+    al, be = _HOLT_ALPHA, _HOLT_BETA
+
+    def step(acc, x):
+        new_l = F.lit(al) * x + F.lit(1 - al) * (acc["l"] + acc["t"])
+        new_t = F.lit(be) * (new_l - acc["l"]) + F.lit(1 - be) * acc["t"]
+        seeded = F.struct(x.alias("l"), F.lit(0.0).alias("t"))
+        stepped = F.struct(new_l.alias("l"), new_t.alias("t"))
+        return F.when(acc["l"].isNull(), seeded).otherwise(stepped)
+
+    zero = F.struct(
+        F.lit(None).cast("double").alias("l"), F.lit(0.0).alias("t")
+    )
+    state = F.aggregate(vals, zero, step)
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["t"], 6).alias("trend"),
+    ).orderBy("user_id")
