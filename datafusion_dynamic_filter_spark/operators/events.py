@@ -608,3 +608,90 @@ def events_holt_trend(spark, sf_dir):
         F.round(state["l"], 6).alias("level"),
         F.round(state["t"], 6).alias("trend"),
     ).orderBy("user_id")
+
+
+_CUSUM_SLACK = 0.5  # slack in global sigmas
+
+
+@query(
+    "events_cusum_drift",
+    oracle=f"""
+    WITH RECURSIVE stats AS (
+    SELECT round(avg(value), 6) AS mu,
+    round(stddev_samp(value), 6) AS sigma FROM events
+    ), seq AS (
+    SELECT user_id, value, mu + {_CUSUM_SLACK}e0 * sigma AS k,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+    FROM events CROSS JOIN stats
+    ), n AS (
+    SELECT user_id, count(*) AS n_events FROM seq GROUP BY user_id
+    ), state(user_id, idx, s, m) AS (
+    SELECT user_id, idx, greatest(0.0e0, value - k),
+    greatest(0.0e0, value - k) FROM seq WHERE idx = 1
+    UNION ALL
+    SELECT st.user_id, x.idx,
+    greatest(0.0e0, st.s + (x.value - x.k)),
+    greatest(st.m, greatest(0.0e0, st.s + (x.value - x.k)))
+    FROM state st JOIN seq x
+    ON x.user_id = st.user_id AND x.idx = st.idx + 1
+    )
+    SELECT st.user_id,
+    CAST(n.n_events AS BIGINT) AS n_events,
+    round(st.s, 4) AS cusum_final,
+    round(st.m, 4) AS cusum_max
+    FROM state st JOIN n ON n.user_id = st.user_id AND st.idx = n.n_events
+    ORDER BY st.user_id
+    """,
+)
+def events_cusum_drift(spark, sf_dir):
+    """One-sided CUSUM drift detection per user: the running
+    max(0, s + (x - mu - 0.5 sigma)) statistic against the global mean,
+    plus its high-water mark — the classic sequential change-point
+    monitor (Page 1954) a pipeline runs per entity to flag upward value
+    drift long before a windowed mean moves.
+
+    Same ordered in-row fold family as events_ewma_value /
+    events_holt_trend, with a TWO-field (current, max) struct
+    accumulator; the oracle is a recursive CTE (the DuckDB struct-lambda
+    mutation quirk documented on the Holt operator applies here too).
+    The (mu, sigma) reference is rounded to 6 dp on both engines BEFORE
+    the fold, so the fold inputs — and therefore every step — are
+    bit-identical.
+
+    Scale notes: one global 1-row stats reduction broadcasts into the
+    scan; one shuffle on user_id; per-key state bounded by that key's
+    event array."""
+    t = tables(spark, sf_dir)
+    stats = t["events"].agg(
+        F.round(F.avg("value"), 6).alias("mu"),
+        F.round(F.stddev_samp("value"), 6).alias("sigma"),
+    )
+    ev = t["events"].crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        (F.col("mu") + F.lit(_CUSUM_SLACK) * F.col("sigma")).alias("k"),
+        F.struct(
+            F.unix_micros("ts").alias("tsu"),
+            F.col("event_id").alias("eid"),
+            F.col("value").alias("v"),
+        ).alias("obs"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("obs")).alias("seq"),
+        F.first("k").alias("k"),
+    )
+    vals = F.transform("seq", lambda o: o["v"])
+
+    def step(acc, x):
+        s_new = F.greatest(F.lit(0.0), acc["s"] + (x - F.col("k")))
+        return F.struct(
+            s_new.alias("s"), F.greatest(acc["m"], s_new).alias("m")
+        )
+
+    zero = F.struct(F.lit(0.0).alias("s"), F.lit(0.0).alias("m"))
+    state = F.aggregate(vals, zero, step)
+    return seq.select(
+        "user_id",
+        F.size("seq").cast("long").alias("n_events"),
+        F.round(state["s"], 4).alias("cusum_final"),
+        F.round(state["m"], 4).alias("cusum_max"),
+    ).orderBy("user_id")

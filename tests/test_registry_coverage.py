@@ -105,6 +105,8 @@ _ALLOWED_BROADCAST_LINES = {
     ("operators/relational.py", ".crossJoin(F.broadcast(tot))"),
     # RFM: the 1-row (horizon, two medians) bounds relation.
     ("operators/relational.py", "scored = rfm.crossJoin(F.broadcast(bounds)).select("),
+    # CUSUM: the 1-row (mu, sigma) global reference relation.
+    ("operators/events.py", 'ev = t["events"].crossJoin(F.broadcast(stats)).select('),
     # prepared JOIN templates: the point-filtered side of the bound join —
     # the dynamic-filter analogue; a point/param filter makes it small.
     ("simple_parser.py", "df = F.broadcast(df)"),
