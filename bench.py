@@ -62,6 +62,9 @@ HEADLINE = [
     "join_key_skew_profile",
     "audit_referential_integrity",
     "events_ewma_value",
+    "events_holt_trend",
+    "events_cusum_drift",
+    "token_zipf_exponent",
     "market_basket_pairs",
     "rfm_segmentation",
     "scd2_merge_actions",

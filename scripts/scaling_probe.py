@@ -80,9 +80,13 @@ PROBES = [
     "market_basket_pairs",  # order-key co-partitioned pair self-join
     "rfm_segmentation",  # grouped reduce + broadcast median split
     "events_ewma_value",  # per-key ordered in-row fold
+    "events_holt_trend",  # two-state (level, trend) fold
+    "events_cusum_drift",  # (current, max) CUSUM fold vs broadcast reference
     "events_anomaly_mad",  # two grouped exact medians + equi-join
     "quality_score_decile_audit",  # broadcast percentile bounds, no global sort
     "token_bigram_pmi",  # two count relations off one scan
+    "token_zipf_exponent",  # TakeOrdered head + fixed-N regression
+    "dedup_graph_degree_histogram",  # simhash edges + per-node degree rollup
 ]
 
 # The two-decade (sf0.01 -> ~sf1, 100x) subset: dedup/ANN/text operators
@@ -124,6 +128,8 @@ SF1_PROBES = [
     "pipeline_end_to_end",
     "quality_score_decile_audit",
     "token_bigram_pmi",
+    "token_zipf_exponent",
+    "dedup_graph_degree_histogram",
 ]
 
 
