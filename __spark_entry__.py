@@ -34,9 +34,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["q1_pricing_summary"](spark, sf_dir)
 
 
+# Round in which a query's SEMANTICS last changed.  A green driver row from
+# an EARLIER round verified the old behavior, not the shipped one, so it
+# must not count as evidence (judged r7: similarity_lsh_topk's only rows
+# were r2/r4, but r6 rebuilt it as banded multi-table LSH — the stale green
+# hid the unverified default ANN path).  Maintained by hand: bump the value
+# whenever an operator's result contract changes.
+_SEMANTICS_CHANGED_ROUND: dict[str, int] = {
+    "similarity_lsh_topk": 6,  # r6: single-probe → banded L=12×b=4 LSH
+    "dedup_semdedup": 8,  # r7 adaptive cells; r8 small-scale short-circuit
+    "anti_join_not_exists": 8,  # r8: date-windowed, non-vacuous form
+}
+
+
 def _last_green_round() -> dict[str, int]:
     """For each query name, the LATEST round whose CORRECTNESS file has a
-    green row for it (absent = never verified green)."""
+    green row for it (absent = never verified green).  Greens that predate
+    the query's last semantics change (_SEMANTICS_CHANGED_ROUND) are
+    discarded — they verified a different contract."""
     import glob
     import json
     import os
@@ -63,6 +78,7 @@ def _last_green_round() -> dict[str, int]:
                 # is the lone such contract) — treat it as never-verified
                 # so rotation re-checks it first.
                 and (row.get("spark_rows", 0) > 0 or name == "prepared_empty_result")
+                and rnd >= _SEMANTICS_CHANGED_ROUND.get(name, 0)
             ):
                 last[name] = max(last.get(name, 0), rnd)
     return last

@@ -150,6 +150,7 @@ def bench_points() -> dict:
     JVM (r5: reproduced 2-11x phantom inflation from dedup_minhash_lsh
     onward in a shared session; the same queries are stable in a fresh
     process across 9 consecutive samples)."""
+    load_start = round(os.getloadavg()[0], 2)
     eng, spark, registry = _make_session("ddf-spark-bench-points")
 
     timings: dict[str, float] = {}
@@ -458,6 +459,8 @@ def bench_points() -> dict:
         "timings": timings,
         "plan_exec_split": plan_exec_split,
         "scan_metrics": scan_evidence,
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
     }
 
 
@@ -480,7 +483,17 @@ def bench_analytics() -> dict:
     measures transfer, not the operator, and is exactly the driver-side
     pattern the engine exists to avoid.  The row count rides along so an
     output-cardinality explosion explains its own timing.
+
+    Dispersion-triggered re-sampling (r7 verdict: semdedup's samples were
+    [6.99, 2.57, 6.03] under loadavg 13 — the min was probably right but
+    cost an adjudication round to trust): when max/min across the first 3
+    samples exceeds 2x, the query takes up to 3 EXTRA samples and the min
+    runs over all of them.  Transient host interference thus converges to
+    the true floor inside one bench run; a real regression raises every
+    sample including the extras, so the rule cannot mask one.  All samples
+    plus a per-query pre-measure loadavg land in the artifact.
     """
+    load_start = round(os.getloadavg()[0], 2)
     eng, spark, registry = _make_session("ddf-spark-bench-analytics")
     timings: dict[str, float] = {}
     spark.table("lineitem").count()  # settle page cache + JIT
@@ -488,17 +501,25 @@ def bench_analytics() -> dict:
 
     rows: dict[str, int] = {}
     sample_log: dict[str, list[float]] = {}
+    load_log: dict[str, float] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         spark.catalog.clearCache()  # no cross-query cache inheritance
         jvm_gc()
+        load_log[name] = round(os.getloadavg()[0], 2)
         rows[name] = fn(spark, SF_DIR).count()  # warm (plan + cache fill)
         samples = []
         for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
             samples.append(time.perf_counter() - t0)
+        extra = 0
+        while max(samples) > 2.0 * min(samples) and extra < 3:
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            samples.append(time.perf_counter() - t0)
+            extra += 1
         timings[name] = min(samples)
         sample_log[name] = [round(s, 4) for s in samples]
     registry.release_persisted()
@@ -506,6 +527,8 @@ def bench_analytics() -> dict:
         "timings": timings,
         "rows": rows,
         "headline_samples": sample_log,
+        "headline_loadavg": load_log,
+        "loadavg_start": load_start,
         "loadavg_end": round(os.getloadavg()[0], 2),
     }
 
@@ -607,6 +630,17 @@ def main() -> None:
         # interference) or one was (transient), instead of demanding a
         # replication round to find out.
         "headline_samples": parts["analytics"]["headline_samples"],
+        # Per-query pre-measure 1-min load + per-section start/end loads
+        # (r7 verdict asked for per-section load): an inflated sample now
+        # points at its own interference window.
+        "headline_loadavg": parts["analytics"]["headline_loadavg"],
+        "loadavg_sections": {
+            sec: {
+                "start": parts[sec]["loadavg_start"],
+                "end": parts[sec]["loadavg_end"],
+            }
+            for sec in ("points", "analytics")
+        },
         "loadavg_end": parts["analytics"]["loadavg_end"],
         "cpus": int(CPUS),
     }
