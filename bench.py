@@ -533,6 +533,34 @@ def bench_analytics() -> dict:
     }
 
 
+def cpu_calibration() -> dict:
+    """Fixed-work CPU probes recorded in the artifact so CROSS-ROUND
+    comparisons can be normalized for host speed.  Motivation (r8): a
+    quiet-host rerun measured EVERY query ~1.24x slower than r7's
+    loadavg-13 run — hypervisor placement/steal, not code — and separating
+    "the host is slow today" from "this operator regressed" previously
+    cost a full replication round.  Two probes bracket the workload mix:
+    a pure-Python loop (driver-side / per-job overhead proxy) and a numpy
+    matmul (SIMD throughput proxy for codegen-dense operators).  Min-of-3
+    each; absolute values are meaningless, only cross-round ratios count.
+    """
+    import numpy as np
+
+    def best(f, n=3):
+        s = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            f()
+            s.append(time.perf_counter() - t0)
+        return round(min(s), 4)
+
+    a = np.random.RandomState(42).rand(1024, 1024)
+    return {
+        "python_loop_sec": best(lambda: sum(i * i for i in range(2_000_000))),
+        "numpy_matmul_sec": best(lambda: a @ a),
+    }
+
+
 def main() -> None:
     section = os.environ.get("SPARK_GRAFT_BENCH_SECTION")
     if section == "points":
@@ -553,6 +581,7 @@ def main() -> None:
     # not share a driver).
     import subprocess
 
+    calibration = cpu_calibration()  # before the sections add load
     parts: dict[str, dict] = {}
     for sec in ("points", "analytics"):
         env = dict(os.environ, SPARK_GRAFT_BENCH_SECTION=sec)
@@ -642,6 +671,7 @@ def main() -> None:
             for sec in ("points", "analytics")
         },
         "loadavg_end": parts["analytics"]["loadavg_end"],
+        "cpu_calibration": calibration,
         "cpus": int(CPUS),
     }
     # Durable record FIRST (r5 verdict: BENCH_r05.json lost its whole
