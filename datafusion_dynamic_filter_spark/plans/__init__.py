@@ -70,6 +70,18 @@ def codegen_stage_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
 
 
+def runtime_exchange_reuse_count(df: DataFrame) -> int:
+    """Number of reused exchanges/query-stages in the EXECUTED adaptive
+    plan.  Unlike the other helpers this one runs the query: under AQE the
+    reuse decision is made at runtime, and ``executedPlan`` on an unexecuted
+    DataFrame shows the pre-adaptive plan (an r8 audit first read 0 there
+    and nearly shipped redundant persists for subtrees Spark already
+    deduplicates — see test_multi_consumer_shuffles_are_exchange_reused)."""
+    df.collect()
+    plan = executed_plan(df)
+    return plan.count("ReusedExchange") + plan.count("ReusedQueryStage")
+
+
 def scan_metrics(df: DataFrame) -> dict:
     """Runtime scan metrics from an EXECUTED plan (collect first) — the
     Spark analog of the reference's per-operator ExecutionPlanMetricsSet
