@@ -1381,10 +1381,13 @@ def token_bigram_pmi(spark, sf_dir):
     decisions (which bigrams are 'real' collocations vs chance
     co-occurrence).
 
-    Plan shape at 100 TB: one scan builds BOTH count relations (bigrams
-    via an in-row transform over the token array — no positional
-    self-join — and unigrams via explode), each reduced by a map-side-
-    combined groupBy on uniform token keys; the PMI join probes the
+    Plan shape at 100 TB: two pruned scans build the two count relations
+    (bigrams via an in-row transform over the token array — no positional
+    self-join — and unigrams via explode; the consumers diverge right at
+    the scan so AQE exchange reuse cannot collapse them, and an r8 A/B
+    measured persisting the token arrays SLOWER at sf0.1 than re-splitting
+    on the second scan — CPU re-do beats corpus-size materialization),
+    each reduced by a map-side-combined groupBy on uniform token keys; the PMI join probes the
     bigram relation against the unigram counts twice (equi-joins on the
     token — AQE broadcasts the smaller side when it fits), the two corpus
     totals ride along as a broadcast 1-row relation, and the top-k is a
