@@ -97,3 +97,24 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_rotation_discards_pre_semantics_greens():
+    """The driver-rotation ordering must treat a green correctness row
+    older than a query's last semantics change as no evidence (r7 verdict:
+    similarity_lsh_topk's r4 green hid the unverified r6 banded-LSH
+    rework).  Every _SEMANTICS_CHANGED_ROUND entry therefore sorts ahead
+    of any query whose latest green predates no semantics change."""
+    import __spark_entry__ as e
+
+    last = e._last_green_round()
+    for name, changed in e._SEMANTICS_CHANGED_ROUND.items():
+        got = last.get(name)
+        assert got is None or got >= changed, (
+            f"{name}: green from r{got} predates semantics change r{changed}"
+        )
+    ordering = list(e.queries())
+    # Names with no usable green must lead the rotation (the driver checks
+    # a bounded prefix per round).
+    unverified = [n for n in ordering if n not in last]
+    assert ordering[: len(unverified)] == sorted(unverified)
