@@ -312,3 +312,37 @@ def lsh_table_buckets_udf(packed_signs: list[int], planes_per_table: int, n_tabl
         return pd.Series(list(keys.astype("int32")))
 
     return _buckets
+
+
+def lsh_table_keys_udf(plane_rows: list[list[int]], planes_per_table: int, n_tables: int):
+    """Full-width banded sign-LSH keys from an EXPLICIT plane matrix:
+    ``plane_rows`` is table-major — plane ``t * planes_per_table + r`` is
+    bit ``r`` of table ``t`` — and each emitted key packs all
+    ``planes_per_table`` sign bits of its table.  The caller masks the key
+    down to the band width it wants (``key & (2^b_eff - 1)``), which is
+    how the adaptive-band index keeps its bucket count growing with the
+    corpus while staying byte-identical to the fixed-b index whenever
+    b_eff equals the fixed width (the low bits are the same planes).
+
+    Same one-matmul-per-Arrow-batch shape and 6-dp half-away-from-zero
+    rounding contract as lsh_table_buckets_udf.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = planes_per_table * n_tables
+    assert len(plane_rows) == n_planes
+    signs = np.array(plane_rows, dtype=np.float64).T  # dims x n_planes
+    weights = np.zeros((n_planes, n_tables), dtype=np.int64)
+    for l in range(n_tables):
+        for r in range(planes_per_table):
+            weights[l * planes_per_table + r, l] = 1 << r
+
+    @pandas_udf("array<int>")
+    def _keys(v: pd.Series) -> pd.Series:
+        mat = np.vstack(v.to_numpy())  # batch_rows x dims
+        raw = mat @ signs[: mat.shape[1]]
+        proj = np.trunc(raw * 1e6 + np.copysign(0.5, raw)) / 1e6
+        keys = (proj > 0).astype(np.int64) @ weights  # batch_rows x n_tables
+        return pd.Series(list(keys.astype("int32")))
+
+    return _keys

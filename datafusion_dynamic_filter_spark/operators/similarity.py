@@ -19,6 +19,7 @@ from ..functions import (
     lsh_bucket_udf,
     lsh_plane_signs,
     lsh_table_buckets_udf,
+    lsh_table_keys_udf,
     vec_double,
 )
 from ..registry import query, tables, track_persist
@@ -53,6 +54,55 @@ _PLANES = lsh_plane_signs(_N_PLANES)  # deterministic +-1 matrix, seed-fixed
 _PACKED_SIGNS = [
     sum((1 << p) for p in range(_N_PLANES) if _PLANES[p][d] > 0)
     for d in range(len(_PLANES[0]))
+]
+
+# --- Adaptive band width (r8) -------------------------------------------
+# The r8 three-decade probe caught the fixed b=4 band going quadratic: 16
+# buckets per table means bucket population is corpus/16, so candidates
+# grow LINEARLY with the corpus and the index measured 574 s at ~sf10
+# (vs 3.7 s at sf1) — the same fixed-parameter blind spot the r7 probe
+# caught in SemDeDup's fixed cells, one decade later.  Fix: each table
+# carries up to 16 planes, and the EFFECTIVE band width
+#     b_eff = 4 + sum_{j=4..15} [n_vecs > 500 * 2^j]   (clamped [4, 16])
+# is computed INSIDE the plan from a 1-row count relation, with exact
+# integer threshold comparisons (no float log2 — cross-engine identical).
+# Bucket count grows with the corpus so bucket population stays ~500.
+# Plane layout keeps table t's LOW 4 bits equal to the old fixed-b planes
+# (lsh_plane_signs is prefix-stable), so wherever b_eff = 4 — every
+# driver/test SF — keys, candidates, and results are byte-identical to
+# the r6 fixed-b index.  Recall under a wider band is safe exactly where
+# the band widens: a bigger corpus is denser, so true top-k neighbors sit
+# at higher cosine (p = 1-theta/pi closer to 1) and survive more bits.
+# MEASURED (r8, live similarity_ann_recall audit): recall@5 = 1.0 over
+# all 200 queries at sf1 (b_eff = 6) and mean 0.999 / min 0.8 over all
+# 2000 queries at ~sf10 (b_eff = 9), while the index itself went from
+# 574 s (fixed b=4) to ~21 s at sf10 — 27x — and stayed flat at sf1.
+_BAND_PLANES_MAX = 16
+_BAND_TARGET_BUCKET = 500
+_EXT_PLANES = lsh_plane_signs(_N_PLANES + _N_TABLES * (_BAND_PLANES_MAX - _BAND_PLANES))
+assert _EXT_PLANES[: _N_PLANES] == _PLANES  # prefix-stable seed stream
+#: table-major plane rows: plane t*16+r is bit r of table t; bits r < 4
+#: are the OLD planes of table t, bits r >= 4 come from the extension.
+_BAND_PLANE_ROWS = [
+    _EXT_PLANES[t * _BAND_PLANES + r]
+    if r < _BAND_PLANES
+    else _EXT_PLANES[_N_PLANES + t * (_BAND_PLANES_MAX - _BAND_PLANES) + (r - _BAND_PLANES)]
+    for t in range(_N_TABLES)
+    for r in range(_BAND_PLANES_MAX)
+]
+#: packed literals for the oracle: 4 arrays of 48-bit ints per dim; plane
+#: i lives in array i // 48, bit i % 48.
+_BAND_PACKED = [
+    [
+        sum(
+            (1 << j)
+            for j in range(48)
+            if c * 48 + j < _N_TABLES * _BAND_PLANES_MAX
+            and _BAND_PLANE_ROWS[c * 48 + j][d] > 0
+        )
+        for d in range(len(_PLANES[0]))
+    ]
+    for c in range(4)
 ]
 
 
@@ -96,22 +146,32 @@ def _lsh_single_probe_oracle(k: int = 5, n_planes: int = _SINGLE_PLANES) -> str:
 
 
 def _lsh_topk_oracle(
-    k: int = 5, b: int = _BAND_PLANES, n_tables: int = _N_TABLES
+    k: int = 5, b_max: int = _BAND_PLANES_MAX, n_tables: int = _N_TABLES
 ) -> str:
-    """DuckDB twin of the multi-table banded sign-LSH index: same packed
-    plane literals, per-table bucket keys from each table's b sign bits,
-    candidates = DISTINCT pairs agreeing on any (table, bucket)."""
-    packed = ", ".join(str(v) for v in _PACKED_SIGNS)
-    n_planes = b * n_tables
+    """DuckDB twin of the ADAPTIVE multi-table banded sign-LSH index: same
+    table-major packed plane literals (4 x 48-bit chunks), full 16-bit
+    per-table keys masked to b_eff bits, where b_eff = 4 + the count of
+    exact integer thresholds 500*2^j (j = 4..15) the corpus size exceeds —
+    the same indicator sum the Spark plan computes, so b_eff (and at
+    driver SFs, every key and result byte) matches exactly.  Candidates =
+    DISTINCT pairs agreeing on any (table, masked bucket)."""
+    n_planes = b_max * n_tables
+    chunks = ", ".join(
+        "[" + ", ".join(str(v) for v in _BAND_PACKED[c]) + "]" for c in range(4)
+    )
     proj_cols = ",\n".join(
-        f"round(SUM(x * (((pk >> {p}) & 1) * 2 - 1)), 6) AS proj{p}"
+        f"round(SUM(x * (((pk{p // 48} >> {p % 48}) & 1) * 2 - 1)), 6) AS proj{p}"
         for p in range(n_planes)
+    )
+    beff_expr = str(_BAND_PLANES) + " + " + " + ".join(
+        f"(CASE WHEN n > {_BAND_TARGET_BUCKET * (1 << j)} THEN 1 ELSE 0 END)"
+        for j in range(_BAND_PLANES, b_max)
     )
     bucket_exprs = ", ".join(
         "("
         + " + ".join(
-            f"(CASE WHEN proj{l * b + r} > 0 THEN {1 << r} ELSE 0 END)"
-            for r in range(b)
+            f"(CASE WHEN {r} < beff AND proj{l * b_max + r} > 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(b_max)
         )
         + ")"
         for l in range(n_tables)
@@ -119,14 +179,20 @@ def _lsh_topk_oracle(
     return f"""
     WITH e AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ), nv AS (
+    SELECT {beff_expr} AS beff FROM (SELECT count(*) AS n FROM embeddings)
     ), ed AS (
     SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), pks AS (
+    SELECT [{chunks}] AS pkc
     ), edp AS (
-    SELECT vec_id, x, ([{packed}])[pos] AS pk FROM ed
+    SELECT vec_id, x, pkc[1][pos] AS pk0, pkc[2][pos] AS pk1,
+           pkc[3][pos] AS pk2, pkc[4][pos] AS pk3
+    FROM ed CROSS JOIN pks
     ), pr AS (
     SELECT vec_id, {proj_cols} FROM edp GROUP BY vec_id
     ), bk AS (
-    SELECT vec_id, [{bucket_exprs}] AS bks FROM pr
+    SELECT vec_id, [{bucket_exprs}] AS bks FROM pr CROSS JOIN nv
     ), bkl AS (
     SELECT vec_id, CAST(t.i AS INT) AS tbl, bks[CAST(t.i AS INT)] AS bucket
     FROM bk CROSS JOIN range(1, {n_tables + 1}) t(i)
@@ -245,9 +311,9 @@ def similarity_lsh_topk(
     harder with recall to spare.
 
     Scale shape (unchanged from the single-table design, per stage):
-    - signatures: ONE Arrow-vectorized numpy matmul per batch emits all 48
-      projections and packs the 12 per-table keys (functions.
-      lsh_table_buckets_udf) — pure map, no explode/shuffle of vectors;
+    - signatures: ONE Arrow-vectorized numpy matmul per batch emits all 192
+      projections and packs the 12 per-table 16-bit keys (functions.
+      lsh_table_keys_udf) — pure map, no explode/shuffle of vectors;
     - the bucketed corpus is persisted: it IS the ANN index, probed by the
       query side instead of re-hashing the corpus;
     - candidates: posexplode the 12 keys (ids + ints only, never the
@@ -258,17 +324,49 @@ def similarity_lsh_topk(
       broadcasts it at runtime when small, shuffles when not), join the
       tiny broadcast query vectors, score, per-query top-k window.
 
-    NOTE: the DuckDB oracle covers only the default (b=4, L=12); other
-    values are legal but run outside the parity gate."""
+    Adaptive band width (r8): the index persists FULL 16-bit per-table
+    keys and masks them down to b_eff bits at probe time, where b_eff is
+    computed in-plan from the corpus count (see the config comment above
+    _BAND_PLANES_MAX).  The r8 three-decade probe measured the fixed b=4
+    band at 574 s / ~sf10 (bucket population = corpus/16 -> candidates
+    linear in corpus, quadratic overall); with the adaptive band, bucket
+    population is pinned at ~500 and the candidate relation scales with
+    corpus x queries / buckets.  b_eff = 4 at every driver/test SF, where
+    keys and results are byte-identical to the fixed-b index.
+
+    NOTE: the DuckDB oracle covers only the default (b up to 16, L=12);
+    other values are legal but run outside the parity gate."""
     t = tables(spark, sf_dir)
     # No fan_out: one vectorized matmul per Arrow batch (see single-probe
     # note below); scan partitioning carries cluster parallelism.
     emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
-    buckets_of = lsh_table_buckets_udf(_PACKED_SIGNS, planes_per_table, n_tables)
+    keys_of = lsh_table_keys_udf(_BAND_PLANE_ROWS, _BAND_PLANES_MAX, n_tables)
     corpus = track_persist(
-        emb.select("vec_id", "v", buckets_of("v").alias("bks"))
+        emb.select("vec_id", "v", keys_of("v").alias("bks"))
     )
-    blk = corpus.select("vec_id", F.posexplode("bks").alias("tbl", "bucket"))
+    # b_eff from a 1-row count relation: exact integer thresholds, summed
+    # as indicators (no float log2 — bit-identical on both engines).  The
+    # crossJoin attaches to the exploded-key relation BELOW the persisted
+    # corpus, so the index itself is count-independent (the semdedup
+    # stats-placement lesson, r8).
+    nrel = t["embeddings"].agg(F.count(F.lit(1)).alias("n_vecs"))
+    b_eff = F.lit(_BAND_PLANES) + sum(
+        F.when(
+            F.col("n_vecs") > F.lit(_BAND_TARGET_BUCKET * (1 << j)), F.lit(1)
+        ).otherwise(F.lit(0))
+        for j in range(_BAND_PLANES, _BAND_PLANES_MAX)
+    )
+    blk = (
+        corpus.select("vec_id", F.posexplode("bks").alias("tbl", "key16"))
+        .crossJoin(F.broadcast(nrel))
+        .withColumn("b_eff", b_eff.cast("int"))
+        # shiftleft's numBits is column-typed only in SQL form
+        .select(
+            "vec_id",
+            "tbl",
+            F.expr("key16 & (shiftleft(1, b_eff) - 1)").alias("bucket"),
+        )
+    )
     qblk = blk.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("tbl").alias("q_tbl"),

@@ -17,6 +17,14 @@ Methodology matches bench.py: one FRESH process per scale factor (no
 inherited JVM state), min-of-3 per query with clearCache + GC isolation,
 results consumed by count().
 
+Since r8 the probe spans THREE decades beyond the base point: the sf1
+corpus (gen_sf1_corpus.py, content-derived 10x expansion of the driver's
+sf0.1 documents/embeddings) is chained through the same expansion once
+more into an ~sf10 corpus (500k docs / 200k vectors), and the dedup/ANN/
+text subset is re-measured there — per-decade exponents over a measured
+1000x span (`time_exponent_3dec`).  Opt out of the long tier with
+SPARK_GRAFT_SCALING_NO_SF10=1.
+
 Usage: python scripts/scaling_probe.py            # writes SCALING.json
        SPARK_GRAFT_SCALING_SECTION=<sf_dir> ...   # internal child mode
 """
@@ -178,7 +186,22 @@ def main() -> None:
         from gen_sf1_corpus import generate
 
         xhi_dir = generate(hi_dir)
-    tiers = [d for d in (lo_dir, hi_dir, xhi_dir) if d]
+    x2hi_dir = os.environ.get("SPARK_GRAFT_SCALING_X2HI")
+    if (
+        x2hi_dir is None
+        and xhi_dir
+        and not os.environ.get("SPARK_GRAFT_SCALING_NO_SF10")
+    ):
+        # fourth decade (r8): chain the same content-derived expansion once
+        # more, sf1 -> ~sf10 (500k docs / 200k vectors).  Second-level
+        # token mutations compose (w -> w~k -> w~k~j), so each sf1 slice's
+        # near-dup structure is preserved within its 10 replicas while
+        # cross-slice overlap decays — true work grows ~10x again, and the
+        # probe's exponents now rest on a measured 1000x span.
+        from gen_sf1_corpus import generate
+
+        x2hi_dir = generate(xhi_dir, os.path.join(REPO, ".scaling_sf10"))
+    tiers = [d for d in (lo_dir, hi_dir, xhi_dir, x2hi_dir) if d]
     results = {}
     for sf_dir in tiers:
         env = dict(os.environ, SPARK_GRAFT_SCALING_SECTION=sf_dir)
@@ -192,6 +215,7 @@ def main() -> None:
         results[sf_dir] = json.loads(proc.stdout.strip().splitlines()[-1])
     lo, hi = results[lo_dir], results[hi_dir]
     xhi = results.get(xhi_dir, {}) if xhi_dir else {}
+    x2hi = results.get(x2hi_dir, {}) if x2hi_dir else {}
     table = {}
     for name in PROBES:
         t_lo, t_hi = lo[name]["sec"], hi[name]["sec"]
@@ -220,10 +244,22 @@ def main() -> None:
             table[name]["rows_exponent_2dec"] = (
                 round(math.log10(r_x / r_lo) / 2, 2) if r_lo and r_x else None
             )
+        if name in x2hi:
+            # three-decade (1000x) per-decade exponents, sf0.01 -> ~sf10
+            t_y, r_y = x2hi[name]["sec"], x2hi[name]["rows"]
+            table[name]["sec_sf10"] = t_y
+            table[name]["rows_sf10"] = r_y
+            table[name]["time_exponent_3dec"] = (
+                round(math.log10(t_y / t_lo) / 3, 2) if t_lo > 0 else None
+            )
+            table[name]["rows_exponent_3dec"] = (
+                round(math.log10(r_y / r_lo) / 3, 2) if r_lo and r_y else None
+            )
     out = {
         "lo": lo_dir,
         "hi": hi_dir,
         "xhi": xhi_dir,
+        "x2hi": x2hi_dir,
         "loadavg_end": round(os.getloadavg()[0], 2),
         "probes": table,
     }
@@ -232,19 +268,22 @@ def main() -> None:
         json.dump(out, f, indent=1)
     w = max(len(n) for n in PROBES)
     print(
-        f"{'operator':<{w}}  t(0.01)  t(0.1)   t(1)  alpha  alpha/dec(100x)"
-        f"  rows-alpha  flag"
+        f"{'operator':<{w}}  t(0.01)  t(0.1)   t(1)  t(10)  alpha"
+        f"  a/dec(100x)  a/dec(1000x)  rows-alpha  flag"
     )
     for name, r in table.items():
         flag = ""
         if r["meaningful"] and r["time_exponent"] is not None and r["time_exponent"] > 1.3:
             flag = "SUPERLINEAR"
         t_x = r.get("sec_sf1")
+        t_y = r.get("sec_sf10")
         a2 = r.get("time_exponent_2dec")
+        a3 = r.get("time_exponent_3dec")
         print(
             f"{name:<{w}}  {r['sec_sf0.01']:>7.3f}  {r['sec_sf0.1']:>6.3f}"
             f"  {(f'{t_x:.2f}' if t_x is not None else '-'):>5}"
-            f"  {str(r['time_exponent']):>5}  {str(a2):>15}"
+            f"  {(f'{t_y:.1f}' if t_y is not None else '-'):>5}"
+            f"  {str(r['time_exponent']):>5}  {str(a2):>11}  {str(a3):>12}"
             f"  {str(r['rows_exponent']):>10}  {flag}"
         )
     print(f"wrote {path}")

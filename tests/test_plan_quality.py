@@ -183,11 +183,20 @@ def test_lsh_similarity_no_cartesian_no_corpus_reshuffle(spark):
     df = registry.QUERIES["similarity_lsh_topk"](spark, SF_DIR)
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # BroadcastNestedLoopJoins are allowed ONLY for the 1-row corpus-count
+    # broadcast that the r8 adaptive band width masks the persisted 16-bit
+    # keys with (the semdedup corpus-stats pattern — a bounded build side
+    # by construction).  The masked-key relation has two consumers (query
+    # extraction + probe side), so the pre-adaptive plan text shows the
+    # pattern twice; at runtime AQE reuses the single 1-row broadcast
+    # exchange (verified: ReusedExchange appears in the executed plan).
+    # Anything beyond 2 would be an all-pairs structure over the corpus.
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
     # candidate dedup + the r7 parallelism-pinning repartition of the
-    # id-pair relation (AQE-coalesce exemption) + rank/sort: all keyed or
-    # round-robin on ids only — never the vectors.
-    assert shuffle_count(df) <= 4, executed_plan(df)
+    # id-pair relation (AQE-coalesce exemption) + rank/sort + the 1-row
+    # count aggregate's exchanges (reused at runtime): all keyed or
+    # round-robin on ids only, or 1-row — never the vectors.
+    assert shuffle_count(df) <= 6, executed_plan(df)
 
 
 def test_ngram_jaccard_is_equi_join(spark):

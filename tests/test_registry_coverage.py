@@ -93,6 +93,9 @@ _ALLOWED_BROADCAST_LINES = {
     # k-means: the k-row centroid relation (k=4 x 64 doubles, KB-sized at
     # every corpus scale — cluster state, not data).
     ("operators/similarity.py", "emb.crossJoin(F.broadcast(cent_row))"),
+    # adaptive-band LSH (r8): the 1-row corpus-count relation that the
+    # in-plan band width b_eff derives from — bounded by construction.
+    ("operators/similarity.py", ".crossJoin(F.broadcast(nrel))"),
     # power iteration: the 1-row direction-vector relation (d doubles).
     ("operators/similarity.py", "y = emb.crossJoin(F.broadcast(xdf)).select("),
     # PMI: the 1-row (t_bi, t_uni) corpus-totals relation.
