@@ -875,8 +875,18 @@ def dedup_simhash_partners(spark, sf_dir, *, max_hamming: int = 3):
 #: formula) n_sub = 1 and the operator is byte-identical to the plain
 #: per-label form.
 _SEM_TARGET_CELL = 250
-_SEM_SUB_PLANES = 6
-_SEM_MAX_SUB = 64
+# 10 planes -> up to 1024 sub-buckets (r8; was 6 planes / 64).  The r8
+# three-decade probe caught the 64 cap BINDING at ~sf10 (200k vectors
+# want n_sub = 80): a bound cap means cell density grows linearly again
+# and intra-cell pair work returns to quadratic — the exact blind spot
+# the adaptive refinement was built to remove.  1024 sub-buckets keep
+# density at the target up to ~2.5M vectors per label value; beyond that
+# raise the plane count, never the density.  Driver SFs are unaffected
+# (n_sub = 1 there; the sig is gated off); the scaling corpus's sf1
+# sub-bucket assignment changes (pmod of a 10-bit sig), which only
+# re-buckets the refinement — the oracle mirrors the same constants.
+_SEM_SUB_PLANES = 10
+_SEM_MAX_SUB = 1024
 
 
 def _sem_packed_signs():

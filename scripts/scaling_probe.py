@@ -141,6 +141,19 @@ SF1_PROBES = [
 ]
 
 
+# The ~sf10 (fourth-tier) subset: SF1_PROBES minus two documented
+# exclusions.  dedup_jaccard_partners: its exact-verify join ships full
+# token arrays replicated per candidate pair; on the adversarial corpus
+# (31-token vocabulary, ~6% of all-pairs are true dups) that is ~76M pairs
+# x ~600 B ≈ 45 GB of shuffle spill at sf10 — pair-bound BY CONTRACT, the
+# same reason dedup_ngram_jaccard sits out the sf1 tier; the scalable
+# near-dup answer at that density is the (probed) LSH family.
+# similarity_brute_topk: quadratic by construction (the ground-truth
+# yardstick, ~400M cosines at sf10), never the scale path.
+SF10_EXCLUDED = ["dedup_jaccard_partners", "similarity_brute_topk"]
+SF10_PROBES = [n for n in SF1_PROBES if n not in SF10_EXCLUDED]
+
+
 def child(sf_dir: str) -> None:
     sys.path.insert(0, REPO)  # script dir, not repo root, is sys.path[0]
     from datafusion_dynamic_filter_spark import Engine, registry
@@ -158,7 +171,16 @@ def child(sf_dir: str) -> None:
     spark.table("documents").count()  # settle page cache + JIT
     if "lineitem" in loaded:
         spark.table("lineitem").count()
-    probes = PROBES if "lineitem" in loaded else SF1_PROBES
+    if "lineitem" in loaded:
+        probes = PROBES
+    elif os.path.basename(sf_dir.rstrip("/")) == ".scaling_sf10":
+        probes = SF10_PROBES
+    else:
+        probes = SF1_PROBES
+    # min-of-N: 3 by default; the sf10 tier runs min-of-2 (its singles run
+    # 20-170 s, so one pass already averages out scheduler noise and the
+    # tier stays under an hour — sample count recorded in the artifact).
+    n_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "3"))
     jvm_gc = spark.sparkContext._jvm.System.gc
     out: dict[str, dict] = {}
     for name in probes:
@@ -167,7 +189,7 @@ def child(sf_dir: str) -> None:
         jvm_gc()
         rows = fn(spark, sf_dir).count()  # warm: plan + cache fill
         samples = []
-        for _ in range(3):
+        for _ in range(n_samples):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
@@ -205,6 +227,8 @@ def main() -> None:
     results = {}
     for sf_dir in tiers:
         env = dict(os.environ, SPARK_GRAFT_SCALING_SECTION=sf_dir)
+        if sf_dir == x2hi_dir:
+            env.setdefault("SPARK_GRAFT_SCALING_SAMPLES", "2")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, cwd=REPO,
@@ -260,6 +284,8 @@ def main() -> None:
         "hi": hi_dir,
         "xhi": xhi_dir,
         "x2hi": x2hi_dir,
+        "samples": {"default": 3, "x2hi": 2},
+        "x2hi_excluded": SF10_EXCLUDED if x2hi_dir else [],
         "loadavg_end": round(os.getloadavg()[0], 2),
         "probes": table,
     }
