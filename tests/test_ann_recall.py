@@ -76,3 +76,42 @@ def test_banded_lsh_candidates_bounded(spark):
     # measured 0.52 at sf0.01; anything near 1.0 means banding stopped
     # pruning, anything above 1.0 means the pair dedup broke
     assert frac <= 0.7, f"candidate fraction {frac:.3f}"
+
+
+def test_adaptive_band_low_bits_match_fixed_index(spark):
+    """The r8 adaptive-band index must be BYTE-IDENTICAL to the r6 fixed-b
+    index wherever b_eff = 4 (every driver/test SF): table t's low 4 key
+    bits are the same planes (lsh_plane_signs prefix-stability), so
+    full16 & 0b1111 must equal the old 4-bit bucket for every (vector,
+    table).  This pins the no-regression claim the driver's correctness
+    rows rest on; a plane-layout refactor that breaks it would silently
+    re-bucket the shipped ANN default."""
+    from datafusion_dynamic_filter_spark.functions import (
+        lsh_table_buckets_udf,
+        lsh_table_keys_udf,
+        vec_double,
+    )
+    from datafusion_dynamic_filter_spark.operators.similarity import (
+        _BAND_PLANE_ROWS,
+        _BAND_PLANES,
+        _BAND_PLANES_MAX,
+        _N_TABLES,
+        _PACKED_SIGNS,
+    )
+
+    emb = (
+        spark.read.parquet(SF_DIR + "/embeddings.parquet")
+        .select("vec_id", vec_double("embedding").alias("v"))
+    )
+    old = lsh_table_buckets_udf(_PACKED_SIGNS, _BAND_PLANES, _N_TABLES)
+    new = lsh_table_keys_udf(_BAND_PLANE_ROWS, _BAND_PLANES_MAX, _N_TABLES)
+    mask = (1 << _BAND_PLANES) - 1
+    diff = (
+        emb.select(
+            "vec_id",
+            F.posexplode(F.arrays_zip(old("v"), new("v"))).alias("tbl", "pair"),
+        )
+        .filter(F.col("pair")["0"] != F.col("pair")["1"].bitwiseAND(F.lit(mask)))
+        .count()
+    )
+    assert diff == 0
