@@ -76,7 +76,10 @@ _PACKED_SIGNS = [
 # MEASURED (r8, live similarity_ann_recall audit): recall@5 = 1.0 over
 # all 200 queries at sf1 (b_eff = 6) and mean 0.999 / min 0.8 over all
 # 2000 queries at ~sf10 (b_eff = 9), while the index itself went from
-# 574 s (fixed b=4) to ~21 s at sf10 — 27x — and stayed flat at sf1.
+# 574 s (fixed b=4) to ~17-21 s at sf10 — 27x — and stayed flat at sf1.
+# The adaptivity costs ~0.4-0.8 s of fixed local-mode job overhead at
+# sf0.1 (count relation + broadcast + index persist, amortized away at
+# scale) — the same small-SF floor the DPP batch rows document.
 _BAND_PLANES_MAX = 16
 _BAND_TARGET_BUCKET = 500
 _EXT_PLANES = lsh_plane_signs(_N_PLANES + _N_TABLES * (_BAND_PLANES_MAX - _BAND_PLANES))
@@ -349,14 +352,22 @@ def similarity_lsh_topk(
     # crossJoin attaches to the exploded-key relation BELOW the persisted
     # corpus, so the index itself is count-independent (the semdedup
     # stats-placement lesson, r8).
-    nrel = t["embeddings"].agg(F.count(F.lit(1)).alias("n_vecs"))
+    # counted off the persisted corpus (cache read), not a second scan
+    nrel = corpus.agg(F.count(F.lit(1)).alias("n_vecs"))
     b_eff = F.lit(_BAND_PLANES) + sum(
         F.when(
             F.col("n_vecs") > F.lit(_BAND_TARGET_BUCKET * (1 << j)), F.lit(1)
         ).otherwise(F.lit(0))
         for j in range(_BAND_PLANES, _BAND_PLANES_MAX)
     )
-    blk = (
+    # Persisted: the exploded, MASKED (vec_id, tbl, bucket) relation is the
+    # probed index (ids + ints only, 12 x ~16 B per vector).  It has two
+    # consumers (query extraction + probe side); without the persist each
+    # re-ran the count aggregate, the broadcast build, and the mask — four
+    # extra jobs whose fixed local-mode overhead measured ~0.8 s at sf0.1
+    # (the bench caught it; at cluster scale the same duplication is two
+    # corpus-wide map passes).
+    blk = track_persist(
         corpus.select("vec_id", F.posexplode("bks").alias("tbl", "key16"))
         .crossJoin(F.broadcast(nrel))
         .withColumn("b_eff", b_eff.cast("int"))
