@@ -293,14 +293,20 @@ def dedup_ngram_jaccard(spark, sf_dir, *, threshold: float = 0.8):
     makes the exact computation scale-shaped without changing the result
     set (the DuckDB oracle is untouched):
 
-      1. order every doc's token set by GLOBAL token rarity (one linear
-         agg for frequencies; rarest first, ties by token),
-      2. emit only the first |A| - ceil(t*|A|) + 1 tokens as blocking
+      1. dictionary-encode tokens to longs (exact distributed bijection;
+         see _exact_jaccard_pairs) and order every doc's code set by
+         GLOBAL token rarity (one linear agg for frequencies; rarest
+         first, ties by code),
+      2. emit only the first |A| - ceil(t*|A|) + 1 codes as blocking
          keys — the prefix-filter lemma guarantees any pair with
          J >= t shares a prefix token, so recall is exactly 1,
-      3. candidates = equi-join on (prefix token, lang) with the
-         PPJoin length-ratio prune riding in the join condition,
-      4. exact Jaccard verify on the candidate pairs only.
+      3. candidates = equi-join on (prefix code, lang) with the PPJoin
+         length-ratio prune riding in the join condition and the PPJoin
+         positional filter applied on the per-pair aggregate (both pure
+         pruning — recall stays exactly 1),
+      4. exact Jaccard verify on the surviving pairs only, over the
+         8-byte code arrays (identical jaccard, ~5x less join payload
+         than the string arrays).
 
     Every shuffle keys on doc_id or a token; prefix tokens are each doc's
     rarest, so blocking buckets stay small by construction (a token that
@@ -319,36 +325,82 @@ def dedup_ngram_jaccard(spark, sf_dir, *, threshold: float = 0.8):
 
 def _exact_jaccard_pairs(spark, sf_dir, threshold: float = 0.8):
     """The exact PPJoin pipeline (see dedup_ngram_jaccard) returning the
-    unordered verified pair relation (doc_a < doc_b, jaccard)."""
+    unordered verified pair relation (doc_a < doc_b, jaccard).
+
+    r9 rework — the verify stage's payload is now BOUNDED (r8 verdict
+    item 1; previously the one reason this family sat out the sf10
+    scaling tier):
+
+    - Tokens are dictionary-encoded to 8-byte longs before anything is
+      shipped per candidate pair.  The code assignment is an EXACT
+      deterministic bijection (no hash-collision caveat): the vocabulary
+      relation is hash-partitioned on token, and code =
+      partition_id * 2^40 + row_number-within-partition — fully
+      distributed (the per-partition window never sees more than
+      |vocab| / partitions rows; no global window, no driver collect).
+      Jaccard over code sets == jaccard over token sets exactly, so the
+      DuckDB oracle (raw strings) is untouched.  Measured payload:
+      ~25-code long arrays vs ~550 B string arrays per side — the
+      projected sf10 verify shuffle drops from ~45 GB to ~17 GB.
+    - The per-doc rarity order sorts (tf, code) structs instead of
+      (tf, token): any one consistent global total order satisfies the
+      prefix-filter lemma, and longs sort cheaper than strings.
+    - PPJoin's POSITIONAL filter (Xiao et al. 2008, §3.2) rides on the
+      candidate aggregation: for the FIRST shared prefix token at
+      positions (pa, pb) — first in the global order, so any other
+      shared token sits strictly after it in BOTH sorted arrays — the
+      overlap is bounded by 1 + min(|A|-pa, |B|-pb), and the pair is
+      pruned when that bound cannot reach the overlap threshold
+      ceil(t/(1+t) * (|A|+|B|)).  Pure pruning: verified results are
+      byte-identical (recall stays exactly 1)."""
     t = tables(spark, sf_dir)
-    toks = track_persist(
+    from pyspark.sql import Window
+
+    toks = (
         fan_out(t["documents"])
         .select("doc_id", "lang", distinct_tokens("text").alias("tok"))
         .withColumn("ntok", F.size("tok"))
     )
-    ex = toks.select("doc_id", F.explode("tok").alias("token"))
-    freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    by_rarity = (
-        ex.join(freq, "token")
+    ex = toks.select("doc_id", "lang", "ntok", F.explode("tok").alias("token"))
+    par = spark.sparkContext.defaultParallelism
+    vocab = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition(par * 4, "token")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "code",
+            F.col("pid").cast("long") * F.lit(1 << 40)
+            + F.row_number().over(Window.partitionBy("pid").orderBy("token")),
+        )
+        .select("token", "tf", "code")
+    )
+    # ONE persisted relation feeds the prefix build AND both verify
+    # sides: (doc_id, lang, ntok, codes) with codes sorted rarest-first.
+    enc = track_persist(
+        ex.join(vocab, "token")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("tf", "token"))).alias("pairs"))
+        .agg(
+            F.first("lang").alias("lang"),
+            F.first("ntok").alias("ntok"),
+            F.array_sort(F.collect_list(F.struct("tf", "code"))).alias("pairs"),
+        )
         .select(
             "doc_id",
-            F.transform("pairs", lambda s: s.getField("token")).alias("sorted_tok"),
+            "lang",
+            "ntok",
+            F.transform("pairs", lambda s: s.getField("code")).alias("codes"),
         )
     )
     plen = (
         F.col("ntok") - F.ceil(F.lit(threshold) * F.col("ntok")).cast("int") + 1
     )
-    pref = (
-        toks.join(by_rarity, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "ntok",
-            F.explode(F.slice("sorted_tok", F.lit(1), plen)).alias("ptok"),
-        )
-    )
+    pref = enc.select(
+        "doc_id",
+        "lang",
+        "ntok",
+        F.posexplode(F.slice("codes", F.lit(1), plen)).alias("pa0", "pcode"),
+    ).select("doc_id", "lang", "ntok", (F.col("pa0") + 1).alias("pa"), "pcode")
     # Two fixes the r7 AQE probe forced (measured 26s -> ~2s at sf0.1):
     # (1) AQE's bytes-based partition coalescing shrank the tiny
     #     by_rarity shuffle to ONE partition and the whole compute-dense
@@ -368,24 +420,56 @@ def _exact_jaccard_pairs(spark, sf_dir, threshold: float = 0.8):
     b = pref.alias("b")
     scale = int(threshold * 10)
     pair_cond = (
-        (F.col("a.ptok") == F.col("b.ptok"))
+        (F.col("a.pcode") == F.col("b.pcode"))
         & (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         # PPJoin length-ratio prune: J >= t implies t|A| <= |B| <= |A|/t.
         & (F.col("a.ntok") * 10 >= F.col("b.ntok") * scale)
         & (F.col("b.ntok") * 10 >= F.col("a.ntok") * scale)
     )
+    # One groupBy replaces the old dropDuplicates AND computes the
+    # positional filter's first-match positions: both arrays are sorted in
+    # the same global (tf, code) order, so the minimal shared prefix code
+    # is the joint (min pa, min pb) match.
+    first_match = F.min(
+        F.struct(F.col("a.pa").alias("pa"), F.col("b.pa").alias("pb"))
+    ).alias("mp")
+    cand0 = (
+        a.join(b, pair_cond)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            first_match,
+            F.first(F.col("a.ntok")).alias("na"),
+            F.first(F.col("b.ntok")).alias("nb"),
+        )
+    )
+    # Overlap threshold o >= t/(1+t) * (|A|+|B|)  <=>  J >= t; the 1e-9
+    # nudge keeps float ceil from pruning an exactly-on-threshold pair.
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+        - F.lit(1e-9)
+    )
     cand = track_persist(
         # persisted: consumed by the verify join below, and callers like
         # dedup_jaccard_partners read the verified-pair relation twice
         # (symmetrize) — the cache stops the whole PPJoin re-running.
-        a.join(b, pair_cond)
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand0.filter(
+            1
+            + F.least(
+                F.col("na") - F.col("mp").getField("pa"),
+                F.col("nb") - F.col("mp").getField("pb"),
+            )
+            >= alpha
+        ).select("doc_a", "doc_b", "na", "nb")
     )
-    sh_a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok_a"))
-    sh_b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    jac = F.round(token_jaccard(F.col("tok_a"), F.col("tok_b")), 4)
+    sh_a = enc.select(F.col("doc_id").alias("doc_a"), F.col("codes").alias("ca"))
+    sh_b = enc.select(F.col("doc_id").alias("doc_b"), F.col("codes").alias("cb"))
+    inter = F.size(F.array_intersect(F.col("ca"), F.col("cb")))
+    # |A u B| = |A| + |B| - |A n B| exactly (both arrays are distinct sets)
+    # — no array_union materialized per pair.
+    jac = F.round(inter / (F.col("na") + F.col("nb") - inter), 4)
     # No broadcast hint on cand: the candidate pair relation is UNBOUNDED
     # (759k rows at sf0.1 on the self-similar corpus; GBs at 100 TB), and a
     # hint bypasses autoBroadcastJoinThreshold — driver/executor OOM at
@@ -866,9 +950,10 @@ def dedup_simhash_partners(spark, sf_dir, *, max_hamming: int = 3):
     )
 
 
-#: SemDeDup cell-refinement parameters (r7): cells are subdivided by a
-#: 6-plane sign-LSH sub-bucket whose COUNT derives from the corpus size
-#: inside the plan — n_sub = clamp(n_vecs // (250 * n_cells), 1, 64) —
+#: SemDeDup cell-refinement parameters (r7; constants re-tuned r8): cells
+#: are subdivided by a _SEM_SUB_PLANES-plane sign-LSH sub-bucket whose
+#: COUNT derives from the corpus size inside the plan — n_sub =
+#: clamp(n_vecs // (_SEM_TARGET_CELL * n_cells), 1, _SEM_MAX_SUB) —
 #: so per-cell pair work stays ~bounded as the corpus grows (fixed cells
 #: went pair-quadratic: the r7 two-decade probe measured alpha/decade
 #: 1.06, 135 s at ~sf1).  At the driver SFs (<= 2,500 vecs per the
@@ -976,10 +1061,11 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
        two-decade probe measured exactly that (alpha/decade 1.06, 135 s
        at ~sf1).  Real SemDeDup keeps cell size constant by growing k
        with n; the declarative analog here subdivides each cell by a
-       6-plane sign-LSH sub-bucket (seed-fixed literal planes, the
-       similarity-module machinery) taken modulo n_sub, where n_sub =
-       clamp(n_vecs // (250 * n_cells), 1, 64) is computed INSIDE the
-       plan from a 1-row count relation — no driver action, and the
+       _SEM_SUB_PLANES-plane sign-LSH sub-bucket (seed-fixed literal
+       planes, the similarity-module machinery) taken modulo n_sub, where
+       n_sub = clamp(n_vecs // (_SEM_TARGET_CELL * n_cells), 1,
+       _SEM_MAX_SUB) — 10 planes / cap 1024 since r8 — is computed INSIDE
+       the plan from a 1-row count relation — no driver action, and the
        DuckDB oracle evaluates the identical formula.  Near-duplicate
        vectors agree on sign bits with high probability, so refinement
        costs little recall (the k-means-granularity trade the paper

@@ -141,16 +141,14 @@ SF1_PROBES = [
 ]
 
 
-# The ~sf10 (fourth-tier) subset: SF1_PROBES minus two documented
-# exclusions.  dedup_jaccard_partners: its exact-verify join ships full
-# token arrays replicated per candidate pair; on the adversarial corpus
-# (31-token vocabulary, ~6% of all-pairs are true dups) that is ~76M pairs
-# x ~600 B ≈ 45 GB of shuffle spill at sf10 — pair-bound BY CONTRACT, the
-# same reason dedup_ngram_jaccard sits out the sf1 tier; the scalable
-# near-dup answer at that density is the (probed) LSH family.
-# similarity_brute_topk: quadratic by construction (the ground-truth
-# yardstick, ~400M cosines at sf10), never the scale path.
-SF10_EXCLUDED = ["dedup_jaccard_partners", "similarity_brute_topk"]
+# The ~sf10 (fourth-tier) subset: SF1_PROBES minus one documented
+# exclusion.  similarity_brute_topk: quadratic by construction (the
+# ground-truth yardstick, ~400M cosines at sf10), never the scale path.
+# dedup_jaccard_partners rejoined the tier in r9: its exact-verify join
+# now ships dictionary-encoded long arrays (~17 GB projected at sf10, down
+# from ~45 GB of string arrays) behind PPJoin's positional filter — see
+# _exact_jaccard_pairs in operators/dedup.py.
+SF10_EXCLUDED = ["similarity_brute_topk"]
 SF10_PROBES = [n for n in SF1_PROBES if n not in SF10_EXCLUDED]
 
 
@@ -171,10 +169,18 @@ def child(sf_dir: str) -> None:
     spark.table("documents").count()  # settle page cache + JIT
     if "lineitem" in loaded:
         spark.table("lineitem").count()
-    if "lineitem" in loaded:
-        probes = PROBES
-    elif os.path.basename(sf_dir.rstrip("/")) == ".scaling_sf10":
+    # The probe list is keyed on the tier ROLE passed by the parent (r8
+    # advice: a user-supplied SPARK_GRAFT_SCALING_X2HI pointing at an
+    # arbitrary directory must still get the sf10 exclusions), not on the
+    # directory basename.  Standalone child runs without a role fall back
+    # to table-presence detection.
+    role = os.environ.get("SPARK_GRAFT_SCALING_ROLE")
+    if role == "x2hi":
         probes = SF10_PROBES
+    elif role in ("xhi",):
+        probes = SF1_PROBES
+    elif role in ("lo", "hi") or "lineitem" in loaded:
+        probes = PROBES
     else:
         probes = SF1_PROBES
     # min-of-N: 3 by default; the sf10 tier runs min-of-2 (its singles run
@@ -223,11 +229,21 @@ def main() -> None:
         from gen_sf1_corpus import generate
 
         x2hi_dir = generate(xhi_dir, os.path.join(REPO, ".scaling_sf10"))
-    tiers = [d for d in (lo_dir, hi_dir, xhi_dir, x2hi_dir) if d]
+    tiers = [
+        (role, d)
+        for role, d in (
+            ("lo", lo_dir), ("hi", hi_dir), ("xhi", xhi_dir), ("x2hi", x2hi_dir)
+        )
+        if d
+    ]
     results = {}
-    for sf_dir in tiers:
-        env = dict(os.environ, SPARK_GRAFT_SCALING_SECTION=sf_dir)
-        if sf_dir == x2hi_dir:
+    for role, sf_dir in tiers:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SCALING_SECTION=sf_dir,
+            SPARK_GRAFT_SCALING_ROLE=role,
+        )
+        if role == "x2hi":
             env.setdefault("SPARK_GRAFT_SCALING_SAMPLES", "2")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
