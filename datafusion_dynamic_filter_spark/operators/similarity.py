@@ -288,14 +288,7 @@ def _topk_rerank(scored, k):
 
 
 @query("similarity_lsh_topk", oracle=_lsh_topk_oracle())
-def similarity_lsh_topk(
-    spark,
-    sf_dir,
-    *,
-    k: int = 5,
-    planes_per_table: int = _BAND_PLANES,
-    n_tables: int = _N_TABLES,
-):
+def similarity_lsh_topk(spark, sf_dir, *, k: int = 5):
     """Multi-table (banded) sign-LSH ANN — the shipped default since r6:
     L=12 tables of b=4 planes; a corpus vector is a candidate for a query
     if ALL 4 sign bits of ANY table agree; exact cosine re-rank on the
@@ -337,13 +330,19 @@ def similarity_lsh_topk(
     corpus x queries / buckets.  b_eff = 4 at every driver/test SF, where
     keys and results are byte-identical to the fixed-b index.
 
-    NOTE: the DuckDB oracle covers only the default (b up to 16, L=12);
-    other values are legal but run outside the parity gate."""
+    The table/plane geometry (L=12 tables x up to 16 planes) is fixed by
+    the module constants (_N_TABLES, _BAND_PLANES_MAX): since the r8
+    adaptive band, the plane matrix, the oracle literals, and the
+    byte-identity guarantee at driver SFs are all derived from that one
+    layout, so the former per-call (planes_per_table, n_tables) kwargs —
+    which the r8 index silently ignored — were removed (r8 advice).
+    Change the constants (and with them the oracle) to re-tune; only k
+    is a per-call knob."""
     t = tables(spark, sf_dir)
     # No fan_out: one vectorized matmul per Arrow batch (see single-probe
     # note below); scan partitioning carries cluster parallelism.
     emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
-    keys_of = lsh_table_keys_udf(_BAND_PLANE_ROWS, _BAND_PLANES_MAX, n_tables)
+    keys_of = lsh_table_keys_udf(_BAND_PLANE_ROWS, _BAND_PLANES_MAX, _N_TABLES)
     corpus = track_persist(
         emb.select("vec_id", "v", keys_of("v").alias("bks"))
     )
