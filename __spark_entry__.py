@@ -38,13 +38,40 @@ def entry(spark: SparkSession) -> DataFrame:
 # an EARLIER round verified the old behavior, not the shipped one, so it
 # must not count as evidence (judged r7: similarity_lsh_topk's only rows
 # were r2/r4, but r6 rebuilt it as banded multi-table LSH — the stale green
-# hid the unverified default ANN path).  Maintained by hand: bump the value
-# whenever an operator's result contract changes.
+# hid the unverified default ANN path).
+#
+# Since r9 this hand map is the FALLBACK layer only: for every
+# oracle-bearing query the staleness round is derived mechanically from
+# ORACLE_HASHES.json (a query's contract IS its oracle SQL; the ledger
+# records the round each oracle's hash last changed, and
+# tests/test_registry_coverage.py fails if an oracle edit ships without
+# regenerating the ledger via scripts/update_oracle_hashes.py — the r8
+# advice's "guard cannot drift" property).  Add a hand entry only for a
+# semantics change the oracle cannot see: a rows-only query's contract, or
+# a Spark-side rework that keeps the oracle but should still invalidate old
+# greens.  The effective threshold is the max of both layers.
 _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     "similarity_lsh_topk": 6,  # r6: single-probe → banded L=12×b=4 LSH
     "dedup_semdedup": 8,  # r7 adaptive cells; r8 small-scale short-circuit
     "anti_join_not_exists": 8,  # r8: date-windowed, non-vacuous form
 }
+
+
+def _oracle_changed_round() -> dict[str, int]:
+    """Mechanical staleness layer: per query, the round its oracle SQL last
+    changed, from the committed ORACLE_HASHES.json ledger (empty if the
+    ledger is absent — the hand map still applies)."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ORACLE_HASHES.json"
+    )
+    try:
+        with open(path) as f:
+            return {k: int(v.get("round", 0)) for k, v in json.load(f).items()}
+    except Exception:
+        return {}
 
 
 def _last_green_round() -> dict[str, int]:
@@ -58,6 +85,7 @@ def _last_green_round() -> dict[str, int]:
     import re
 
     last: dict[str, int] = {}
+    oracle_rounds = _oracle_changed_round()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -78,7 +106,11 @@ def _last_green_round() -> dict[str, int]:
                 # is the lone such contract) — treat it as never-verified
                 # so rotation re-checks it first.
                 and (row.get("spark_rows", 0) > 0 or name == "prepared_empty_result")
-                and rnd >= _SEMANTICS_CHANGED_ROUND.get(name, 0)
+                and rnd
+                >= max(
+                    _SEMANTICS_CHANGED_ROUND.get(name, 0),
+                    oracle_rounds.get(name, 0),
+                )
             ):
                 last[name] = max(last.get(name, 0), rnd)
     return last

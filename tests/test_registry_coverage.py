@@ -192,3 +192,49 @@ def test_operator_index_is_fresh():
     idx = (PKG.parent / "OPERATORS.md").read_text()
     missing = [n for n in registry.QUERIES if f"`{n}`" not in idx]
     assert not missing, f"stale OPERATORS.md, missing: {missing}"
+
+
+def test_oracle_hash_ledger_current():
+    """ORACLE_HASHES.json (the mechanical staleness ledger behind the
+    driver-rotation ordering — see scripts/update_oracle_hashes.py) must
+    match the live registry: an oracle edit that ships without
+    regenerating the ledger would leave pre-change greens counting as
+    evidence for the new contract, the exact drift the r8 advice flagged
+    in the hand-maintained _SEMANTICS_CHANGED_ROUND map."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "update_oracle_hashes",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "update_oracle_hashes.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    import json
+
+    with open(mod.LEDGER) as f:
+        committed = json.load(f)
+    current, _ = mod.build_ledger()
+    assert current == committed, (
+        "ORACLE_HASHES.json out of date; run scripts/update_oracle_hashes.py"
+    )
+
+
+def test_rotation_uses_oracle_ledger_rounds():
+    """A green correctness row older than the query's ledger round must be
+    discarded by the rotation (the mechanical layer of the staleness
+    guard), exactly as hand-map rounds are."""
+    import __spark_entry__ as e
+
+    oracle_rounds = e._oracle_changed_round()
+    assert oracle_rounds, "ledger missing or unreadable"
+    last = e._last_green_round()
+    for name, changed in oracle_rounds.items():
+        got = last.get(name)
+        assert got is None or got >= changed, (
+            f"{name}: green from r{got} predates oracle change r{changed}"
+        )
