@@ -82,6 +82,25 @@ _PACKED_SIGNS = [
 # scale) — the same small-SF floor the DPP batch rows document.
 _BAND_PLANES_MAX = 16
 _BAND_TARGET_BUCKET = 500
+#: r9: full Hamming-1 multiprobe once the band is this wide.  The r9
+#: numpy floor test caught min recall@5 = 0.6 (mean 0.995) at the
+#: b_eff = 12 density — the first widening past the measured floors
+#: (b <= 9 live at the probe tiers, 10/11 pinned by the 260k-corpus
+#: test).  Diagnosis of the failing query: its missed true neighbors sit
+#: at cos ~0.97 (p ~0.92/bit, so ~1 expected flipped bit per 12-bit key)
+#: and differed from the query in EXACTLY ONE bit in most tables — a
+#: uniformly-placed bit, so a ring over only the widened high bits
+#: recovers 1/12th of nothing (it measured min 0.6 unchanged).  For
+#: b_eff >= 12, each table therefore probes its own bucket PLUS all
+#: b_eff single-bit flips (1 + b_eff probes/table): per-table survival
+#: goes p^b -> p^b + b p^(b-1)(1-p), 0.37 -> 0.75 at p = 0.92 / b = 12,
+#: and the floor test re-measures min recall@5 = 1.0 at the b = 12/13
+#: densities.  Candidates/query stay corpus-independent (~(1 + b) x
+#: bucket population ~ 13 x 500 x L at b = 12) — the honest price of a
+#: recall floor when one flipped bit is EXPECTED per key.  Below
+#: b_eff = 12 the ring is empty and results stay byte-identical to the
+#: r8 index at EVERY measured tier (b_eff <= 9 at ~sf10).
+_BAND_MULTIPROBE_MIN_B = 12
 _EXT_PLANES = lsh_plane_signs(_N_PLANES + _N_TABLES * (_BAND_PLANES_MAX - _BAND_PLANES))
 assert _EXT_PLANES[: _N_PLANES] == _PLANES  # prefix-stable seed stream
 #: table-major plane rows: plane t*16+r is bit r of table t; bits r < 4
@@ -106,6 +125,44 @@ _BAND_PACKED = [
         for d in range(len(_PLANES[0]))
     ]
     for c in range(4)
+]
+
+
+# --- Adaptive IVF cell refinement (r9) ----------------------------------
+# The r9 fourth-decade probe planning caught the NEXT fixed-parameter
+# scale bug before measuring it: similarity_ivf_topk's cell list was the
+# 10 per-label centroids, so per-query candidates = corpus/10 grow
+# LINEARLY with the corpus (the sf1 -> sf10 slice already measured
+# ~1.1/decade) — the same blind spot as SemDeDup's fixed cells (r7) and
+# the ANN index's fixed band (r8), one operator later.  Fix, following
+# the proven adaptive-band pattern: each label cell is subdivided by the
+# vector's sign-LSH bits masked to
+#     s_eff = sum_{j=0..11} [n_vecs > 2000 * n_labels * 2^j]  (0..12 bits)
+# computed INSIDE the plan from a 1-row count relation (exact integer
+# thresholds, no float log2), so per-cell population is pinned at
+# ~1000-2000 while the cell count grows with the corpus.  Recall is held
+# by HAMMING-1 MULTIPROBE on the query side: a query probes its own
+# sub-bucket plus the s_eff single-bit flips (s_eff + 1 equi-join probes,
+# all within its label cell) — for a near neighbor agreeing per bit with
+# p = 1 - theta/pi, recall is p^s + s*p^(s-1)*(1-p), e.g. ~0.98 at
+# p = 0.97 / s = 7 (the ~sf100 density), vs ~0.81 single-probe.  At every
+# driver/test SF s_eff = 0 (500-2000 vectors < 2000*10), the mask is
+# empty, the only probe is sub-bucket 0, and the join degenerates to the
+# pure label-cell equi-join — results byte-identical to the fixed-cell
+# r6 form, exactly how the banded index pinned its no-regression claim.
+# Sub-bucket planes are table 0's first 12 band planes (one 12-plane
+# matmul per Arrow batch; same 6-dp rounding contract, same literal
+# mirror in the DuckDB oracle).
+_IVF_TARGET_CELL = 2000
+_IVF_SUB_BITS_MAX = 12
+_IVF_SUB_PLANE_ROWS = _BAND_PLANE_ROWS[:_IVF_SUB_BITS_MAX]
+_IVF_SUB_PACKED = [
+    sum(
+        (1 << r)
+        for r in range(_IVF_SUB_BITS_MAX)
+        if _IVF_SUB_PLANE_ROWS[r][d] > 0
+    )
+    for d in range(len(_PLANES[0]))
 ]
 
 
@@ -157,7 +214,10 @@ def _lsh_topk_oracle(
     exact integer thresholds 500*2^j (j = 4..15) the corpus size exceeds —
     the same indicator sum the Spark plan computes, so b_eff (and at
     driver SFs, every key and result byte) matches exactly.  Candidates =
-    DISTINCT pairs agreeing on any (table, masked bucket)."""
+    DISTINCT pairs agreeing on any (table, masked bucket), where the
+    query side probes its own bucket plus — once b_eff >= 12 — all b_eff
+    single-bit flips (full Hamming-1 ring, empty below b_eff = 12 — see
+    the r9 config comment above _BAND_MULTIPROBE_MIN_B)."""
     n_planes = b_max * n_tables
     chunks = ", ".join(
         "[" + ", ".join(str(v) for v in _BAND_PACKED[c]) + "]" for c in range(4)
@@ -200,7 +260,15 @@ def _lsh_topk_oracle(
     SELECT vec_id, CAST(t.i AS INT) AS tbl, bks[CAST(t.i AS INT)] AS bucket
     FROM bk CROSS JOIN range(1, {n_tables + 1}) t(i)
     ), qb AS (
-    SELECT vec_id AS q_id, tbl, bucket FROM bkl WHERE vec_id % 100 = 0
+    SELECT vec_id AS q_id, tbl,
+    CASE WHEN t2.i = 0 THEN bucket
+         ELSE xor(bucket, CAST(1 AS BIGINT) << (CAST(t2.i AS INT) - 1))
+    END AS bucket
+    FROM bkl CROSS JOIN range(0, {_BAND_PLANES_MAX + 1}) t2(i)
+    CROSS JOIN nv
+    WHERE vec_id % 100 = 0
+      AND (t2.i = 0
+           OR (nv.beff >= {_BAND_MULTIPROBE_MIN_B} AND t2.i <= nv.beff))
     ), cand AS (
     SELECT DISTINCT qb.q_id, c.vec_id AS neighbor_id
     FROM qb JOIN bkl c ON c.tbl = qb.tbl AND c.bucket = qb.bucket AND c.vec_id <> qb.q_id
@@ -375,12 +443,37 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5):
             "vec_id",
             "tbl",
             F.expr("key16 & (shiftleft(1, b_eff) - 1)").alias("bucket"),
+            "b_eff",
         )
     )
-    qblk = blk.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("tbl").alias("q_tbl"),
-        F.col("bucket").alias("q_bucket"),
+    # Query probe ring (r9): own bucket + (once b_eff >= 12) ALL b_eff
+    # single-bit flips — full Hamming-1 multiprobe, see the config
+    # comment above _BAND_MULTIPROBE_MIN_B.  Empty ring, hence the r8
+    # single-probe form, whenever b_eff <= 11.  Probes are pairwise-
+    # distinct per (query, table); the existing pair dedup already
+    # collapses multi-table hits.
+    qblk = (
+        blk.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("tbl").alias("q_tbl"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_BAND_PLANES_MAX}), "
+                    "i -> CASE WHEN i = 0 THEN bucket "
+                    "ELSE bucket ^ shiftleft(1, i - 1) END)"
+                )
+            ).alias("pi", "q_bucket"),
+            "b_eff",
+        )
+        .filter(
+            (F.col("pi") == 0)
+            | (
+                (F.col("b_eff") >= F.lit(_BAND_MULTIPROBE_MIN_B))
+                & (F.col("pi") <= F.col("b_eff"))
+            )
+        )
+        .select("q_id", "q_tbl", "q_bucket")
     )
     cand = (
         F.broadcast(qblk)
@@ -469,10 +562,35 @@ def similarity_lsh_single_probe(
     return _topk_rerank(scored, k)
 
 
-_IVF_ORACLE = """
+def _ivf_oracle(k: int = 5) -> str:
+    """DuckDB twin of the ADAPTIVE IVF (see the r9 config comment above
+    _IVF_TARGET_CELL): same per-label centroid assignment, same 12 packed
+    sub-bucket plane literals, sub = the s_eff low sign bits where
+    s_eff = the count of exact integer thresholds 2000 * n_labels * 2^j
+    (j = 0..11) the corpus size exceeds, and the query side probes its
+    own sub-bucket plus the s_eff single-bit flips.  At s_eff = 0 (every
+    driver/test SF) sub is 0 everywhere and this reduces exactly to the
+    old fixed-cell oracle."""
+    packed = ", ".join(str(v) for v in _IVF_SUB_PACKED)
+    proj_cols = ",\n".join(
+        f"round(SUM(x * (((pk >> {r}) & 1) * 2 - 1)), 6) AS proj{r}"
+        for r in range(_IVF_SUB_BITS_MAX)
+    )
+    s_expr = " + ".join(
+        f"(CASE WHEN n > {_IVF_TARGET_CELL} * nl * {1 << j} THEN 1 ELSE 0 END)"
+        for j in range(_IVF_SUB_BITS_MAX)
+    )
+    sub_expr = " + ".join(
+        f"(CASE WHEN {r} < nv.s AND proj{r} > 0 THEN {1 << r} ELSE 0 END)"
+        for r in range(_IVF_SUB_BITS_MAX)
+    )
+    return f"""
     WITH e AS (
     SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
     FROM embeddings
+    ), nv AS (
+    SELECT {s_expr} AS s
+    FROM (SELECT count(*) AS n, count(DISTINCT label) AS nl FROM embeddings)
     ), bydim AS (
     SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM e
     ), cent AS (
@@ -490,38 +608,68 @@ _IVF_ORACLE = """
     cv.cell
     ) AS rn
     FROM e CROSS JOIN centv cv
+    ), ed AS (
+    SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), edp AS (
+    SELECT vec_id, x, ([{packed}])[pos] AS pk FROM ed
+    ), pr AS (
+    SELECT vec_id, {proj_cols} FROM edp GROUP BY vec_id
+    ), sb AS (
+    SELECT vec_id, ({sub_expr}) AS sub FROM pr CROSS JOIN nv
     ), assigned AS (
-    SELECT vec_id, v, cell FROM scored_cells WHERE rn = 1
+    SELECT s.vec_id, s.v, s.cell, sb.sub
+    FROM scored_cells s JOIN sb USING (vec_id) WHERE s.rn = 1
     ), q AS (
-    SELECT vec_id AS q_id, v AS qv, cell AS q_cell FROM assigned WHERE vec_id % 100 = 0
+    SELECT vec_id AS q_id, v AS qv, cell AS q_cell, sub FROM assigned
+    WHERE vec_id % 100 = 0
+    ), qp AS (
+    SELECT q_id, qv, q_cell,
+    CASE WHEN t.i = 0 THEN sub
+         ELSE xor(sub, CAST(1 AS BIGINT) << (CAST(t.i AS INT) - 1)) END AS probe_sub
+    FROM q CROSS JOIN range(0, {_IVF_SUB_BITS_MAX + 1}) t(i) CROSS JOIN nv
+    WHERE t.i = 0 OR t.i <= nv.s
     ), scored AS (
-    SELECT q.q_id, a.vec_id AS neighbor_id,
-    round(list_dot_product(q.qv, a.v)
-    / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 3) AS cos_sim
-    FROM q JOIN assigned a ON a.cell = q.q_cell AND a.vec_id <> q.q_id
+    SELECT qp.q_id, a.vec_id AS neighbor_id,
+    round(list_dot_product(qp.qv, a.v)
+    / (sqrt(list_dot_product(qp.qv, qp.qv)) * sqrt(list_dot_product(a.v, a.v))), 3) AS cos_sim
+    FROM qp JOIN assigned a
+    ON a.cell = qp.q_cell AND a.sub = qp.probe_sub AND a.vec_id <> qp.q_id
     ), ranked AS (
     SELECT q_id, neighbor_id, cos_sim,
     row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, neighbor_id) AS rn
     FROM scored
     )
-    SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= 5
+    SELECT q_id, neighbor_id, cos_sim FROM ranked WHERE rn <= {k}
     ORDER BY q_id, cos_sim DESC, neighbor_id
     """
 
 
-@query("similarity_ivf_topk", oracle=_IVF_ORACLE)
+@query("similarity_ivf_topk", oracle=_ivf_oracle())
 def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     """IVF-style ANN: train cells (per-label centroids, one distributed
-    pass), assign every vector to its nearest cell, then search only the
-    query's cell with an exact cosine re-rank.
+    pass), assign every vector to its nearest cell, subdivide each cell
+    by masked sign-LSH sub-buckets whose width grows with the corpus,
+    then search the query's (cell, sub-bucket) — plus the s_eff
+    single-bit-flip sub-buckets, Hamming-1 multiprobe — with an exact
+    cosine re-rank.
 
     The cell list is tiny -> broadcast; assignment is a broadcast nested
     scan, never a shuffle of the corpus; candidate search is an equi-join
-    on the cell key.  At 100 TB the cell count grows (k-means on a sample)
-    but the plan shape — broadcast centroids, equi-join on cell — is
-    unchanged.  Cell similarity is rounded to 4 decimals (tie-broken by
-    cell id) on BOTH engines so assignment is deterministic cross-engine.
-    """
+    on (cell, sub).  Cell similarity is rounded to 4 decimals (tie-broken
+    by cell id) on BOTH engines so assignment is deterministic
+    cross-engine.
+
+    Adaptive cell refinement (r9): the old form searched the ENTIRE label
+    cell, so per-query candidates were corpus/n_labels — linear in the
+    corpus, the same fixed-parameter scale bug class the probe tiers
+    caught in SemDeDup (r7 — fixed cells) and the banded index (r8 —
+    fixed band width).  s_eff sub-bucket bits are computed in-plan from a
+    1-row (count, n_labels) relation (see the config comment above
+    _IVF_TARGET_CELL); per-cell population is pinned ~1000-2000 and the
+    query side pays s_eff + 1 probes, so candidates/query stay ~bounded
+    while recall is held by the Hamming-1 probe ring.  s_eff = 0 at every
+    driver/test SF: sub is 0 everywhere, the probe ring is empty, and
+    results are byte-identical to the fixed-cell form."""
     from pyspark.sql.window import Window
 
     t = tables(spark, sf_dir)
@@ -539,41 +687,96 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
             F.transform("pairs", lambda s: s.getField("cx")).alias("c"),
         )
     )
+    # s_eff from a 1-row (n, n_labels) relation off the raw table (the
+    # assignment relation below can't feed it — it is built FROM this):
+    # exact integer thresholds, bit-identical on both engines.
+    nrel = t["embeddings"].agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("label").alias("nl")
+    )
+    s_eff = sum(
+        F.when(
+            F.col("n") > F.col("nl") * F.lit(_IVF_TARGET_CELL * (1 << j)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for j in range(_IVF_SUB_BITS_MAX)
+    )
+    sub_keys = lsh_table_keys_udf(
+        _IVF_SUB_PLANE_ROWS, _IVF_SUB_BITS_MAX, 1
+    )
     cell_sim = F.round(cosine(F.col("v"), F.col("c")), 4)
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
-    assigned = (
+    # Persisted: this IS the probed index — (ids, vector, cell, masked
+    # sub) — with two consumers (query extraction + probe side), same
+    # shape and rationale as the banded index's persisted corpus.
+    assigned = track_persist(
         emb.crossJoin(F.broadcast(centv))
         .select("vec_id", "v", "cell", cell_sim.alias("cell_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "v", "cell")
+        .withColumn("key12", sub_keys("v").getItem(0))
+        .crossJoin(F.broadcast(nrel))
+        .withColumn("s_eff", s_eff.cast("int"))
+        .select(
+            "vec_id",
+            "v",
+            "cell",
+            F.expr("key12 & (shiftleft(1, s_eff) - 1)").alias("sub"),
+            "s_eff",
+        )
     )
-    queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("cell").alias("q_cell"),
+    # Query probe ring: own sub-bucket + the s_eff single-bit flips.
+    # Ids + ints only (the vectors join back after candidate generation,
+    # the banded-index shape); probes are pairwise-distinct, so a corpus
+    # vector matches a query through at most ONE probe — no pair dedup.
+    qprobe = (
+        assigned.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("cell").alias("q_cell"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_IVF_SUB_BITS_MAX}), "
+                    "i -> CASE WHEN i = 0 THEN sub "
+                    "ELSE sub ^ shiftleft(1, i - 1) END)"
+                )
+            ).alias("pi", "probe_sub"),
+            "s_eff",
+        )
+        .filter((F.col("pi") == 0) | (F.col("pi") <= F.col("s_eff")))
+        .select("q_id", "q_cell", "probe_sub")
     )
-    scored = (
-        F.broadcast(queries)
+    cand = (
+        F.broadcast(qprobe)
         .join(
             assigned,
-            (F.col("cell") == F.col("q_cell")) & (F.col("vec_id") != F.col("q_id")),
+            (F.col("cell") == F.col("q_cell"))
+            & (F.col("sub") == F.col("probe_sub"))
+            & (F.col("vec_id") != F.col("q_id")),
         )
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        # Pin the re-rank's parallelism: the id-pair relation is tiny in
+        # BYTES, so AQE's byte-based coalescing would serialize the
+        # downstream cosine re-rank onto ~1 partition (the banded-index
+        # lesson); a numbered repartition is exempt.
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    qv = assigned.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    # cand is unbounded — no broadcast hint (AQE decides at runtime).
+    scored = (
+        cand.join(
+            assigned.select(F.col("vec_id").alias("neighbor_id"), "v"),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qv), "q_id")
         .select(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "neighbor_id",
             F.round(cosine(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
         )
     )
-    from pyspark.sql.window import Window as W
-
-    w = W.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "neighbor_id", "cos_sim")
-        .orderBy("q_id", F.desc("cos_sim"), "neighbor_id")
-    )
+    return _topk_rerank(scored, k)
 
 
 @query(
@@ -692,7 +895,7 @@ def _ann_recall_oracle() -> str:
     ), lsh1 AS (
     SELECT * FROM ({_lsh_single_probe_oracle()})
     ), ivf AS (
-    SELECT * FROM ({_IVF_ORACLE})
+    SELECT * FROM ({_ivf_oracle()})
     )
     SELECT b.q_id,
     CAST(count(*) AS BIGINT) AS n_true,

@@ -25,6 +25,17 @@ text subset is re-measured there — per-decade exponents over a measured
 1000x span (`time_exponent_3dec`).  Opt out of the long tier with
 SPARK_GRAFT_SCALING_NO_SF10=1.
 
+Since r9 the chain extends one more decade: ~sf100 (5M docs / 2M
+vectors, ~1.1 GB parquet), measured over a REDUCED probe list
+(SF100_PROBES — the operators whose adaptive parameters take new values
+at that scale, plus linear yardsticks) at min-of-1, so the tier stays
+~30 min while the headline scale family gets a FOUR-decade (10,000x)
+measured span (`time_exponent_4dec`).  This tier is where the next
+adaptive steps actually bind: b_eff = 12 for the banded ANN index
+(> 500*2^11 vectors) and SemDeDup n_sub ~800 of the 1024 cap.  Opt out
+with SPARK_GRAFT_SCALING_NO_SF100=1 (iterating on a single operator
+rarely needs the top tier; refresh it before the round artifact).
+
 Usage: python scripts/scaling_probe.py            # writes SCALING.json
        SPARK_GRAFT_SCALING_SECTION=<sf_dir> ...   # internal child mode
 """
@@ -151,16 +162,51 @@ SF1_PROBES = [
 SF10_EXCLUDED = ["similarity_brute_topk"]
 SF10_PROBES = [n for n in SF1_PROBES if n not in SF10_EXCLUDED]
 
+# The ~sf100 (fifth-tier, r9) subset is REDUCED, chosen by what the tier
+# can uniquely exercise per minute spent: the operators whose ADAPTIVE
+# parameters take values no lower tier selects (similarity_lsh_topk:
+# b_eff = 12 above 500*2^11 = 1.024M vectors, one past the unit-test
+# recall floor's 260k-corpus masks; dedup_semdedup: n_sub ~800 of the
+# 1024 cap), the LSH dedup family whose candidate structure the corpus
+# generator preserves across replicas, IVF (fixed nlist is the next
+# suspected fixed-parameter scale bug), and two single-scan linear
+# yardsticks that calibrate what "linear" costs at 5M docs.  Documented
+# exclusions, same contracts as the sf10 tier's reasoning:
+# dedup_jaccard_partners (exact-verify shuffle ~10x the sf10 tier's
+# ~17 GB — pair-bound by contract; the LSH family is the scale answer),
+# dedup_connected_components (~25 min projected; its convergence-loop
+# sublinearity already rests on three measured decades), and
+# similarity_brute_topk (quadratic ground truth).
+SF100_PROBES = [
+    "dedup_exact_normalized",
+    "dedup_minhash_lsh",
+    "dedup_lsh_verified",
+    "dedup_simhash_partners",
+    "dedup_semdedup",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "quality_classifier_linear",
+    "token_hll_distinct",
+    "corpus_token_budget_select",
+]
+
 
 def child(sf_dir: str) -> None:
     sys.path.insert(0, REPO)  # script dir, not repo root, is sys.path[0]
     from datafusion_dynamic_filter_spark import Engine, registry
 
+    role = os.environ.get("SPARK_GRAFT_SCALING_ROLE")
     eng = Engine(
         app_name=f"scaling-{os.path.basename(sf_dir)}",
         master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
         shuffle_partitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-        extra_conf={"spark.ui.enabled": "false", "spark.driver.memory": "16g"},
+        extra_conf={
+            "spark.ui.enabled": "false",
+            # 48g at the ~sf100 tier: the persisted ANN index (2M 96-dim
+            # vectors + 12 keys each) and the 5M-doc signature caches need
+            # storage headroom 16g does not leave on a single JVM.
+            "spark.driver.memory": "48g" if role == "x3hi" else "16g",
+        },
     )
     spark = eng.spark
     spark.sparkContext.setLogLevel("ERROR")
@@ -174,8 +220,9 @@ def child(sf_dir: str) -> None:
     # arbitrary directory must still get the sf10 exclusions), not on the
     # directory basename.  Standalone child runs without a role fall back
     # to table-presence detection.
-    role = os.environ.get("SPARK_GRAFT_SCALING_ROLE")
-    if role == "x2hi":
+    if role == "x3hi":
+        probes = SF100_PROBES
+    elif role == "x2hi":
         probes = SF10_PROBES
     elif role in ("xhi",):
         probes = SF1_PROBES
@@ -229,10 +276,24 @@ def main() -> None:
         from gen_sf1_corpus import generate
 
         x2hi_dir = generate(xhi_dir, os.path.join(REPO, ".scaling_sf10"))
+    x3hi_dir = os.environ.get("SPARK_GRAFT_SCALING_X3HI")
+    if (
+        x3hi_dir is None
+        and x2hi_dir
+        and not os.environ.get("SPARK_GRAFT_SCALING_NO_SF100")
+    ):
+        # fifth decade (r9): chain the expansion a third time, ~sf10 ->
+        # ~sf100 (5M docs / 2M vectors).  Third-level token mutations
+        # compose the same way, so within-slice near-dup structure still
+        # survives while cross-slice overlap keeps decaying.
+        from gen_sf1_corpus import generate
+
+        x3hi_dir = generate(x2hi_dir, os.path.join(REPO, ".scaling_sf100"))
     tiers = [
         (role, d)
         for role, d in (
-            ("lo", lo_dir), ("hi", hi_dir), ("xhi", xhi_dir), ("x2hi", x2hi_dir)
+            ("lo", lo_dir), ("hi", hi_dir), ("xhi", xhi_dir),
+            ("x2hi", x2hi_dir), ("x3hi", x3hi_dir),
         )
         if d
     ]
@@ -245,6 +306,11 @@ def main() -> None:
         )
         if role == "x2hi":
             env.setdefault("SPARK_GRAFT_SCALING_SAMPLES", "2")
+        elif role == "x3hi":
+            # min-of-1 at ~sf100: singles run 5-400 s; the warm pass (plan
+            # + cache fill) has already absorbed first-run effects, and one
+            # timed pass keeps the tier ~30 min.
+            env.setdefault("SPARK_GRAFT_SCALING_SAMPLES", "1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, cwd=REPO,
@@ -256,6 +322,7 @@ def main() -> None:
     lo, hi = results[lo_dir], results[hi_dir]
     xhi = results.get(xhi_dir, {}) if xhi_dir else {}
     x2hi = results.get(x2hi_dir, {}) if x2hi_dir else {}
+    x3hi = results.get(x3hi_dir, {}) if x3hi_dir else {}
     table = {}
     for name in PROBES:
         t_lo, t_hi = lo[name]["sec"], hi[name]["sec"]
@@ -295,13 +362,26 @@ def main() -> None:
             table[name]["rows_exponent_3dec"] = (
                 round(math.log10(r_y / r_lo) / 3, 2) if r_lo and r_y else None
             )
+        if name in x3hi:
+            # four-decade (10,000x) per-decade exponents, sf0.01 -> ~sf100
+            t_z, r_z = x3hi[name]["sec"], x3hi[name]["rows"]
+            table[name]["sec_sf100"] = t_z
+            table[name]["rows_sf100"] = r_z
+            table[name]["time_exponent_4dec"] = (
+                round(math.log10(t_z / t_lo) / 4, 2) if t_lo > 0 else None
+            )
+            table[name]["rows_exponent_4dec"] = (
+                round(math.log10(r_z / r_lo) / 4, 2) if r_lo and r_z else None
+            )
     out = {
         "lo": lo_dir,
         "hi": hi_dir,
         "xhi": xhi_dir,
         "x2hi": x2hi_dir,
-        "samples": {"default": 3, "x2hi": 2},
+        "x3hi": x3hi_dir,
+        "samples": {"default": 3, "x2hi": 2, "x3hi": 1},
         "x2hi_excluded": SF10_EXCLUDED if x2hi_dir else [],
+        "x3hi_probes": SF100_PROBES if x3hi_dir else [],
         "loadavg_end": round(os.getloadavg()[0], 2),
         "probes": table,
     }
@@ -310,8 +390,8 @@ def main() -> None:
         json.dump(out, f, indent=1)
     w = max(len(n) for n in PROBES)
     print(
-        f"{'operator':<{w}}  t(0.01)  t(0.1)   t(1)  t(10)  alpha"
-        f"  a/dec(100x)  a/dec(1000x)  rows-alpha  flag"
+        f"{'operator':<{w}}  t(0.01)  t(0.1)   t(1)  t(10)  t(100)  alpha"
+        f"  a/dec(100x)  a/dec(1000x)  a/dec(10000x)  rows-alpha  flag"
     )
     for name, r in table.items():
         flag = ""
@@ -319,13 +399,17 @@ def main() -> None:
             flag = "SUPERLINEAR"
         t_x = r.get("sec_sf1")
         t_y = r.get("sec_sf10")
+        t_z = r.get("sec_sf100")
         a2 = r.get("time_exponent_2dec")
         a3 = r.get("time_exponent_3dec")
+        a4 = r.get("time_exponent_4dec")
         print(
             f"{name:<{w}}  {r['sec_sf0.01']:>7.3f}  {r['sec_sf0.1']:>6.3f}"
             f"  {(f'{t_x:.2f}' if t_x is not None else '-'):>5}"
             f"  {(f'{t_y:.1f}' if t_y is not None else '-'):>5}"
+            f"  {(f'{t_z:.1f}' if t_z is not None else '-'):>6}"
             f"  {str(r['time_exponent']):>5}  {str(a2):>11}  {str(a3):>12}"
+            f"  {str(a4):>13}"
             f"  {str(r['rows_exponent']):>10}  {flag}"
         )
     print(f"wrote {path}")

@@ -117,19 +117,14 @@ def test_adaptive_band_low_bits_match_fixed_index(spark):
     assert diff == 0
 
 
-def test_next_band_widenings_keep_recall_floor():
-    """r8 verdict item 3: the adaptive band had measured recall only up to
-    b_eff = 9 (min recall@5 = 0.8 at ~sf10 — exactly the gate), so the
-    NEXT widenings (b_eff = 10 at >256k vectors, 11 at >512k) shipped with
-    no recall floor.  This test measures them on a deterministic synthetic
-    corpus at the exact density the in-plan formula maps to b_eff = 10
-    (260k vectors = 520 perturbed replicas of each real sf0.01 embedding,
-    +-0.05/component — the scaling generator's perturbation scale, so true
-    top-5 neighbors sit at the same cosines the probe tiers measure), and
-    asserts min recall@5 >= 0.8 under BOTH masks.  Masking to b_eff = 11
-    on the b_eff = 10 corpus is conservative: the corpus that actually
-    selects 11 is denser, its true top-5 sit at higher cosine, and a
-    band's survival probability rises with cosine.
+def _widened_band_recalls(reps: int, expect_b: int, masks, q_stride: int):
+    """Shared harness for the band-widening recall floors: build a
+    deterministic synthetic corpus of `reps` perturbed replicas of each
+    real sf0.01 embedding (+-0.05/component — the scaling generator's
+    perturbation scale, so true top-5 neighbors sit at the same cosines
+    the probe tiers measure), assert the in-plan b_eff formula selects
+    `expect_b` at that density, and return {mask_bits: recall@5 array}
+    over every q_stride-th vector as a query.
 
     Key computation replicates functions.lsh_table_keys_udf's contract
     exactly (same plane rows, 6-dp half-away-from-zero rounding before the
@@ -152,13 +147,12 @@ def test_next_band_widenings_keep_recall_floor():
         dtype=np.float64,
     )  # 500 x 64
     rng = np.random.default_rng(20260815)
-    reps = 520  # 500 * 520 = 260k > 500 * 2^9 -> b_eff = 10 by the formula
     corpus = np.repeat(base, reps, axis=0) + rng.uniform(
         -0.05, 0.05, size=(len(base) * reps, base.shape[1])
     )
     n = len(corpus)
     b_eff = 4 + sum(n > 500 * (1 << j) for j in range(4, 16))
-    assert b_eff == 10, (n, b_eff)
+    assert b_eff == expect_b, (n, b_eff)
 
     # exact lsh_table_keys_udf semantics, vectorized over the whole corpus
     signs = np.array(_BAND_PLANE_ROWS, dtype=np.float64).T  # dims x 192
@@ -170,22 +164,72 @@ def test_next_band_widenings_keep_recall_floor():
             weights[t * _BAND_PLANES_MAX + r, t] = 1 << r
     keys = (proj > 0).astype(np.int64) @ weights  # n x 12 full 16-bit keys
 
-    q_idx = np.arange(0, n, 1000)  # 260 queries
+    q_idx = np.arange(0, n, q_stride)
     norms = np.linalg.norm(corpus, axis=1)
-    unit = corpus / norms[:, None]
-    sims = unit[q_idx] @ unit.T  # 260 x 260k exact cosines
+    unit = (corpus / norms[:, None]).astype(np.float32)
+    sims = unit[q_idx] @ unit.T  # exact cosines, queries x n
     sims[np.arange(len(q_idx)), q_idx] = -np.inf
     top5 = np.argpartition(-sims, 5, axis=1)[:, :5]
 
-    for b in (10, 11):
+    from datafusion_dynamic_filter_spark.operators.similarity import (
+        _BAND_MULTIPROBE_MIN_B,
+    )
+
+    out = {}
+    for b in masks:
         masked = keys & ((1 << b) - 1)
-        # candidate iff ANY table's masked key matches the query's
-        q_keys = masked[q_idx]  # 260 x 12
+        # candidate iff ANY table hits: masked keys equal, OR (the r9
+        # full Hamming-1 probe ring, live once b >= 12) they differ in
+        # exactly one of the b bits — i.e. the masked XOR is zero or a
+        # power of two, the (x & (x-1)) == 0 closed form.  Empty ring
+        # when b <= 11, where this reduces to exact key equality (the
+        # r8 single-probe form).
+        q_keys = masked[q_idx]
         recalls = []
         for qi in range(len(q_idx)):
-            hit = (masked == q_keys[qi]).any(axis=1)
-            recalls.append(hit[top5[qi]].mean())
-        recalls = np.array(recalls)
+            diff = masked ^ q_keys[qi]
+            if b >= _BAND_MULTIPROBE_MIN_B:
+                hit = (diff & (diff - 1)) == 0
+            else:
+                hit = diff == 0
+            recalls.append(hit.any(axis=1)[top5[qi]].mean())
+        out[b] = np.array(recalls)
+    return out
+
+
+def test_next_band_widenings_keep_recall_floor():
+    """r8 verdict item 3: the adaptive band had measured recall only up to
+    b_eff = 9 (min recall@5 = 0.8 at ~sf10 — exactly the gate), so the
+    NEXT widenings (b_eff = 10 at >256k vectors, 11 at >512k) shipped with
+    no recall floor.  Measured at the exact density the in-plan formula
+    maps to b_eff = 10 (260k vectors = 520 replicas), min recall@5 >= 0.8
+    under BOTH masks.  Masking to b_eff = 11 on the b_eff = 10 corpus is
+    conservative: the corpus that actually selects 11 is denser, its true
+    top-5 sit at higher cosine, and a band's survival probability rises
+    with cosine."""
+    for b, recalls in _widened_band_recalls(520, 10, (10, 11), 1000).items():
+        assert recalls.min() >= 0.8, (
+            b, float(recalls.min()), float(recalls.mean()),
+        )
+        assert recalls.mean() >= 0.95, (b, float(recalls.mean()))
+
+
+def test_sf100_band_widening_keeps_recall_floor():
+    """r9: the ~sf100 scaling tier (2M vectors) is the first to select
+    b_eff = 12 (> 500 * 2^11 = 1.024M), one past the floors above — the
+    exact 'next decade claimed without a measured recall floor' gap the
+    r8 verdict warned about.  Measured at the b_eff = 12 density (1.05M
+    vectors = 2100 replicas), min recall@5 >= 0.8 under the b = 12 mask
+    and the conservative b = 13 mask (same denser-corpus argument as
+    above).  History: the single-probe form measured min 0.6 here (mean
+    0.995, one query of 1050 — its missed cos-0.97 neighbors differed by
+    exactly one uniformly-placed bit in most tables), which is what
+    forced the full Hamming-1 probe ring at b_eff >= 12; with the ring
+    this measures min = 1.0 at both masks.  Memory note: the harness holds the 1.05M x 192 projection
+    (~1.6 GB) and a 1050 x 1.05M float32 cosine block (~4.4 GB)
+    transiently — fine on the 128 GB test host, and why q_stride stays
+    at 1000."""
+    for b, recalls in _widened_band_recalls(2100, 12, (12, 13), 1000).items():
         assert recalls.min() >= 0.8, (
             b, float(recalls.min()), float(recalls.mean()),
         )

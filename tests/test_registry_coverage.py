@@ -120,6 +120,9 @@ _ALLOWED_BROADCAST_LINES = {
     # the probe batch, not the corpus.
     ("operators/similarity.py", "F.broadcast(queries)"),
     ("operators/similarity.py", "F.broadcast(qblk)"),
+    # adaptive-IVF probe ring: query batch x (s_eff + 1 <= 13) probes,
+    # ids + ints only (vectors join back after candidate generation).
+    ("operators/similarity.py", "F.broadcast(qprobe)"),
     ("operators/similarity.py", '.join(F.broadcast(qv), "q_id")'),
     ("operators/similarity.py", "cand = F.broadcast(queries).join("),
     ("operators/similarity.py", "F.broadcast(probes)"),
