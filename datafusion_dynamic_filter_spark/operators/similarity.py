@@ -824,9 +824,15 @@ def similarity_ivf_multiprobe(spark, sf_dir, *, k: int = 5, nprobe: int = 2):
     each QUERY searches its ``nprobe`` nearest cells — the standard recall
     lever for IVF (a query near a cell boundary finds neighbors across it)
     at ``nprobe``x the candidate cost, still an equi-join on the cell key.
-    Plan shape is identical to similarity_ivf_topk; only the probe set
-    grows, so the 100 TB story is unchanged (broadcast centroids, no
-    corpus reshuffle)."""
+
+    This variant demonstrates CENTROID-level multiprobe over the fixed
+    per-label cells and is deliberately kept in that form as the teaching
+    twin; the PRODUCTION scale path is similarity_ivf_topk, whose r9
+    adaptive sub-bucket refinement (in-plan cell-width growth + Hamming-1
+    sub-bucket probing) bounds per-query candidates as the corpus grows —
+    searching nprobe whole label cells here is nprobe x corpus/n_labels
+    candidates, linear in the corpus, which is why this variant sits in
+    no scaling-probe tier."""
     from pyspark.sql.window import Window
 
     t = tables(spark, sf_dir)
