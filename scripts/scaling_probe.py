@@ -230,22 +230,47 @@ def child(sf_dir: str) -> None:
         probes = PROBES
     else:
         probes = SF1_PROBES
+    # Optional comma-separated probe subset for targeted re-measurement /
+    # failure triage (r9: the first ~sf100 run died of spill-disk
+    # exhaustion with no per-probe attribution).
+    only = os.environ.get("SPARK_GRAFT_SCALING_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        probes = [n for n in probes if n in keep]
     # min-of-N: 3 by default; the sf10 tier runs min-of-2 (its singles run
     # 20-170 s, so one pass already averages out scheduler noise and the
     # tier stays under an hour — sample count recorded in the artifact).
     n_samples = int(os.environ.get("SPARK_GRAFT_SCALING_SAMPLES", "3"))
     jvm_gc = spark.sparkContext._jvm.System.gc
+
+    def _logp(msg: str) -> None:
+        # Per-probe progress on stderr (inherited by the parent): a tier
+        # that dies mid-run — OOM, spill-disk exhaustion — now names the
+        # probe it died on and the disk headroom it saw going in.
+        import shutil
+
+        free_gb = shutil.disk_usage(REPO).free // (1 << 30)
+        sys.stderr.write(
+            f"[scaling {role or os.path.basename(sf_dir)}] {msg} "
+            f"(disk_free={free_gb}G)\n"
+        )
+        sys.stderr.flush()
+
     out: dict[str, dict] = {}
     for name in probes:
         fn = registry.QUERIES[name]
         spark.catalog.clearCache()
         jvm_gc()
+        _logp(f"{name} warm start")
+        t0 = time.perf_counter()
         rows = fn(spark, sf_dir).count()  # warm: plan + cache fill
+        _logp(f"{name} warm {time.perf_counter() - t0:.1f}s rows={rows}")
         samples = []
         for _ in range(n_samples):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
+        _logp(f"{name} samples={[round(s, 2) for s in samples]}")
         out[name] = {"sec": round(min(samples), 4), "rows": rows}
     registry.release_persisted()
     print(json.dumps(out))
@@ -298,6 +323,7 @@ def main() -> None:
         if d
     ]
     results = {}
+    failed_tiers: list[str] = []
     for role, sf_dir in tiers:
         env = dict(
             os.environ,
@@ -311,13 +337,26 @@ def main() -> None:
             # + cache fill) has already absorbed first-run effects, and one
             # timed pass keeps the tier ~30 min.
             env.setdefault("SPARK_GRAFT_SCALING_SAMPLES", "1")
+        # stderr inherits (live per-probe progress + failure attribution);
+        # stdout is captured — the child's last line is its JSON result.
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, cwd=REPO,
+            env=env, stdout=subprocess.PIPE, text=True, cwd=REPO,
         )
         if proc.returncode != 0:
-            sys.stderr.write(proc.stderr)
-            raise SystemExit(f"child failed for {sf_dir}")
+            # r9: the first ~sf100 run died of spill-disk exhaustion and
+            # the parent discarded 2.5 h of completed lower tiers.  The
+            # two BASE tiers (lo/hi) anchor every exponent, so their
+            # failure still aborts; an upper tier's failure records the
+            # tier as failed and writes SCALING.json from what completed.
+            if role in ("lo", "hi"):
+                raise SystemExit(f"child failed for {sf_dir}")
+            sys.stderr.write(
+                f"WARNING: tier {role} ({sf_dir}) failed; "
+                "writing partial SCALING.json without it\n"
+            )
+            failed_tiers.append(role)
+            continue
         results[sf_dir] = json.loads(proc.stdout.strip().splitlines()[-1])
     lo, hi = results[lo_dir], results[hi_dir]
     xhi = results.get(xhi_dir, {}) if xhi_dir else {}
@@ -380,6 +419,7 @@ def main() -> None:
         "x2hi": x2hi_dir,
         "x3hi": x3hi_dir,
         "samples": {"default": 3, "x2hi": 2, "x3hi": 1},
+        "failed_tiers": failed_tiers,
         "x2hi_excluded": SF10_EXCLUDED if x2hi_dir else [],
         "x3hi_probes": SF100_PROBES if x3hi_dir else [],
         "loadavg_end": round(os.getloadavg()[0], 2),
