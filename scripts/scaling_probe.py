@@ -324,6 +324,7 @@ def main() -> None:
     ]
     results = {}
     failed_tiers: list[str] = []
+    done_tiers: list[str] = []
     for role, sf_dir in tiers:
         env = dict(
             os.environ,
@@ -358,6 +359,51 @@ def main() -> None:
             failed_tiers.append(role)
             continue
         results[sf_dir] = json.loads(proc.stdout.strip().splitlines()[-1])
+        done_tiers.append(role)
+        # Incremental write: once both BASE tiers are in, every completed
+        # tier lands on disk immediately — a kill mid-run (round timeout,
+        # OOM-killer taking the parent) no longer discards the finished
+        # decades the way the first ~sf100 run's failure did.  The final
+        # write below is identical plus the full summary print.
+        if "lo" in done_tiers and "hi" in done_tiers:
+            _write_artifact(
+                results, failed_tiers, done_tiers,
+                lo_dir, hi_dir, xhi_dir, x2hi_dir, x3hi_dir,
+            )
+    table = _write_artifact(
+        results, failed_tiers, done_tiers,
+        lo_dir, hi_dir, xhi_dir, x2hi_dir, x3hi_dir,
+    )
+    w = max(len(n) for n in PROBES)
+    print(
+        f"{'operator':<{w}}  t(0.01)  t(0.1)   t(1)  t(10)  t(100)  alpha"
+        f"  a/dec(100x)  a/dec(1000x)  a/dec(10000x)  rows-alpha  flag"
+    )
+    for name, r in table.items():
+        flag = ""
+        if r["meaningful"] and r["time_exponent"] is not None and r["time_exponent"] > 1.3:
+            flag = "SUPERLINEAR"
+        t_x = r.get("sec_sf1")
+        t_y = r.get("sec_sf10")
+        t_z = r.get("sec_sf100")
+        a2 = r.get("time_exponent_2dec")
+        a3 = r.get("time_exponent_3dec")
+        a4 = r.get("time_exponent_4dec")
+        print(
+            f"{name:<{w}}  {r['sec_sf0.01']:>7.3f}  {r['sec_sf0.1']:>6.3f}"
+            f"  {(f'{t_x:.2f}' if t_x is not None else '-'):>5}"
+            f"  {(f'{t_y:.1f}' if t_y is not None else '-'):>5}"
+            f"  {(f'{t_z:.1f}' if t_z is not None else '-'):>6}"
+            f"  {str(r['time_exponent']):>5}  {str(a2):>11}  {str(a3):>12}"
+            f"  {str(a4):>13}"
+            f"  {str(r['rows_exponent']):>10}  {flag}"
+        )
+    print(f"wrote {os.path.join(REPO, 'SCALING.json')}")
+
+
+def _write_artifact(
+    results, failed_tiers, done_tiers, lo_dir, hi_dir, xhi_dir, x2hi_dir, x3hi_dir
+):
     lo, hi = results[lo_dir], results[hi_dir]
     xhi = results.get(xhi_dir, {}) if xhi_dir else {}
     x2hi = results.get(x2hi_dir, {}) if x2hi_dir else {}
@@ -422,37 +468,19 @@ def main() -> None:
         "failed_tiers": failed_tiers,
         "x2hi_excluded": SF10_EXCLUDED if x2hi_dir else [],
         "x3hi_probes": SF100_PROBES if x3hi_dir else [],
+        # Tiers whose results this artifact actually contains — a reader
+        # (or the next round) can tell a mid-run snapshot from a finished
+        # record without diffing probe keys.
+        "tiers_complete": list(done_tiers),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "probes": table,
     }
     path = os.path.join(REPO, "SCALING.json")
-    with open(path, "w") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=1)
-    w = max(len(n) for n in PROBES)
-    print(
-        f"{'operator':<{w}}  t(0.01)  t(0.1)   t(1)  t(10)  t(100)  alpha"
-        f"  a/dec(100x)  a/dec(1000x)  a/dec(10000x)  rows-alpha  flag"
-    )
-    for name, r in table.items():
-        flag = ""
-        if r["meaningful"] and r["time_exponent"] is not None and r["time_exponent"] > 1.3:
-            flag = "SUPERLINEAR"
-        t_x = r.get("sec_sf1")
-        t_y = r.get("sec_sf10")
-        t_z = r.get("sec_sf100")
-        a2 = r.get("time_exponent_2dec")
-        a3 = r.get("time_exponent_3dec")
-        a4 = r.get("time_exponent_4dec")
-        print(
-            f"{name:<{w}}  {r['sec_sf0.01']:>7.3f}  {r['sec_sf0.1']:>6.3f}"
-            f"  {(f'{t_x:.2f}' if t_x is not None else '-'):>5}"
-            f"  {(f'{t_y:.1f}' if t_y is not None else '-'):>5}"
-            f"  {(f'{t_z:.1f}' if t_z is not None else '-'):>6}"
-            f"  {str(r['time_exponent']):>5}  {str(a2):>11}  {str(a3):>12}"
-            f"  {str(a4):>13}"
-            f"  {str(r['rows_exponent']):>10}  {flag}"
-        )
-    print(f"wrote {path}")
+    os.replace(tmp, path)  # atomic: a kill mid-write never truncates
+    return table
 
 
 if __name__ == "__main__":
