@@ -95,11 +95,31 @@ _BAND_TARGET_BUCKET = 500
 #: b_eff single-bit flips (1 + b_eff probes/table): per-table survival
 #: goes p^b -> p^b + b p^(b-1)(1-p), 0.37 -> 0.75 at p = 0.92 / b = 12,
 #: and the floor test re-measures min recall@5 = 1.0 at the b = 12/13
-#: densities.  Candidates/query stay corpus-independent (~(1 + b) x
-#: bucket population ~ 13 x 500 x L at b = 12) — the honest price of a
-#: recall floor when one flipped bit is EXPECTED per key.  Below
-#: b_eff = 12 the ring is empty and results stay byte-identical to the
-#: r8 index at EVERY measured tier (b_eff <= 9 at ~sf10).
+#: densities.  Below b_eff = 12 the ring is empty and results stay
+#: byte-identical to the r8 index at EVERY measured tier (b_eff <= 9 at
+#: ~sf10).
+#:
+#: Ring-aware width jump (r9, measured): the ring multiplies probe
+#: volume by (1 + b), so keeping the POPULATION target while activating
+#: it multiplies candidates/query 13x — the first ~sf100 probe run
+#: (2M vectors -> base width 12) generated 13 x 500 x 12 ~ 78k
+#: candidates/query x 20k queries ~ 1.6e9 id-pairs, whose dedup shuffle
+#: spilled > 90 GB and exhausted the probe host's disk.  The width
+#: formula therefore targets PROBE VOLUME, not bucket population: once
+#: the base width reaches the ring regime (>= 12), b_eff jumps straight
+#: to the 16-plane max, so population drops 2^4 = 16x while the ring
+#: multiplies 17x — candidates/query stay ~flat through the transition
+#: ((1+16) x 30 x 12 ~ 6k at 2M vectors, the same order as the b = 9
+#: single-probe tier below it).  Recall survives the jump because the
+#: ring absorbs the expected single flipped bit: per-table survival at
+#: p = 0.92 (cos ~0.97 neighbors) is p^16 + 16 p^15 (1-p) = 0.64, i.e.
+#: ~1.0 over 12 tables, and the numpy floor test measures the b = 16
+#: ring at the exact jump density (see test_ann_recall).  Intermediate
+#: widths 12-15 are never selected; the formula's headroom past 16
+#: (corpus > 500 * 2^15 / ... with the ring at max width) ends at
+#: ~O(10M) vectors per 17x500x12 candidate budget — raise
+#: _BAND_PLANES_MAX (prefix-stable planes, wider oracle literals) for
+#: the next decade beyond that.
 _BAND_MULTIPROBE_MIN_B = 12
 _EXT_PLANES = lsh_plane_signs(_N_PLANES + _N_TABLES * (_BAND_PLANES_MAX - _BAND_PLANES))
 assert _EXT_PLANES[: _N_PLANES] == _PLANES  # prefix-stable seed stream
@@ -210,10 +230,12 @@ def _lsh_topk_oracle(
 ) -> str:
     """DuckDB twin of the ADAPTIVE multi-table banded sign-LSH index: same
     table-major packed plane literals (4 x 48-bit chunks), full 16-bit
-    per-table keys masked to b_eff bits, where b_eff = 4 + the count of
-    exact integer thresholds 500*2^j (j = 4..15) the corpus size exceeds —
-    the same indicator sum the Spark plan computes, so b_eff (and at
-    driver SFs, every key and result byte) matches exactly.  Candidates =
+    per-table keys masked to b_eff bits, where the base width = 4 + the
+    count of exact integer thresholds 500*2^j (j = 4..15) the corpus size
+    exceeds, jumped to the full 16 planes once the base reaches the
+    multiprobe regime (>= 12) — the same indicator sum + CASE the Spark
+    plan computes, so b_eff (and at driver SFs, every key and result
+    byte) matches exactly.  Candidates =
     DISTINCT pairs agreeing on any (table, masked bucket), where the
     query side probes its own bucket plus — once b_eff >= 12 — all b_eff
     single-bit flips (full Hamming-1 ring, empty below b_eff = 12 — see
@@ -226,9 +248,15 @@ def _lsh_topk_oracle(
         f"round(SUM(x * (((pk{p // 48} >> {p % 48}) & 1) * 2 - 1)), 6) AS proj{p}"
         for p in range(n_planes)
     )
-    beff_expr = str(_BAND_PLANES) + " + " + " + ".join(
+    bbase_expr = str(_BAND_PLANES) + " + " + " + ".join(
         f"(CASE WHEN n > {_BAND_TARGET_BUCKET * (1 << j)} THEN 1 ELSE 0 END)"
         for j in range(_BAND_PLANES, b_max)
+    )
+    # ring-aware jump: base >= 12 selects the full 16 planes (mirrors the
+    # Spark plan's b_eff exactly — see _BAND_MULTIPROBE_MIN_B)
+    beff_expr = (
+        f"CASE WHEN ({bbase_expr}) >= {_BAND_MULTIPROBE_MIN_B} "
+        f"THEN {b_max} ELSE ({bbase_expr}) END"
     )
     bucket_exprs = ", ".join(
         "("
@@ -421,12 +449,18 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5):
     # stats-placement lesson, r8).
     # counted off the persisted corpus (cache read), not a second scan
     nrel = corpus.agg(F.count(F.lit(1)).alias("n_vecs"))
-    b_eff = F.lit(_BAND_PLANES) + sum(
+    b_base = F.lit(_BAND_PLANES) + sum(
         F.when(
             F.col("n_vecs") > F.lit(_BAND_TARGET_BUCKET * (1 << j)), F.lit(1)
         ).otherwise(F.lit(0))
         for j in range(_BAND_PLANES, _BAND_PLANES_MAX)
     )
+    # Ring-aware jump (r9): once the base width reaches the multiprobe
+    # regime, go straight to the full 16 planes — see the config comment
+    # above _BAND_MULTIPROBE_MIN_B for the measured failure this encodes.
+    b_eff = F.when(
+        b_base >= F.lit(_BAND_MULTIPROBE_MIN_B), F.lit(_BAND_PLANES_MAX)
+    ).otherwise(b_base)
     # Persisted: the exploded, MASKED (vec_id, tbl, bucket) relation is the
     # probed index (ids + ints only, 12 x ~16 B per vector).  It has two
     # consumers (query extraction + probe side); without the persist each

@@ -31,13 +31,24 @@ vectors, ~1.1 GB parquet), measured over a REDUCED probe list
 at that scale, plus linear yardsticks) at min-of-1, so the tier stays
 ~30 min while the headline scale family gets a FOUR-decade (10,000x)
 measured span (`time_exponent_4dec`).  This tier is where the next
-adaptive steps actually bind: b_eff = 12 for the banded ANN index
-(> 500*2^11 vectors) and SemDeDup n_sub ~800 of the 1024 cap.  Opt out
+adaptive steps actually bind: the banded ANN index's ring-aware jump to
+b_eff = 16 (base width 12 above 500*2^11 vectors) and SemDeDup n_sub
+~800 of the 1024 cap.  Opt out
 with SPARK_GRAFT_SCALING_NO_SF100=1 (iterating on a single operator
 rarely needs the top tier; refresh it before the round artifact).
 
 Usage: python scripts/scaling_probe.py            # writes SCALING.json
        SPARK_GRAFT_SCALING_SECTION=<sf_dir> ...   # internal child mode
+       SPARK_GRAFT_SCALING_REUSE=1 ...            # reuse tiers already
+           recorded complete in SCALING.json; re-measure only the rest
+           (for re-running one failed upper tier without repeating the
+           lower decades — valid only if operator behavior at the reused
+           tiers is unchanged)
+
+Resilience: each tier's child streams completed probes to a sidecar
+(.scaling_partial_<role>.json, atomic per-probe writes); if an upper
+tier dies mid-run (OOM, spill-disk exhaustion) the parent salvages the
+finished probes into the artifact and records the tier in failed_tiers.
 """
 
 from __future__ import annotations
@@ -165,9 +176,10 @@ SF10_PROBES = [n for n in SF1_PROBES if n not in SF10_EXCLUDED]
 # The ~sf100 (fifth-tier, r9) subset is REDUCED, chosen by what the tier
 # can uniquely exercise per minute spent: the operators whose ADAPTIVE
 # parameters take values no lower tier selects (similarity_lsh_topk:
-# b_eff = 12 above 500*2^11 = 1.024M vectors, one past the unit-test
-# recall floor's 260k-corpus masks; dedup_semdedup: n_sub ~800 of the
-# 1024 cap), the LSH dedup family whose candidate structure the corpus
+# base width 12 above 500*2^11 = 1.024M vectors -> the ring-aware jump
+# to b_eff = 16 with the full Hamming-1 probe ring live, one past the
+# unit-test recall floor's 260k-corpus masks; dedup_semdedup: n_sub ~800
+# of the 1024 cap), the LSH dedup family whose candidate structure the corpus
 # generator preserves across replicas, IVF (fixed nlist is the next
 # suspected fixed-parameter scale bug), and two single-scan linear
 # yardsticks that calibrate what "linear" costs at 5M docs.  Documented
@@ -272,6 +284,18 @@ def child(sf_dir: str) -> None:
             samples.append(time.perf_counter() - t0)
         _logp(f"{name} samples={[round(s, 2) for s in samples]}")
         out[name] = {"sec": round(min(samples), 4), "rows": rows}
+        # Per-probe sidecar (r9): the first ~sf100 run died on its 7th
+        # probe and lost the 6 completed measurements with it — the child
+        # only prints its JSON at the end.  When the parent passes a
+        # sidecar path, every completed probe lands on disk immediately
+        # (atomic replace), so a dying tier still contributes what it
+        # finished.
+        partial = os.environ.get("SPARK_GRAFT_SCALING_PARTIAL")
+        if partial:
+            tmp = partial + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(out, f)
+            os.replace(tmp, partial)
     registry.release_persisted()
     print(json.dumps(out))
 
@@ -325,11 +349,40 @@ def main() -> None:
     results = {}
     failed_tiers: list[str] = []
     done_tiers: list[str] = []
+    # Tier reuse (r9): with SPARK_GRAFT_SCALING_REUSE=1, tiers already
+    # recorded complete in the committed SCALING.json are reconstructed
+    # from it instead of re-measured, so a single failed upper tier can be
+    # re-run alone (~1 h) without repeating the 2.5 h of lower decades.
+    # Valid exactly when the operators' behavior at the reused tiers is
+    # unchanged — the caller's claim to make, as with any cached result.
+    reuse: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_SCALING_REUSE"):
+        _label = {"lo": "sf0.01", "hi": "sf0.1", "xhi": "sf1",
+                  "x2hi": "sf10", "x3hi": "sf100"}
+        try:
+            with open(os.path.join(REPO, "SCALING.json")) as f:
+                prior = json.load(f)
+            for role in prior.get("tiers_complete") or []:
+                sec_k, rows_k = f"sec_{_label[role]}", f"rows_{_label[role]}"
+                reuse[role] = {
+                    name: {"sec": p[sec_k], "rows": p[rows_k]}
+                    for name, p in prior["probes"].items()
+                    if sec_k in p
+                }
+        except FileNotFoundError:
+            pass
     for role, sf_dir in tiers:
+        if role in reuse:
+            results[sf_dir] = reuse[role]
+            done_tiers.append(role)
+            sys.stderr.write(f"[scaling {role}] reused from SCALING.json\n")
+            continue
+        sidecar = os.path.join(REPO, f".scaling_partial_{role}.json")
         env = dict(
             os.environ,
             SPARK_GRAFT_SCALING_SECTION=sf_dir,
             SPARK_GRAFT_SCALING_ROLE=role,
+            SPARK_GRAFT_SCALING_PARTIAL=sidecar,
         )
         if role == "x2hi":
             env.setdefault("SPARK_GRAFT_SCALING_SAMPLES", "2")
@@ -352,14 +405,31 @@ def main() -> None:
             # tier as failed and writes SCALING.json from what completed.
             if role in ("lo", "hi"):
                 raise SystemExit(f"child failed for {sf_dir}")
-            sys.stderr.write(
-                f"WARNING: tier {role} ({sf_dir}) failed; "
-                "writing partial SCALING.json without it\n"
-            )
             failed_tiers.append(role)
+            # Sidecar salvage (r9): keep whatever probes the dying child
+            # finished — they are real min-of-N measurements; the tier is
+            # recorded failed (not complete), so a reader knows the rest
+            # of its probe list is missing, and a REUSE re-run will still
+            # re-measure the tier.
+            salvaged = {}
+            if os.path.exists(sidecar):
+                try:
+                    with open(sidecar) as f:
+                        salvaged = json.load(f)
+                except Exception:
+                    salvaged = {}
+                os.remove(sidecar)
+            sys.stderr.write(
+                f"WARNING: tier {role} ({sf_dir}) failed; salvaged "
+                f"{len(salvaged)} completed probes from its sidecar\n"
+            )
+            if salvaged:
+                results[sf_dir] = salvaged
             continue
         results[sf_dir] = json.loads(proc.stdout.strip().splitlines()[-1])
         done_tiers.append(role)
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
         # Incremental write: once both BASE tiers are in, every completed
         # tier lands on disk immediately — a kill mid-run (round timeout,
         # OOM-killer taking the parent) no longer discards the finished
