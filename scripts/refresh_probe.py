@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Re-measure a SUBSET of scaling probes across the tiers already recorded
+in SCALING.json and merge the fresh numbers into the artifact in place.
+
+Why: a full five-tier run is ~2.5 h; when one operator's implementation
+changes (r10: dedup_semdedup's sub-bucket refinement) or one number is
+contested (r9: a busy-host tail), only ITS rows need re-measurement.  This
+script reconstructs the prior artifact's per-tier results (the same
+reconstruction the parent's SPARK_GRAFT_SCALING_REUSE path uses), overlays
+fresh child measurements for the named probes, and rewrites SCALING.json
+through the same _write_artifact so every exponent column is recomputed by
+the identical code path.
+
+Methodology is unchanged from scaling_probe.py: one fresh child process
+per tier (no inherited JVM state), the tier's recorded sample count,
+clearCache + GC isolation inside the child.
+
+Usage: python scripts/refresh_probe.py dedup_semdedup [more names ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from scaling_probe import (  # noqa: E402
+    PROBES,
+    SF1_PROBES,
+    SF10_PROBES,
+    SF100_PROBES,
+    _write_artifact,
+)
+
+_LABEL = {"lo": "sf0.01", "hi": "sf0.1", "xhi": "sf1",
+          "x2hi": "sf10", "x3hi": "sf100"}
+_TIER_LIST = {"lo": PROBES, "hi": PROBES, "xhi": SF1_PROBES,
+              "x2hi": SF10_PROBES, "x3hi": SF100_PROBES}
+_SAMPLES_KEY = {"x2hi": "x2hi", "x3hi": "x3hi"}
+
+
+def main(names: list[str]) -> None:
+    with open(os.path.join(REPO, "SCALING.json")) as f:
+        prior = json.load(f)
+    unknown = [n for n in names if n not in prior["probes"]]
+    if unknown:
+        raise SystemExit(f"unknown probes: {unknown}")
+    dirs = {role: prior[role] for role in _LABEL if prior.get(role)}
+    results: dict[str, dict] = {}
+    for role in prior.get("tiers_complete") or []:
+        sec_k, rows_k = f"sec_{_LABEL[role]}", f"rows_{_LABEL[role]}"
+        results[dirs[role]] = {
+            name: {"sec": p[sec_k], "rows": p[rows_k]}
+            for name, p in prior["probes"].items()
+            if sec_k in p
+        }
+    samples = prior.get("samples") or {}
+    for role in prior.get("tiers_complete") or []:
+        subset = [n for n in names if n in _TIER_LIST[role]]
+        if not subset:
+            continue
+        n_samples = samples.get(_SAMPLES_KEY.get(role, "default"),
+                                samples.get("default", 3))
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_SCALING_SECTION=dirs[role],
+            SPARK_GRAFT_SCALING_ROLE=role,
+            SPARK_GRAFT_SCALING_ONLY=",".join(subset),
+            SPARK_GRAFT_SCALING_SAMPLES=str(n_samples),
+        )
+        sys.stderr.write(f"[refresh {role}] {subset} (min-of-{n_samples})\n")
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scaling_probe.py")],
+            env=env, stdout=subprocess.PIPE, text=True, cwd=REPO,
+        )
+        if proc.returncode != 0:
+            raise SystemExit(f"child failed for tier {role}")
+        fresh = json.loads(proc.stdout.strip().splitlines()[-1])
+        results[dirs[role]].update(fresh)
+        for name, m in fresh.items():
+            sys.stderr.write(
+                f"[refresh {role}] {name}: {m['sec']}s rows={m['rows']}\n"
+            )
+    _write_artifact(
+        results, prior.get("failed_tiers") or [],
+        prior.get("tiers_complete") or [],
+        dirs.get("lo"), dirs.get("hi"), dirs.get("xhi"),
+        dirs.get("x2hi"), dirs.get("x3hi"),
+    )
+    with open(os.path.join(REPO, "SCALING.json")) as f:
+        refreshed = json.load(f)
+    for n in names:
+        print(n, json.dumps(refreshed["probes"][n]))
+    print("merged into SCALING.json")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        raise SystemExit(__doc__)
+    main(sys.argv[1:])

@@ -369,8 +369,16 @@ def main() -> None:
                     for name, p in prior["probes"].items()
                     if sec_k in p
                 }
-        except FileNotFoundError:
-            pass
+        except (OSError, ValueError, KeyError) as exc:
+            # r9 advice: a corrupt/truncated SCALING.json (JSONDecodeError
+            # is a ValueError), an unexpected role in tiers_complete, or a
+            # probe entry missing its rows_<tier> key must degrade to full
+            # re-measurement, never abort a multi-hour run.
+            sys.stderr.write(
+                f"WARNING: SCALING.json tier reuse unavailable ({exc!r}); "
+                "re-measuring all tiers\n"
+            )
+            reuse = {}
     for role, sf_dir in tiers:
         if role in reuse:
             results[sf_dir] = reuse[role]
@@ -378,6 +386,12 @@ def main() -> None:
             sys.stderr.write(f"[scaling {role}] reused from SCALING.json\n")
             continue
         sidecar = os.path.join(REPO, f".scaling_partial_{role}.json")
+        # r9 advice: a prior run's killed parent can leave this sidecar
+        # behind; if the next child then dies BEFORE its first probe, the
+        # salvage path below would read the stale file and record the
+        # previous run's measurements as this run's.  Delete it up front.
+        if os.path.exists(sidecar):
+            os.remove(sidecar)
         env = dict(
             os.environ,
             SPARK_GRAFT_SCALING_SECTION=sf_dir,
@@ -419,6 +433,13 @@ def main() -> None:
                 except Exception:
                     salvaged = {}
                 os.remove(sidecar)
+                # r9 advice: salvaged measurements are real min-of-N
+                # numbers but the tier's probe list is incomplete — mark
+                # each entry so a consumer reading probe rows alone (not
+                # the top-level failed_tiers list) can tell a partial
+                # tier from a complete one.
+                for p in salvaged.values():
+                    p["salvaged"] = True
             sys.stderr.write(
                 f"WARNING: tier {role} ({sf_dir}) failed; salvaged "
                 f"{len(salvaged)} completed probes from its sidecar\n"
@@ -506,6 +527,8 @@ def _write_artifact(
             table[name]["rows_exponent_2dec"] = (
                 round(math.log10(r_x / r_lo) / 2, 2) if r_lo and r_x else None
             )
+            if xhi[name].get("salvaged"):
+                table[name]["salvaged_sf1"] = True
         if name in x2hi:
             # three-decade (1000x) per-decade exponents, sf0.01 -> ~sf10
             t_y, r_y = x2hi[name]["sec"], x2hi[name]["rows"]
@@ -517,6 +540,8 @@ def _write_artifact(
             table[name]["rows_exponent_3dec"] = (
                 round(math.log10(r_y / r_lo) / 3, 2) if r_lo and r_y else None
             )
+            if x2hi[name].get("salvaged"):
+                table[name]["salvaged_sf10"] = True
         if name in x3hi:
             # four-decade (10,000x) per-decade exponents, sf0.01 -> ~sf100
             t_z, r_z = x3hi[name]["sec"], x3hi[name]["rows"]
@@ -528,6 +553,8 @@ def _write_artifact(
             table[name]["rows_exponent_4dec"] = (
                 round(math.log10(r_z / r_lo) / 4, 2) if r_lo and r_z else None
             )
+            if x3hi[name].get("salvaged"):
+                table[name]["salvaged_sf100"] = True
     out = {
         "lo": lo_dir,
         "hi": hi_dir,
@@ -538,6 +565,10 @@ def _write_artifact(
         "failed_tiers": failed_tiers,
         "x2hi_excluded": SF10_EXCLUDED if x2hi_dir else [],
         "x3hi_probes": SF100_PROBES if x3hi_dir else [],
+        # r9 advice: x3hi_probes above is the PLANNED top-tier list; a
+        # failed tier contributes only its salvaged prefix, so the names
+        # actually measured are recorded separately.
+        "x3hi_measured": sorted(x3hi.keys()),
         # Tiers whose results this artifact actually contains — a reader
         # (or the next round) can tell a mid-run snapshot from a finished
         # record without diffing probe keys.

@@ -117,14 +117,24 @@ def test_adaptive_band_low_bits_match_fixed_index(spark):
     assert diff == 0
 
 
-def _widened_band_recalls(reps: int, expect_b: int, masks, q_stride: int):
-    """Shared harness for the band-widening recall floors: build a
-    deterministic synthetic corpus of `reps` perturbed replicas of each
-    real sf0.01 embedding (+-0.05/component — the scaling generator's
-    perturbation scale, so true top-5 neighbors sit at the same cosines
-    the probe tiers measure), assert the in-plan b_eff formula selects
-    `expect_b` at that density, and return {mask_bits: recall@5 array}
-    over every q_stride-th vector as a query.
+def _widened_band_recalls(
+    reps: int, expect_b: int, masks, q_stride: int, want_recall: bool = True
+):
+    """Shared harness for the band-widening recall floors AND (r9 advice)
+    the candidate-cost side of the ring jump: build a deterministic
+    synthetic corpus of `reps` perturbed replicas of each real sf0.01
+    embedding (+-0.05/component — the scaling generator's perturbation
+    scale, so true top-5 neighbors sit at the same cosines the probe
+    tiers measure), assert the in-plan b_eff formula selects `expect_b`
+    at that density, and return {mask_spec: (recall@5 array, candidate
+    count array)} over every q_stride-th vector as a query.
+
+    A mask spec is either an int b (ring per the shipped
+    _BAND_MULTIPROBE_MIN_B rule) or a (b, use_ring) tuple overriding the
+    rule — the override exists so the candidate test can measure the
+    REJECTED width-12-with-ring alternative the jump was built to avoid.
+    With want_recall=False the exact-cosine ground truth (the
+    multi-GB part) is skipped and only candidate counts are returned.
 
     Key computation replicates functions.lsh_table_keys_udf's contract
     exactly (same plane rows, 6-dp half-away-from-zero rounding before the
@@ -166,18 +176,24 @@ def _widened_band_recalls(reps: int, expect_b: int, masks, q_stride: int):
     keys = (proj > 0).astype(np.int64) @ weights  # n x 12 full 16-bit keys
 
     q_idx = np.arange(0, n, q_stride)
-    norms = np.linalg.norm(corpus, axis=1)
-    unit = (corpus / norms[:, None]).astype(np.float32)
-    sims = unit[q_idx] @ unit.T  # exact cosines, queries x n
-    sims[np.arange(len(q_idx)), q_idx] = -np.inf
-    top5 = np.argpartition(-sims, 5, axis=1)[:, :5]
+    top5 = None
+    if want_recall:
+        norms = np.linalg.norm(corpus, axis=1)
+        unit = (corpus / norms[:, None]).astype(np.float32)
+        sims = unit[q_idx] @ unit.T  # exact cosines, queries x n
+        sims[np.arange(len(q_idx)), q_idx] = -np.inf
+        top5 = np.argpartition(-sims, 5, axis=1)[:, :5]
 
     from datafusion_dynamic_filter_spark.operators.similarity import (
         _BAND_MULTIPROBE_MIN_B,
     )
 
     out = {}
-    for b in masks:
+    for spec in masks:
+        b, use_ring = (
+            spec if isinstance(spec, tuple)
+            else (spec, spec >= _BAND_MULTIPROBE_MIN_B)
+        )
         masked = keys & ((1 << b) - 1)
         # candidate iff ANY table hits: masked keys equal, OR (the r9
         # full Hamming-1 probe ring, live once b >= 12) they differ in
@@ -186,15 +202,21 @@ def _widened_band_recalls(reps: int, expect_b: int, masks, q_stride: int):
         # when b <= 11, where this reduces to exact key equality (the
         # r8 single-probe form).
         q_keys = masked[q_idx]
-        recalls = []
+        recalls, cands = [], []
         for qi in range(len(q_idx)):
             diff = masked ^ q_keys[qi]
-            if b >= _BAND_MULTIPROBE_MIN_B:
+            if use_ring:
                 hit = (diff & (diff - 1)) == 0
             else:
                 hit = diff == 0
-            recalls.append(hit.any(axis=1)[top5[qi]].mean())
-        out[b] = np.array(recalls)
+            any_hit = hit.any(axis=1)
+            cands.append(any_hit.sum() - 1)  # exclude the query itself
+            if want_recall:
+                recalls.append(any_hit[top5[qi]].mean())
+        out[spec] = (
+            np.array(recalls) if want_recall else None,
+            np.array(cands),
+        )
     return out
 
 
@@ -208,7 +230,7 @@ def test_next_band_widenings_keep_recall_floor():
     conservative: the corpus that actually selects 11 is denser, its true
     top-5 sit at higher cosine, and a band's survival probability rises
     with cosine."""
-    for b, recalls in _widened_band_recalls(520, 10, (10, 11), 1000).items():
+    for b, (recalls, _) in _widened_band_recalls(520, 10, (10, 11), 1000).items():
         assert recalls.min() >= 0.8, (
             b, float(recalls.min()), float(recalls.mean()),
         )
@@ -235,8 +257,40 @@ def test_sf100_band_widening_keeps_recall_floor():
     holds the 1.05M x 192 projection (~1.6 GB) and a 1050 x 1.05M
     float32 cosine block (~4.4 GB) transiently — fine on the 128 GB test
     host, and why q_stride stays at 1000."""
-    for b, recalls in _widened_band_recalls(2100, 16, (16,), 1000).items():
+    for b, (recalls, _) in _widened_band_recalls(2100, 16, (16,), 1000).items():
         assert recalls.min() >= 0.8, (
             b, float(recalls.min()), float(recalls.mean()),
         )
         assert recalls.mean() >= 0.95, (b, float(recalls.mean()))
+
+
+def test_sf100_ring_jump_keeps_candidates_flat():
+    """r9 advice: the recall side of the b=16 ring jump is floor-tested
+    above, but the COST side — the claim that candidates/query stay ~flat
+    through the 12 -> 16 transition instead of the 13x blowup that
+    exhausted the first sf100 probe run's spill disk — had no test, so a
+    regression of the jump condition would only surface as a multi-hour
+    probe-tier failure.  Measured at the exact jump density (1.05M
+    vectors), per-query deduplicated candidate counts:
+
+    - the SHIPPED form (b=16 WITH the Hamming-1 ring) must stay within a
+      small multiple of the width-12 single-probe volume (the regime the
+      tiers below the jump run in), and
+    - the REJECTED alternative (b=12 WITH the ring — what a broken jump
+      condition would silently ship) must measure the blowup that
+      motivated the jump, so this test fails in the direction that
+      matters if the ring activates without the width jump.
+
+    Measured at commit time: shipped 8,208 candidates/query (1.2x the
+    6,839 single-probe-12 volume); rejected alternative 52,604 (6.4x the
+    shipped form) — the gates below leave real headroom on both sides.
+    """
+    out = _widened_band_recalls(
+        2100, 16, ((16, True), (12, False), (12, True)), 10000,
+        want_recall=False,
+    )
+    shipped = out[(16, True)][1].mean()
+    single12 = out[(12, False)][1].mean()
+    rejected = out[(12, True)][1].mean()
+    assert shipped <= 3 * single12, (shipped, single12)
+    assert rejected >= 4 * shipped, (rejected, shipped)
