@@ -26,7 +26,10 @@ def fan_out(df, multiplier: int = 1):
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() < target:
+    # Partition count via the JVM query execution's internal RDD: pure
+    # driver-side metadata (no job), and unlike df.rdd it skips building
+    # the Python-conversion RDD lineage (r9 advice).
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return df.repartition(target)
     return df
 

@@ -950,28 +950,42 @@ def dedup_simhash_partners(spark, sf_dir, *, max_hamming: int = 3):
     )
 
 
-#: SemDeDup cell-refinement parameters (r7; constants re-tuned r8): cells
-#: are subdivided by a _SEM_SUB_PLANES-plane sign-LSH sub-bucket whose
-#: COUNT derives from the corpus size inside the plan — n_sub =
-#: clamp(n_vecs // (_SEM_TARGET_CELL * n_cells), 1, _SEM_MAX_SUB) —
-#: so per-cell pair work stays ~bounded as the corpus grows (fixed cells
-#: went pair-quadratic: the r7 two-decade probe measured alpha/decade
-#: 1.06, 135 s at ~sf1).  At the driver SFs (<= 2,500 vecs per the
-#: formula) n_sub = 1 and the operator is byte-identical to the plain
-#: per-label form.
+#: SemDeDup cell-refinement parameters (r7; mod-fold r8; masked bits
+#: r10): cells are subdivided by the low s_eff bits of a
+#: _SEM_SUB_PLANES-plane sign-LSH signature, where
+#:     s_eff = #{ j in 0.._SEM_SUB_PLANES-1 :
+#:                n_vecs > _SEM_TARGET_CELL * n_cells * 2^j }
+#: is computed INSIDE the plan from a 1-row count relation (exact
+#: integer thresholds — the same formula family as the banded ANN
+#: index's b_eff and IVF's s_eff), so per-(cell, sub) population is
+#: pinned in [_SEM_TARGET_CELL/2, _SEM_TARGET_CELL) while the sub-bucket
+#: count 2^s_eff grows with the corpus.  Fixed cells went pair-quadratic (the r7
+#: two-decade probe measured alpha/decade 1.06, 135 s at ~sf1).  At the
+#: driver SFs (n_vecs <= _SEM_TARGET_CELL * n_cells) s_eff = 0 and the
+#: operator is byte-identical to the plain per-label form.
 _SEM_TARGET_CELL = 250
-# 10 planes -> up to 1024 sub-buckets (r8; was 6 planes / 64).  The r8
-# three-decade probe caught the 64 cap BINDING at ~sf10 (200k vectors
-# want n_sub = 80): a bound cap means cell density grows linearly again
-# and intra-cell pair work returns to quadratic — the exact blind spot
-# the adaptive refinement was built to remove.  1024 sub-buckets keep
-# density at the target up to ~2.5M vectors per label value; beyond that
-# raise the plane count, never the density.  Driver SFs are unaffected
-# (n_sub = 1 there; the sig is gated off); the scaling corpus's sf1
-# sub-bucket assignment changes (pmod of a 10-bit sig), which only
-# re-buckets the refinement — the oracle mirrors the same constants.
-_SEM_SUB_PLANES = 10
-_SEM_MAX_SUB = 1024
+# r10: the r8 form folded a 10-bit signature MODULO a count-derived
+# n_sub capped at 1024 = 2^10 — the plane count was the cap, and the r9
+# sf100 tier measured n_sub ~800 of it: ONE decade of headroom before
+# per-cell density went linear again (the fixed-parameter failure mode
+# this module has now removed four times: r7 cells, r8 band, r9 IVF,
+# r10 here).  Masked low bits replace the mod-fold: 16 planes give
+# 2^16 sub-buckets — the formula saturates at n_vecs > 250 * n_cells *
+# 2^16 ~ 164M vectors at the corpus's 10 labels, two decades past the
+# sf100 tier's 2M — and the cap is now DERIVED from the plane count
+# (raise _SEM_SUB_PLANES for the decade after that, nothing else).
+# Masked bits also DOMINATE the mod-fold on detection probability: a
+# near-dup pair lands in the same sub-bucket iff its s_eff USED bits
+# agree (p^s_eff for per-bit agreement p), whereas any flipped bit
+# almost surely changes a residue mod non-power-of-two n_sub, so the
+# mod-fold paid ~p^10 wherever n_sub > 1 (e.g. ~sf1 selects s_eff = 3:
+# p^3 ~ 0.78 vs the mod-fold's ~0.43 at p = 0.92).  Driver SFs are
+# unaffected (s_eff = 0 there; the sig is gated off); the scaling
+# corpus's sf1+ sub-bucket assignment re-buckets, which the oracle
+# mirrors literal-for-literal (tests/test_semdedup_refinement.py pins
+# both the driver-SF byte-identity and the agreement floor at the first
+# density the old cap could not express).
+_SEM_SUB_PLANES = 16
 
 
 def _sem_packed_signs():
@@ -982,6 +996,17 @@ def _sem_packed_signs():
         sum((1 << p) for p in range(_SEM_SUB_PLANES) if planes[p][d] > 0)
         for d in range(len(planes[0]))
     ]
+
+
+def _sem_s_eff_sql() -> str:
+    """DuckDB mirror of the in-plan s_eff indicator sum (exact integer
+    thresholds, no float log2 — bit-identical on both engines)."""
+    return " + ".join(
+        f"(CASE WHEN count(*) > "
+        f"{_SEM_TARGET_CELL} * count(DISTINCT label) * {1 << j} "
+        "THEN 1 ELSE 0 END)"
+        for j in range(_SEM_SUB_PLANES)
+    )
 
 
 def _semdedup_oracle(threshold: float = 0.3) -> str:
@@ -998,8 +1023,7 @@ def _semdedup_oracle(threshold: float = 0.3) -> str:
     WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
     ), nn AS (
-    SELECT greatest(1, least({_SEM_MAX_SUB},
-    count(*) // ({_SEM_TARGET_CELL} * count(DISTINCT label)))) AS n_sub
+    SELECT ({_sem_s_eff_sql()}) AS s_eff
     FROM embeddings
     ), ed AS (
     SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM v
@@ -1008,7 +1032,10 @@ def _semdedup_oracle(threshold: float = 0.3) -> str:
     ), pr AS (
     SELECT vec_id, {proj_cols} FROM edp GROUP BY vec_id
     ), sb AS (
-    SELECT pr.vec_id, ({sig_expr}) % nn.n_sub AS sub FROM pr CROSS JOIN nn
+    SELECT pr.vec_id,
+    CASE WHEN nn.s_eff > 0
+         THEN ({sig_expr}) & ((1 << nn.s_eff) - 1) ELSE 0 END AS sub
+    FROM pr CROSS JOIN nn
     ), bydim AS (
     SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings
     ), cent AS (
@@ -1060,17 +1087,20 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
        with the corpus and intra-cell pair work quadratically: the r7
        two-decade probe measured exactly that (alpha/decade 1.06, 135 s
        at ~sf1).  Real SemDeDup keeps cell size constant by growing k
-       with n; the declarative analog here subdivides each cell by a
-       _SEM_SUB_PLANES-plane sign-LSH sub-bucket (seed-fixed literal
-       planes, the similarity-module machinery) taken modulo n_sub, where
-       n_sub = clamp(n_vecs // (_SEM_TARGET_CELL * n_cells), 1,
-       _SEM_MAX_SUB) — 10 planes / cap 1024 since r8 — is computed INSIDE
-       the plan from a 1-row count relation — no driver action, and the
-       DuckDB oracle evaluates the identical formula.  Near-duplicate
-       vectors agree on sign bits with high probability, so refinement
-       costs little recall (the k-means-granularity trade the paper
-       already makes); at the driver SFs n_sub = 1 and the operator is
-       byte-identical to the plain per-label form.  Join-key cardinality
+       with n; the declarative analog here subdivides each cell by the
+       low s_eff bits of a _SEM_SUB_PLANES-plane sign-LSH signature
+       (seed-fixed literal planes, the similarity-module machinery),
+       where s_eff — an indicator sum over exact integer thresholds
+       n_vecs > _SEM_TARGET_CELL * n_cells * 2^j (16 planes / derived
+       cap 2^16 since r10; mod-fold with a 1024 cap r8-r9) — is computed
+       INSIDE the plan from a 1-row count relation — no driver action,
+       and the DuckDB oracle evaluates the identical formula.
+       Near-duplicate vectors agree on sign bits with high probability,
+       so refinement costs little recall (the k-means-granularity trade
+       the paper already makes — see the constants comment above for why
+       masked bits dominate the old mod-fold here too); at the driver
+       SFs s_eff = 0 and the operator is byte-identical to the plain
+       per-label form.  Join-key cardinality
        (cell x sub) also GROWS with the corpus, keeping the pair join's
        shuffle parallel at scale instead of capped at 10 label keys.
     4. Keeper policy, per the paper: within a duplicate pair, DROP the
@@ -1104,14 +1134,13 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
         F.count(F.lit(1)).alias("n_vecs"),
         F.countDistinct("label").alias("n_cells"),
     )
-    n_sub = F.greatest(
-        F.lit(1),
-        F.least(
-            F.lit(_SEM_MAX_SUB),
-            F.floor(
-                F.col("n_vecs") / (F.lit(_SEM_TARGET_CELL) * F.col("n_cells"))
-            ),
-        ),
+    s_eff = sum(
+        F.when(
+            F.col("n_vecs")
+            > F.col("n_cells") * F.lit(_SEM_TARGET_CELL * (1 << j)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for j in range(_SEM_SUB_PLANES)
     )
     emb = t["embeddings"].select("vec_id", "label", vec_double("embedding").alias("v"))
     by_dim = emb.select("label", F.posexplode("v").alias("dim", "x"))
@@ -1133,8 +1162,8 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
     # Sub-bucket refinement is attached AFTER the argmax filter, and the
-    # sign projection is gated on n_sub > 1 (judged r7: at sf0.1 the
-    # adaptive machinery cost ~1.2 s of pure overhead where n_sub = 1).
+    # sign projection is gated on s_eff > 0 (judged r7: at sf0.1 the
+    # adaptive machinery cost ~1.2 s of pure overhead where s_eff = 0).
     # Two reasons this placement wins with identical results:
     # (a) hanging the stats crossJoin on ``emb`` put it in BOTH the
     #     centroid branch and the scoring branch — a crossJoin node can't
@@ -1142,19 +1171,27 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     #     job re-executed the count subtree; here only the assigned
     #     relation (already behind the persist) carries it, one stats job
     #     per run;
-    # (b) pmod(sig, 1) == 0 for every row, so the n_sub > 1 CaseWhen gate
-    #     lets codegen skip the six fold projections entirely below the
-    #     refinement density — the pre-adaptive plan at small scale, the
-    #     subdivided join at sf1.  ``sub`` depends only on v, which the
-    #     argmax doesn't change, so computing it post-filter is the same
-    #     value the oracle computes pre-join.
+    # (b) sig & 0 == 0 for every row, so the s_eff > 0 CaseWhen gate
+    #     lets codegen skip the sixteen fold projections entirely below
+    #     the refinement density — the pre-adaptive plan at small scale,
+    #     the subdivided join at sf1.  ``sub`` depends only on v, which
+    #     the argmax doesn't change, so computing it post-filter is the
+    #     same value the oracle computes pre-join.
     assigned = track_persist(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .crossJoin(F.broadcast(stats))
+        .withColumn("s_eff", s_eff.cast("int"))
         .withColumn(
             "sub",
-            F.when(n_sub > 1, F.pmod(sig, n_sub)).otherwise(F.lit(0)).cast("long"),
+            F.when(
+                F.col("s_eff") > 0,
+                # masked LOW bits of the signature (shiftleft's numBits
+                # is column-typed only in SQL form, as in the ANN index)
+                sig.bitwiseAND(F.expr("shiftleft(1, s_eff) - 1")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
         )
         .select("vec_id", "cell", "sub", "cc", "v")
     )

@@ -119,8 +119,52 @@ _BAND_TARGET_BUCKET = 500
 #: (corpus > 500 * 2^15 / ... with the ring at max width) ends at
 #: ~O(10M) vectors per 17x500x12 candidate budget — raise
 #: _BAND_PLANES_MAX (prefix-stable planes, wider oracle literals) for
-#: the next decade beyond that.
+#: the next decade beyond that.  Since r10 that boundary is ENFORCED
+#: in-plan, not just documented — see _BAND_RING_MAX_VECS below.
 _BAND_MULTIPROBE_MIN_B = 12
+#: r10 (r9 verdict item 6): the width formula SATURATES at b_eff = 16
+#: once the corpus passes _BAND_TARGET_BUCKET * 2^15 = 16.384M vectors —
+#: beyond that, bucket population (and with it candidates/query) grows
+#: linearly again, the exact silent degradation the adaptive band
+#: exists to prevent.  The limit is enforced where it binds: band_width_col
+#: evaluates an in-plan assert_true against the same 1-row count
+#: relation that selects b_eff, so a corpus past the budget fails
+#: loudly with the remedy in the message instead of quietly going
+#: linear.  Every measured tier (max 2M vectors at ~sf100) and every
+#: driver SF sits far below the boundary, so no current plan changes.
+_BAND_RING_MAX_VECS = _BAND_TARGET_BUCKET << 15
+
+
+def band_width_col():
+    """b_eff over a relation carrying the 1-row corpus count ``n_vecs``:
+    exact integer thresholds summed as indicators (no float log2 —
+    bit-identical on both engines), the r9 ring-aware jump straight to
+    the 16-plane max once the base width reaches the multiprobe regime,
+    and the r10 ring-budget guard (_BAND_RING_MAX_VECS) that raises
+    in-plan, with the remedy in the message, where the formula would
+    otherwise saturate and silently go linear."""
+    b_base = F.lit(_BAND_PLANES) + sum(
+        F.when(
+            F.col("n_vecs") > F.lit(_BAND_TARGET_BUCKET * (1 << j)), F.lit(1)
+        ).otherwise(F.lit(0))
+        for j in range(_BAND_PLANES, _BAND_PLANES_MAX)
+    )
+    b_eff = F.when(
+        b_base >= F.lit(_BAND_MULTIPROBE_MIN_B), F.lit(_BAND_PLANES_MAX)
+    ).otherwise(b_base)
+    guard = F.assert_true(
+        F.col("n_vecs") <= F.lit(_BAND_RING_MAX_VECS),
+        F.lit(
+            "banded LSH ANN: corpus exceeds the b=16 ring candidate "
+            f"budget ({_BAND_RING_MAX_VECS} vectors); raise "
+            "_BAND_PLANES_MAX (prefix-stable planes, wider oracle "
+            "literals) before indexing at this scale"
+        ),
+    )
+    # assert_true evaluates to NULL whenever it does not raise, so this
+    # CaseWhen returns b_eff exactly when the guard passes — and the
+    # guard can never be pruned as an unused column.
+    return F.when(guard.isNull(), b_eff)
 _EXT_PLANES = lsh_plane_signs(_N_PLANES + _N_TABLES * (_BAND_PLANES_MAX - _BAND_PLANES))
 assert _EXT_PLANES[: _N_PLANES] == _PLANES  # prefix-stable seed stream
 #: table-major plane rows: plane t*16+r is bit r of table t; bits r < 4
@@ -442,25 +486,14 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5):
     corpus = track_persist(
         emb.select("vec_id", "v", keys_of("v").alias("bks"))
     )
-    # b_eff from a 1-row count relation: exact integer thresholds, summed
-    # as indicators (no float log2 — bit-identical on both engines).  The
-    # crossJoin attaches to the exploded-key relation BELOW the persisted
-    # corpus, so the index itself is count-independent (the semdedup
-    # stats-placement lesson, r8).
+    # b_eff from a 1-row count relation (band_width_col: exact integer
+    # thresholds, the r9 ring-aware jump, and the r10 in-plan ring-budget
+    # guard).  The crossJoin attaches to the exploded-key relation BELOW
+    # the persisted corpus, so the index itself is count-independent (the
+    # semdedup stats-placement lesson, r8).
     # counted off the persisted corpus (cache read), not a second scan
     nrel = corpus.agg(F.count(F.lit(1)).alias("n_vecs"))
-    b_base = F.lit(_BAND_PLANES) + sum(
-        F.when(
-            F.col("n_vecs") > F.lit(_BAND_TARGET_BUCKET * (1 << j)), F.lit(1)
-        ).otherwise(F.lit(0))
-        for j in range(_BAND_PLANES, _BAND_PLANES_MAX)
-    )
-    # Ring-aware jump (r9): once the base width reaches the multiprobe
-    # regime, go straight to the full 16 planes — see the config comment
-    # above _BAND_MULTIPROBE_MIN_B for the measured failure this encodes.
-    b_eff = F.when(
-        b_base >= F.lit(_BAND_MULTIPROBE_MIN_B), F.lit(_BAND_PLANES_MAX)
-    ).otherwise(b_base)
+    b_eff = band_width_col()
     # Persisted: the exploded, MASKED (vec_id, tbl, bucket) relation is the
     # probed index (ids + ints only, 12 x ~16 B per vector).  It has two
     # consumers (query extraction + probe side); without the persist each

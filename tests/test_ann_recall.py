@@ -264,6 +264,35 @@ def test_sf100_band_widening_keeps_recall_floor():
         assert recalls.mean() >= 0.95, (b, float(recalls.mean()))
 
 
+def test_ring_budget_guard_fires_at_boundary(spark):
+    """r9 verdict item 6: the config comment documented that the b=16
+    ring's candidate budget ends where the width formula saturates
+    (_BAND_TARGET_BUCKET * 2^15 = 16.384M vectors) and prescribed raising
+    _BAND_PLANES_MAX — but nothing ENFORCED the limit where it binds.
+    band_width_col now evaluates an in-plan assert_true on the count
+    relation; this drives it at both sides of the exact boundary."""
+    import pytest
+
+    from datafusion_dynamic_filter_spark.operators.similarity import (
+        _BAND_PLANES_MAX,
+        _BAND_RING_MAX_VECS,
+        band_width_col,
+    )
+
+    def width_at(n):
+        return (
+            spark.range(1)
+            .select(F.lit(n).cast("long").alias("n_vecs"))
+            .select(band_width_col().alias("b"))
+            .collect()[0].b
+        )
+
+    assert width_at(_BAND_RING_MAX_VECS) == _BAND_PLANES_MAX
+    assert width_at(500) == 4  # driver-SF regime untouched
+    with pytest.raises(Exception, match="ring candidate budget"):
+        width_at(_BAND_RING_MAX_VECS + 1)
+
+
 def test_sf100_ring_jump_keeps_candidates_flat():
     """r9 advice: the recall side of the b=16 ring jump is floor-tested
     above, but the COST side — the claim that candidates/query stay ~flat
