@@ -522,7 +522,20 @@ def dedup_jaccard_partners(spark, sf_dir, *, threshold: float = 0.8):
     endpoint docs), then ONE groupBy(doc_id) computes the partner count
     and the argmax partner via max(struct(jaccard, -partner)) — max on
     jaccard first, then on the negated id, i.e. ties break to the LOWEST
-    partner id, matching the oracle's row_number ordering."""
+    partner id, matching the oracle's row_number ordering.
+
+    Scaling-tier policy (r10, permanent): measured through ~sf10 (384 s
+    at 500k docs, 0.74/decade over the 1000x span) and excluded from the
+    ~sf100 tier BY CONTRACT — exactness requires shipping each candidate
+    pair's dictionary-coded token arrays through the verify shuffle
+    (~17 GB projected at sf10 after the r9 long-code + positional-filter
+    rework, ~10x that at sf100 on the adversarial corpus), and the only
+    unapplied candidate filter (a MinHash-agreement pre-check) is
+    two-sided and would change exact semantics to approximate.  The
+    100 TB path for this semantics is dedup_lsh_verified: the identical
+    exact-verify kernel on banded candidates, measured at the top tier
+    (363 s at 5M docs, 0.62/decade over 10,000x).  See the README's
+    scaling section for the full policy paragraph."""
     # Persisted: the symmetrize below reads the verified-pair relation
     # TWICE (one select per pair direction) — without the cache the
     # verify join runs twice.
@@ -1126,8 +1139,16 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
         )
         for p in range(_SEM_SUB_PLANES)
     ]
-    sig = sum(
-        (F.when(projs[p] > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    # Each signature bit is gated on s_eff > p: sub only KEEPS the low
+    # s_eff bits (the oracle masks the full signature to the same
+    # value), so computing bit p when it would be masked off is pure
+    # waste — the gate lets codegen skip the unused fold projections
+    # entirely (at ~sf1, 3 folds instead of 16; measured ~2 s of the
+    # tier's 10 s before the gate).
+    sub_bits = sum(
+        F.when((F.col("s_eff") > p) & (projs[p] > 0), F.lit(1 << p)).otherwise(
+            F.lit(0)
+        )
         for p in range(_SEM_SUB_PLANES)
     )
     stats = t["embeddings"].agg(
@@ -1171,28 +1192,21 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     #     job re-executed the count subtree; here only the assigned
     #     relation (already behind the persist) carries it, one stats job
     #     per run;
-    # (b) sig & 0 == 0 for every row, so the s_eff > 0 CaseWhen gate
-    #     lets codegen skip the sixteen fold projections entirely below
-    #     the refinement density — the pre-adaptive plan at small scale,
-    #     the subdivided join at sf1.  ``sub`` depends only on v, which
-    #     the argmax doesn't change, so computing it post-filter is the
-    #     same value the oracle computes pre-join.
+    # (b) every signature bit is gated on s_eff > p (see sub_bits above),
+    #     so codegen skips ALL fold projections below the refinement
+    #     density and only the s_eff needed ones above it — the
+    #     pre-adaptive plan at small scale, the subdivided join at sf1.
+    #     ``sub`` depends only on v, which the argmax doesn't change, so
+    #     computing it post-filter is the same value the oracle computes
+    #     pre-join.
     assigned = track_persist(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .crossJoin(F.broadcast(stats))
         .withColumn("s_eff", s_eff.cast("int"))
-        .withColumn(
-            "sub",
-            F.when(
-                F.col("s_eff") > 0,
-                # masked LOW bits of the signature (shiftleft's numBits
-                # is column-typed only in SQL form, as in the ANN index)
-                sig.bitwiseAND(F.expr("shiftleft(1, s_eff) - 1")),
-            )
-            .otherwise(F.lit(0))
-            .cast("long"),
-        )
+        # the per-bit s_eff > p gates make the low-bit mask implicit:
+        # every bit the mask would clear contributes 0 instead
+        .withColumn("sub", sub_bits.cast("long"))
         .select("vec_id", "cell", "sub", "cc", "v")
     )
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -32,8 +32,9 @@ at that scale, plus linear yardsticks) at min-of-1, so the tier stays
 ~30 min while the headline scale family gets a FOUR-decade (10,000x)
 measured span (`time_exponent_4dec`).  This tier is where the next
 adaptive steps actually bind: the banded ANN index's ring-aware jump to
-b_eff = 16 (base width 12 above 500*2^11 vectors) and SemDeDup n_sub
-~800 of the 1024 cap.  Opt out
+b_eff = 16 (base width 12 above 500*2^11 vectors) and SemDeDup's
+sub-bucket width s_eff = 10 (r10 masked-bits form; the r8 mod-fold it
+replaced measured n_sub ~800 of its 1024 cap here).  Opt out
 with SPARK_GRAFT_SCALING_NO_SF100=1 (iterating on a single operator
 rarely needs the top tier; refresh it before the round artifact).
 
@@ -178,14 +179,16 @@ SF10_PROBES = [n for n in SF1_PROBES if n not in SF10_EXCLUDED]
 # parameters take values no lower tier selects (similarity_lsh_topk:
 # base width 12 above 500*2^11 = 1.024M vectors -> the ring-aware jump
 # to b_eff = 16 with the full Hamming-1 probe ring live, one past the
-# unit-test recall floor's 260k-corpus masks; dedup_semdedup: n_sub ~800
-# of the 1024 cap), the LSH dedup family whose candidate structure the corpus
+# unit-test recall floor's 260k-corpus masks; dedup_semdedup: sub-bucket
+# width s_eff = 10, past every lower tier's selection), the LSH dedup
+# family whose candidate structure the corpus
 # generator preserves across replicas, IVF (fixed nlist is the next
 # suspected fixed-parameter scale bug), and two single-scan linear
 # yardsticks that calibrate what "linear" costs at 5M docs.  Documented
 # exclusions, same contracts as the sf10 tier's reasoning:
 # dedup_jaccard_partners (exact-verify shuffle ~10x the sf10 tier's
-# ~17 GB — pair-bound by contract; the LSH family is the scale answer),
+# ~17 GB — pair-bound by contract, PERMANENT policy per the README's
+# scaling section; the LSH family is the scale answer),
 # dedup_connected_components (~25 min projected; its convergence-loop
 # sublinearity already rests on three measured decades), and
 # similarity_brute_topk (quadratic ground truth).
