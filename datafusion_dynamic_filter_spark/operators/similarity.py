@@ -219,6 +219,37 @@ _BAND_PACKED = [
 # mirror in the DuckDB oracle).
 _IVF_TARGET_CELL = 2000
 _IVF_SUB_BITS_MAX = 12
+
+
+def ivf_sub_width_col():
+    """s_eff over a relation carrying the 1-row (n, nl) corpus stats:
+    exact integer thresholds summed as indicators, plus the r10
+    saturation guard (the band_width_col pattern): once the corpus
+    passes _IVF_TARGET_CELL * nl * 2^_IVF_SUB_BITS_MAX vectors (~82M at
+    the corpus's 10 labels) the mask cannot widen further, per-cell
+    population goes linear again, and the refinement silently degrades —
+    so the plan raises with the remedy instead.  Every measured tier
+    (max 2M vectors) and every driver SF is far below the boundary."""
+    s_eff = sum(
+        F.when(
+            F.col("n") > F.col("nl") * F.lit(_IVF_TARGET_CELL * (1 << j)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for j in range(_IVF_SUB_BITS_MAX)
+    )
+    guard = F.assert_true(
+        F.col("n")
+        <= F.col("nl") * F.lit(_IVF_TARGET_CELL * (1 << _IVF_SUB_BITS_MAX)),
+        F.lit(
+            "IVF ANN: corpus exceeds the 12-bit sub-bucket refinement "
+            f"budget ({_IVF_TARGET_CELL} * n_labels * 2^{_IVF_SUB_BITS_MAX} "
+            "vectors); raise _IVF_SUB_BITS_MAX (prefix-stable band "
+            "planes, wider oracle literals) before indexing at this scale"
+        ),
+    )
+    # assert_true is NULL whenever it does not raise — the guard rides
+    # inside the s_eff value and cannot be pruned as unused.
+    return F.when(guard.isNull(), s_eff)
 _IVF_SUB_PLANE_ROWS = _BAND_PLANE_ROWS[:_IVF_SUB_BITS_MAX]
 _IVF_SUB_PACKED = [
     sum(
@@ -760,13 +791,7 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     nrel = t["embeddings"].agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("label").alias("nl")
     )
-    s_eff = sum(
-        F.when(
-            F.col("n") > F.col("nl") * F.lit(_IVF_TARGET_CELL * (1 << j)),
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for j in range(_IVF_SUB_BITS_MAX)
-    )
+    s_eff = ivf_sub_width_col()
     sub_keys = lsh_table_keys_udf(
         _IVF_SUB_PLANE_ROWS, _IVF_SUB_BITS_MAX, 1
     )

@@ -293,6 +293,38 @@ def test_ring_budget_guard_fires_at_boundary(spark):
         width_at(_BAND_RING_MAX_VECS + 1)
 
 
+def test_ivf_sub_budget_guard_fires_at_boundary(spark):
+    """r10: the same enforcement applied to the second adaptive formula —
+    IVF's sub-bucket mask saturates at _IVF_TARGET_CELL * n_labels *
+    2^_IVF_SUB_BITS_MAX vectors, past which per-cell population grows
+    linearly again.  ivf_sub_width_col raises in-plan at that boundary;
+    driven here at both sides with a literal (n, nl) relation."""
+    import pytest
+
+    from datafusion_dynamic_filter_spark.operators.similarity import (
+        _IVF_SUB_BITS_MAX,
+        _IVF_TARGET_CELL,
+        ivf_sub_width_col,
+    )
+
+    def width_at(n, nl=10):
+        return (
+            spark.range(1)
+            .select(
+                F.lit(n).cast("long").alias("n"),
+                F.lit(nl).cast("long").alias("nl"),
+            )
+            .select(ivf_sub_width_col().alias("s"))
+            .collect()[0].s
+        )
+
+    bound = 10 * _IVF_TARGET_CELL * (1 << _IVF_SUB_BITS_MAX)
+    assert width_at(bound) == _IVF_SUB_BITS_MAX
+    assert width_at(10 * _IVF_TARGET_CELL) == 0  # driver-SF regime
+    with pytest.raises(Exception, match="refinement budget"):
+        width_at(bound + 1)
+
+
 def test_sf100_ring_jump_keeps_candidates_flat():
     """r9 advice: the recall side of the b=16 ring jump is floor-tested
     above, but the COST side — the claim that candidates/query stay ~flat

@@ -130,6 +130,39 @@ def test_population_pinned_across_full_range():
     assert sat >= 100 * 2_000_000 * 0.8, sat
 
 
+def test_sub_budget_guard_fires_at_boundary(spark):
+    """r10: the enforcement half of the derived cap — the width formula
+    saturates at _SEM_TARGET_CELL * n_cells * 2^_SEM_SUB_PLANES vectors,
+    past which per-(cell, sub) density grows linearly and intra-cell
+    pair work returns to quadratic.  _sem_sub_width_col raises in-plan
+    at that boundary; driven here at both sides with a literal
+    (n_vecs, n_cells) relation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datafusion_dynamic_filter_spark.operators.dedup import (
+        _sem_sub_width_col,
+    )
+
+    def width_at(n, nc=10):
+        return (
+            spark.range(1)
+            .select(
+                F.lit(n).cast("long").alias("n_vecs"),
+                F.lit(nc).cast("long").alias("n_cells"),
+            )
+            .select(_sem_sub_width_col().alias("s"))
+            .collect()[0].s
+        )
+
+    bound = 10 * _SEM_TARGET_CELL * (1 << _SEM_SUB_PLANES)
+    assert width_at(bound) == _SEM_SUB_PLANES
+    assert width_at(10 * _SEM_TARGET_CELL) == 0  # driver-SF regime
+    assert width_at(10 * _SEM_TARGET_CELL * (1 << 10) + 1) == 11
+    with pytest.raises(Exception, match="refinement budget"):
+        width_at(bound + 1)
+
+
 def test_masked_bits_agreement_floor_at_first_new_width():
     """Recall floor at the first width the old 1024 cap could not
     express: s_eff = 11 (selected above 2500 * 2^10 = 2.56M vectors at 10
