@@ -1159,7 +1159,7 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
     """
     from pyspark.sql.window import Window
 
-    from ..functions import cosine, vec_double
+    from ..functions import dot, l2_norm, vec_double
 
     t = tables(spark, sf_dir)
     packed = _sem_packed_signs()
@@ -1189,7 +1189,20 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
         F.countDistinct("label").alias("n_cells"),
     )
     s_eff = _sem_sub_width_col()
-    emb = t["embeddings"].select("vec_id", "label", vec_double("embedding").alias("v"))
+    # Norms are computed ONCE per vector / per centroid and reused by
+    # every cosine downstream (r10): cosine(a, b) = dot / (norm_a *
+    # norm_b) evaluates the identical IEEE expression whether the norm
+    # folds run inline per pair or once per row, so results are
+    # byte-identical — but the pair stage below evaluates O(pairs)
+    # cosines, and inlined norms made each one THREE array folds instead
+    # of one (the assignment stage likewise re-folded the same vector
+    # norm once per candidate cell).  Measured at the ~sf100 tier this
+    # was the dominant avoidable cost of the whole probe suite.
+    emb = t["embeddings"].select(
+        "vec_id",
+        "label",
+        vec_double("embedding").alias("v"),
+    ).withColumn("nv", l2_norm(F.col("v")))
     by_dim = emb.select("label", F.posexplode("v").alias("dim", "x"))
     cent = (
         by_dim.groupBy("label", "dim")
@@ -1200,12 +1213,14 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
             F.col("label").alias("cell"),
             F.transform("pairs", lambda s: s.getField("cx")).alias("c"),
         )
+        .withColumn("cn", l2_norm(F.col("c")))
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "v",
+        "nv",
         "cell",
-        F.round(cosine(F.col("v"), F.col("c")), 4).alias("cc"),
+        F.round(dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("cn")), 4).alias("cc"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cc"), "cell")
     # Sub-bucket refinement is attached AFTER the argmax filter, and the
@@ -1233,7 +1248,7 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
         # the per-bit s_eff > p gates make the low-bit mask implicit:
         # every bit the mask would clear contributes 0 instead
         .withColumn("sub", sub_bits.cast("long"))
-        .select("vec_id", "cell", "sub", "cc", "v")
+        .select("vec_id", "cell", "sub", "cc", "v", "nv")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     pairs = a.join(
@@ -1247,7 +1262,9 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
         F.col("b.vec_id").alias("vb"),
         F.col("a.cc").alias("cca"),
         F.col("b.cc").alias("ccb"),
-        F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cs"),
+        F.round(
+            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 4
+        ).alias("cs"),
     )
     drops = (
         pairs.filter(F.col("cs") >= threshold)

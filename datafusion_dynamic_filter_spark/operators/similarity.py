@@ -514,8 +514,16 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5):
     # note below); scan partitioning carries cluster parallelism.
     emb = t["embeddings"].select("vec_id", vec_double("embedding").alias("v"))
     keys_of = lsh_table_keys_udf(_BAND_PLANE_ROWS, _BAND_PLANES_MAX, _N_TABLES)
+    # The persisted index also carries each vector's norm (r10): the
+    # re-rank evaluates O(candidates) cosines, and dot / (nq * nv) with
+    # per-row norms is ONE array fold per candidate instead of three —
+    # identical IEEE values (same folds, same operand order), measured
+    # ~2x on the re-rank stage at the ~sf100 tier.
     corpus = track_persist(
-        emb.select("vec_id", "v", keys_of("v").alias("bks"))
+        emb.select(
+            "vec_id", "v", l2_norm(F.col("v")).alias("nv"),
+            keys_of("v").alias("bks"),
+        )
     )
     # b_eff from a 1-row count relation (band_width_col: exact integer
     # thresholds, the r9 ring-aware jump, and the r10 in-plan ring-budget
@@ -591,7 +599,8 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5):
         .repartition(spark.sparkContext.defaultParallelism)
     )
     qv = corpus.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     # cand is UNBOUNDED (~candidate-fraction x |corpus| x |query batch|,
     # quadratic in corpus size on this geometry) — no broadcast hint, or
@@ -601,13 +610,16 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5):
     scored = (
         cand
         .join(
-            corpus.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+            corpus.select(F.col("vec_id").alias("neighbor_id"), "v", "nv"),
+            "neighbor_id",
         )
         .join(F.broadcast(qv), "q_id")
         .select(
             "q_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 3
+            ).alias("cos_sim"),
         )
     )
     return _topk_rerank(scored, k)
@@ -771,7 +783,13 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     from pyspark.sql.window import Window
 
     t = tables(spark, sf_dir)
-    emb = fan_out(t["embeddings"]).select("vec_id", vec_double("embedding").alias("v"))
+    # Norms ride along from the first projection (r10): assignment folds
+    # dot / (nv * cn) once per (vector, cell) and the re-rank once per
+    # candidate — one fold each instead of three, identical IEEE values
+    # (same folds, same operand order; the semdedup/banded-index change).
+    emb = fan_out(t["embeddings"]).select(
+        "vec_id", vec_double("embedding").alias("v")
+    ).withColumn("nv", l2_norm(F.col("v")))
     by_dim = t["embeddings"].select(
         "label", F.posexplode(vec_double("embedding")).alias("i", "x")
     )
@@ -784,6 +802,7 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
             F.col("label").alias("cell"),
             F.transform("pairs", lambda s: s.getField("cx")).alias("c"),
         )
+        .withColumn("cn", l2_norm(F.col("c")))
     )
     # s_eff from a 1-row (n, n_labels) relation off the raw table (the
     # assignment relation below can't feed it — it is built FROM this):
@@ -795,14 +814,16 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     sub_keys = lsh_table_keys_udf(
         _IVF_SUB_PLANE_ROWS, _IVF_SUB_BITS_MAX, 1
     )
-    cell_sim = F.round(cosine(F.col("v"), F.col("c")), 4)
+    cell_sim = F.round(
+        dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("cn")), 4
+    )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
     # Persisted: this IS the probed index — (ids, vector, cell, masked
     # sub) — with two consumers (query extraction + probe side), same
     # shape and rationale as the banded index's persisted corpus.
     assigned = track_persist(
         emb.crossJoin(F.broadcast(centv))
-        .select("vec_id", "v", "cell", cell_sim.alias("cell_sim"))
+        .select("vec_id", "v", "nv", "cell", cell_sim.alias("cell_sim"))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .withColumn("key12", sub_keys("v").getItem(0))
@@ -811,6 +832,7 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
         .select(
             "vec_id",
             "v",
+            "nv",
             "cell",
             F.expr("key12 & (shiftleft(1, s_eff) - 1)").alias("sub"),
             "s_eff",
@@ -853,19 +875,22 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
         .repartition(spark.sparkContext.defaultParallelism)
     )
     qv = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     # cand is unbounded — no broadcast hint (AQE decides at runtime).
     scored = (
         cand.join(
-            assigned.select(F.col("vec_id").alias("neighbor_id"), "v"),
+            assigned.select(F.col("vec_id").alias("neighbor_id"), "v", "nv"),
             "neighbor_id",
         )
         .join(F.broadcast(qv), "q_id")
         .select(
             "q_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("v")), 3).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 3
+            ).alias("cos_sim"),
         )
     )
     return _topk_rerank(scored, k)
