@@ -51,8 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # a Spark-side rework that keeps the oracle but should still invalidate old
 # greens.  The effective threshold is the max of both layers.
 _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
-    "similarity_lsh_topk": 6,  # r6: single-probe → banded L=12×b=4 LSH
-    "dedup_semdedup": 8,  # r7 adaptive cells; r8 small-scale short-circuit
+    # r10: the re-rank/assignment cosines were reworked to precomputed
+    # norms — values are byte-identical and the oracles did not change
+    # (so the ledger cannot see it), but the shipped implementation is
+    # new and its driver greens should be re-earned.
+    "similarity_lsh_topk": 10,  # r6 banded LSH; r10 norm-precomputed re-rank
+    "similarity_ivf_topk": 10,  # r9 adaptive cells; r10 norm-precomputed
+    "dedup_semdedup": 8,  # r7 adaptive cells; r8 short-circuit (r10 via ledger)
     "anti_join_not_exists": 8,  # r8: date-windowed, non-vacuous form
 }
 

@@ -62,6 +62,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+#: 1-min loadavg at process start — the pre-run host state (see the
+#: loadavg_start note in _write_artifact).
+_LOADAVG_START = os.getloadavg()[0]
 
 # Scale-critical set: every operator whose 100 TB posture the reviews
 # discuss — the dedup family (join/fan-out heavy), similarity (blocked ANN
@@ -576,6 +579,12 @@ def _write_artifact(
         # (or the next round) can tell a mid-run snapshot from a finished
         # record without diffing probe keys.
         "tiers_complete": list(done_tiers),
+        # loadavg_start is what "was the host quiet" actually means:
+        # captured at process start, BEFORE any tier runs.  loadavg_end
+        # self-measures the probe's own 32-thread tail (a min-of-1 sf100
+        # tier leaves 1-min loadavg ~ core count at write time) — high
+        # values there are expected, not interference (r9/r10 verdicts).
+        "loadavg_start": round(_LOADAVG_START, 2),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "probes": table,
     }
