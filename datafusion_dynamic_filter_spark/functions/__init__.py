@@ -234,6 +234,34 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def indicator_width(count: Column, unit: Column, bits: range) -> Column:
+    """Count-derived adaptive width: #{ j in bits : count > unit * 2^j }.
+
+    Exact integer thresholds summed as indicators (no float log2 —
+    bit-identical on both engines).  The shared core of the three
+    adaptive formulas (banded ANN band width, IVF sub-bucket mask,
+    SemDeDup cell refinement) — extracted r10 after the pattern had been
+    re-derived four times (r7 cells, r8 band, r9 IVF, r10 SemDeDup) so
+    the formula and its oracle mirrors cannot drift apart per operator.
+    """
+    return sum(
+        F.when(count > unit * F.lit(1 << j), F.lit(1)).otherwise(F.lit(0))
+        for j in bits
+    )
+
+
+def saturation_guarded(width: Column, within_budget: Column, message: str) -> Column:
+    """Attach an ENFORCED saturation boundary to an adaptive width:
+    returns ``width`` while ``within_budget`` holds and raises
+    ``message`` in-plan (assert_true) once it does not — the point where
+    a count-derived formula can no longer widen and per-bucket work
+    would silently go linear again.  assert_true evaluates to NULL
+    whenever it does not raise, so this CaseWhen yields the width
+    exactly when the guard passes; riding inside the value, the guard
+    can never be pruned as an unused column."""
+    return F.when(F.assert_true(within_budget, F.lit(message)).isNull(), width)
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 

@@ -1013,35 +1013,29 @@ def _sem_packed_signs():
 
 def _sem_sub_width_col():
     """s_eff over a relation carrying the 1-row (n_vecs, n_cells) corpus
-    stats: exact integer thresholds summed as indicators, plus the r10
-    saturation guard (the similarity.band_width_col pattern): once the
+    stats (functions.indicator_width + saturation_guarded): once the
     corpus passes _SEM_TARGET_CELL * n_cells * 2^_SEM_SUB_PLANES vectors
     (~164M at the corpus's 10 labels) the mask cannot widen further,
     per-(cell, sub) density goes linear again, and intra-cell pair work
     silently returns to quadratic — so the plan raises with the remedy
     instead.  Every measured tier (max 2M vectors) and every driver SF
     is far below the boundary."""
-    s_eff = sum(
-        F.when(
-            F.col("n_vecs")
-            > F.col("n_cells") * F.lit(_SEM_TARGET_CELL * (1 << j)),
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for j in range(_SEM_SUB_PLANES)
+    from ..functions import indicator_width, saturation_guarded
+
+    s_eff = indicator_width(
+        F.col("n_vecs"),
+        F.col("n_cells") * F.lit(_SEM_TARGET_CELL),
+        range(_SEM_SUB_PLANES),
     )
-    guard = F.assert_true(
+    return saturation_guarded(
+        s_eff,
         F.col("n_vecs")
         <= F.col("n_cells") * F.lit(_SEM_TARGET_CELL * (1 << _SEM_SUB_PLANES)),
-        F.lit(
-            "SemDeDup: corpus exceeds the 16-plane sub-bucket refinement "
-            f"budget ({_SEM_TARGET_CELL} * n_cells * 2^{_SEM_SUB_PLANES} "
-            "vectors); raise _SEM_SUB_PLANES (seed-stable planes, wider "
-            "oracle literals) before deduplicating at this scale"
-        ),
+        "SemDeDup: corpus exceeds the 16-plane sub-bucket refinement "
+        f"budget ({_SEM_TARGET_CELL} * n_cells * 2^{_SEM_SUB_PLANES} "
+        "vectors); raise _SEM_SUB_PLANES (seed-stable planes, wider "
+        "oracle literals) before deduplicating at this scale",
     )
-    # assert_true is NULL whenever it does not raise — the guard rides
-    # inside the s_eff value and cannot be pruned as unused.
-    return F.when(guard.isNull(), s_eff)
 
 
 def _sem_s_eff_sql() -> str:

@@ -15,11 +15,13 @@ from ..functions import (
     cosine,
     dot,
     fan_out,
+    indicator_width,
     l2_norm,
     lsh_bucket_udf,
     lsh_plane_signs,
     lsh_table_buckets_udf,
     lsh_table_keys_udf,
+    saturation_guarded,
     vec_double,
 )
 from ..registry import query, tables, track_persist
@@ -137,34 +139,28 @@ _BAND_RING_MAX_VECS = _BAND_TARGET_BUCKET << 15
 
 def band_width_col():
     """b_eff over a relation carrying the 1-row corpus count ``n_vecs``:
-    exact integer thresholds summed as indicators (no float log2 —
-    bit-identical on both engines), the r9 ring-aware jump straight to
-    the 16-plane max once the base width reaches the multiprobe regime,
-    and the r10 ring-budget guard (_BAND_RING_MAX_VECS) that raises
+    the shared indicator-sum core (functions.indicator_width), the r9
+    ring-aware jump straight to the 16-plane max once the base width
+    reaches the multiprobe regime, and the r10 ring-budget guard
+    (_BAND_RING_MAX_VECS, functions.saturation_guarded) that raises
     in-plan, with the remedy in the message, where the formula would
     otherwise saturate and silently go linear."""
-    b_base = F.lit(_BAND_PLANES) + sum(
-        F.when(
-            F.col("n_vecs") > F.lit(_BAND_TARGET_BUCKET * (1 << j)), F.lit(1)
-        ).otherwise(F.lit(0))
-        for j in range(_BAND_PLANES, _BAND_PLANES_MAX)
+    b_base = F.lit(_BAND_PLANES) + indicator_width(
+        F.col("n_vecs"),
+        F.lit(_BAND_TARGET_BUCKET),
+        range(_BAND_PLANES, _BAND_PLANES_MAX),
     )
     b_eff = F.when(
         b_base >= F.lit(_BAND_MULTIPROBE_MIN_B), F.lit(_BAND_PLANES_MAX)
     ).otherwise(b_base)
-    guard = F.assert_true(
+    return saturation_guarded(
+        b_eff,
         F.col("n_vecs") <= F.lit(_BAND_RING_MAX_VECS),
-        F.lit(
-            "banded LSH ANN: corpus exceeds the b=16 ring candidate "
-            f"budget ({_BAND_RING_MAX_VECS} vectors); raise "
-            "_BAND_PLANES_MAX (prefix-stable planes, wider oracle "
-            "literals) before indexing at this scale"
-        ),
+        "banded LSH ANN: corpus exceeds the b=16 ring candidate "
+        f"budget ({_BAND_RING_MAX_VECS} vectors); raise "
+        "_BAND_PLANES_MAX (prefix-stable planes, wider oracle "
+        "literals) before indexing at this scale",
     )
-    # assert_true evaluates to NULL whenever it does not raise, so this
-    # CaseWhen returns b_eff exactly when the guard passes — and the
-    # guard can never be pruned as an unused column.
-    return F.when(guard.isNull(), b_eff)
 _EXT_PLANES = lsh_plane_signs(_N_PLANES + _N_TABLES * (_BAND_PLANES_MAX - _BAND_PLANES))
 assert _EXT_PLANES[: _N_PLANES] == _PLANES  # prefix-stable seed stream
 #: table-major plane rows: plane t*16+r is bit r of table t; bits r < 4
@@ -222,34 +218,27 @@ _IVF_SUB_BITS_MAX = 12
 
 
 def ivf_sub_width_col():
-    """s_eff over a relation carrying the 1-row (n, nl) corpus stats:
-    exact integer thresholds summed as indicators, plus the r10
-    saturation guard (the band_width_col pattern): once the corpus
+    """s_eff over a relation carrying the 1-row (n, nl) corpus stats
+    (functions.indicator_width + saturation_guarded): once the corpus
     passes _IVF_TARGET_CELL * nl * 2^_IVF_SUB_BITS_MAX vectors (~82M at
     the corpus's 10 labels) the mask cannot widen further, per-cell
     population goes linear again, and the refinement silently degrades —
     so the plan raises with the remedy instead.  Every measured tier
     (max 2M vectors) and every driver SF is far below the boundary."""
-    s_eff = sum(
-        F.when(
-            F.col("n") > F.col("nl") * F.lit(_IVF_TARGET_CELL * (1 << j)),
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for j in range(_IVF_SUB_BITS_MAX)
+    s_eff = indicator_width(
+        F.col("n"),
+        F.col("nl") * F.lit(_IVF_TARGET_CELL),
+        range(_IVF_SUB_BITS_MAX),
     )
-    guard = F.assert_true(
+    return saturation_guarded(
+        s_eff,
         F.col("n")
         <= F.col("nl") * F.lit(_IVF_TARGET_CELL * (1 << _IVF_SUB_BITS_MAX)),
-        F.lit(
-            "IVF ANN: corpus exceeds the 12-bit sub-bucket refinement "
-            f"budget ({_IVF_TARGET_CELL} * n_labels * 2^{_IVF_SUB_BITS_MAX} "
-            "vectors); raise _IVF_SUB_BITS_MAX (prefix-stable band "
-            "planes, wider oracle literals) before indexing at this scale"
-        ),
+        "IVF ANN: corpus exceeds the 12-bit sub-bucket refinement "
+        f"budget ({_IVF_TARGET_CELL} * n_labels * 2^{_IVF_SUB_BITS_MAX} "
+        "vectors); raise _IVF_SUB_BITS_MAX (prefix-stable band "
+        "planes, wider oracle literals) before indexing at this scale",
     )
-    # assert_true is NULL whenever it does not raise — the guard rides
-    # inside the s_eff value and cannot be pruned as unused.
-    return F.when(guard.isNull(), s_eff)
 _IVF_SUB_PLANE_ROWS = _BAND_PLANE_ROWS[:_IVF_SUB_BITS_MAX]
 _IVF_SUB_PACKED = [
     sum(

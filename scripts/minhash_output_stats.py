@@ -100,7 +100,11 @@ def main() -> None:
             n_docs=n_docs,
             n_candidates=n_cand,
             n_verified=n_ver,
-            verify_yield_pct=round(100.0 * n_ver / n_cand, 2),
+            # n_cand == 0 (no banding collisions at all) is itself the
+            # diagnostic result — report it instead of dividing by it
+            verify_yield_pct=(
+                round(100.0 * n_ver / n_cand, 2) if n_cand else None
+            ),
             bucket=bstats,
             degree=deg,
             partnered_pct=round(100.0 * deg["docs_with_partner"] / n_docs, 2),

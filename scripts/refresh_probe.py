@@ -43,23 +43,48 @@ _TIER_LIST = {"lo": PROBES, "hi": PROBES, "xhi": SF1_PROBES,
 _SAMPLES_KEY = {"x2hi": "x2hi", "x3hi": "x3hi"}
 
 
+def reconstruct(prior: dict, dirs: dict) -> dict:
+    """Per-tier results dicts from a committed SCALING.json — EVERY tier
+    with recorded rows, not just the complete ones (r10 review): a failed
+    tier's salvaged probes are real min-of-N measurements the salvage
+    machinery exists to preserve; dropping them here would silently erase
+    them from the rewritten artifact while failed_tiers still claimed
+    they were salvaged.  Salvage flags survive the round trip."""
+    results: dict[str, dict] = {}
+    for role in dirs:
+        sec_k, rows_k = f"sec_{_LABEL[role]}", f"rows_{_LABEL[role]}"
+        rows = {}
+        for name, p in prior["probes"].items():
+            if sec_k not in p:
+                continue
+            rows[name] = {"sec": p[sec_k], "rows": p[rows_k]}
+            if p.get(f"salvaged_{_LABEL[role]}"):
+                rows[name]["salvaged"] = True
+        if rows or role in (prior.get("tiers_complete") or []):
+            results[dirs[role]] = rows
+    return results
+
+
 def main(names: list[str]) -> None:
+    only_tiers = None
+    if names and names[0].startswith("--tiers="):
+        # e.g. --tiers=lo,hi : re-measure the named probes at a subset of
+        # tiers only (fresh small-SF baselines without repeating the
+        # multi-minute upper decades); other tiers keep their recorded
+        # rows through the reconstruction below.
+        only_tiers = set(names[0].split("=", 1)[1].split(","))
+        names = names[1:]
     with open(os.path.join(REPO, "SCALING.json")) as f:
         prior = json.load(f)
     unknown = [n for n in names if n not in prior["probes"]]
     if unknown:
         raise SystemExit(f"unknown probes: {unknown}")
     dirs = {role: prior[role] for role in _LABEL if prior.get(role)}
-    results: dict[str, dict] = {}
-    for role in prior.get("tiers_complete") or []:
-        sec_k, rows_k = f"sec_{_LABEL[role]}", f"rows_{_LABEL[role]}"
-        results[dirs[role]] = {
-            name: {"sec": p[sec_k], "rows": p[rows_k]}
-            for name, p in prior["probes"].items()
-            if sec_k in p
-        }
+    results = reconstruct(prior, dirs)
     samples = prior.get("samples") or {}
     for role in prior.get("tiers_complete") or []:
+        if only_tiers is not None and role not in only_tiers:
+            continue
         subset = [n for n in names if n in _TIER_LIST[role]]
         if not subset:
             continue

@@ -59,6 +59,43 @@ def test_artifact_marks_salvaged_probes_and_measured_list(tmp_path, monkeypatch)
     assert row["sec_sf100"] == 16.0 and row["time_exponent_4dec"] is not None
 
 
+def test_refresh_reconstruction_preserves_salvaged_failed_tiers(
+    tmp_path, monkeypatch
+):
+    """r10 review: refresh_probe's artifact rewrite reconstructed only
+    tiers_complete, so a FAILED tier's salvaged probe rows (real min-of-N
+    measurements) were silently erased by any later refresh.  The
+    round-trip must preserve them, salvage flags included."""
+    import refresh_probe
+
+    monkeypatch.setattr(scaling_probe, "REPO", str(tmp_path))
+    lo, hi, x3hi = "/lo", "/hi", "/x100"
+    x3_names = scaling_probe.SF100_PROBES[:2]
+    results = {
+        lo: _tier(scaling_probe.PROBES),
+        hi: _tier(scaling_probe.PROBES, sec=2.0),
+        x3hi: _tier(x3_names, sec=16.0, salvaged=x3_names),
+    }
+    scaling_probe._write_artifact(
+        results, ["x3hi"], ["lo", "hi"], lo, hi, None, None, x3hi
+    )
+    prior = json.load(open(tmp_path / "SCALING.json"))
+    dirs = {r: prior[r] for r in ("lo", "hi", "x3hi") if prior.get(r)}
+    rebuilt = refresh_probe.reconstruct(prior, dirs)
+    # the failed tier's salvaged rows survive, flags intact
+    assert set(rebuilt[x3hi]) == set(x3_names)
+    assert all(rebuilt[x3hi][n]["salvaged"] for n in x3_names)
+    assert rebuilt[x3hi][x3_names[0]]["sec"] == 16.0
+    # and writing the reconstruction back reproduces the same artifact rows
+    scaling_probe._write_artifact(
+        rebuilt, ["x3hi"], ["lo", "hi"], lo, hi, None, None, x3hi
+    )
+    again = json.load(open(tmp_path / "SCALING.json"))
+    assert again["x3hi_measured"] == sorted(x3_names)
+    assert again["probes"][x3_names[0]]["salvaged_sf100"] is True
+    assert again["probes"][x3_names[0]]["sec_sf100"] == 16.0
+
+
 def test_artifact_writer_is_atomic_and_complete(tmp_path, monkeypatch):
     monkeypatch.setattr(scaling_probe, "REPO", str(tmp_path))
     lo, hi = "/lo", "/hi"
