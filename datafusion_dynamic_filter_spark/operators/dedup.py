@@ -1289,16 +1289,53 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
 SPAN_LEN, SPAN_GRAM, SPAN_MODULUS = 40, 8, 8
 
 
+#: Corpus-size threshold for the anchor-hash switch (r10): md5 anchors at
+#: or below it (every driver SF — sf0.1 is 5,000 docs — so the DuckDB
+#: oracle's parity scope is exactly the md5 branch and results there are
+#: byte-identical to the pre-switch operator), xxhash64 anchors above it.
+#: Anchor choice only needs DETERMINISM, not cross-engine portability:
+#: both hashes anchor at the same density (1/modulus of positions, both
+#: uniform over the gram window), both are content-defined (copies of a
+#: passage anchor at the same in-passage offsets), so detection
+#: probability per shared passage is identical — only WHICH positions
+#: anchor differs.  The per-position md5 was measured as the operator's
+#: dominant cost at the ~sf100 tier (280 s of 413 s: 2.2B md5 calls);
+#: xxhash64 is a native long hash.  tests/test_substring_anchor_switch.py
+#: pins the below-threshold byte-identity and the statistical equivalence
+#: of the two anchor paths' dup_frac outputs.
+_SPAN_XX_MIN_DOCS = 10_000
+
+
 def anchored_spans_sql(
-    span_len: int = SPAN_LEN, gram: int = SPAN_GRAM, modulus: int = SPAN_MODULUS
+    span_len: int = SPAN_LEN,
+    gram: int = SPAN_GRAM,
+    modulus: int = SPAN_MODULUS,
+    anchor: str = "md5",
 ) -> str:
     """The Spark SQL expression extracting content-defined anchored spans
     from a column ``txt`` — shared between dedup_substring_spans and its
-    quality tests so both always exercise the same anchoring."""
+    quality tests so both always exercise the same anchoring.
+
+    anchor: "md5" (the oracle-portable hash), "xx64" (the scale path),
+    or "adaptive" (CASE on a boolean column ``use_xx`` in scope — the
+    in-plan corpus-size switch; the branch condition is row-constant so
+    codegen evaluates only the selected hash per position)."""
+    md5_test = (
+        f"CAST(conv(substring(md5(substring(txt, i, {gram})), 1, 15), "
+        f"16, 10) AS BIGINT) % {modulus} = 0"
+    )
+    xx_test = f"pmod(xxhash64(substring(txt, i, {gram})), {modulus}) = 0"
+    if anchor == "md5":
+        test = md5_test
+    elif anchor == "xx64":
+        test = xx_test
+    elif anchor == "adaptive":
+        test = f"CASE WHEN use_xx THEN {xx_test} ELSE {md5_test} END"
+    else:  # pragma: no cover - programming error
+        raise ValueError(f"unknown anchor mode {anchor!r}")
     return (
         f"transform(filter(sequence(1, length(txt) - {span_len - 1}), "
-        f"i -> CAST(conv(substring(md5(substring(txt, i, {gram})), 1, 15), "
-        f"16, 10) AS BIGINT) % {modulus} = 0), "
+        f"i -> {test}), "
         f"i -> substring(txt, i, {span_len}))"
     )
 
@@ -1367,16 +1404,25 @@ def dedup_substring_spans(
       identical modulo 64-bit hash collisions, ~2^-25 at sf0.1's span count;
       a 100 TB run would move to the 128-bit md5 for birthday headroom);
     - per-doc aggregation shuffles on doc_id, already the scan's natural
-      key.  The anchor hash is the cross-engine md5-prefix ``h60`` (the
-      oracle must agree on anchor positions exactly); at 100 TB the anchor
-      hash would switch to xxhash64 too — anchor choice only needs
-      determinism, not cross-engine portability, outside the test gate.
+      key.  The anchor hash is ADAPTIVE since r10 (see _SPAN_XX_MIN_DOCS):
+      the cross-engine md5 prefix at or below 10k documents — every
+      driver SF, where the oracle must agree on anchor positions exactly
+      and results are byte-identical to the pre-switch operator — and
+      xxhash64 above it, where anchor choice only needs determinism and
+      the per-position md5 was the measured dominant cost of the whole
+      scaling tier (280 s of 413 s at ~sf100: 2.2B md5 calls).  The
+      switch is a row-constant CASE computed from a broadcast 1-row
+      count, the same in-plan adaptive pattern as the ANN band width.
     Reference parity: extends the dedup family required by the brief; no
     reference twin (the reference engine has no text operators).
 
     NOTE: the DuckDB oracle covers ONLY the default (span_len, gram,
-    modulus) = (40, 8, 8) — see SPAN_LEN/SPAN_GRAM/SPAN_MODULUS.  Other
-    values are legal but run outside the parity gate.
+    modulus) = (40, 8, 8) — see SPAN_LEN/SPAN_GRAM/SPAN_MODULUS — and
+    only corpora at or below the anchor-hash switch (all driver SFs).
+    Other values / larger corpora are legal but run outside the parity
+    gate; tests/test_substring_anchor_switch.py pins the switch's
+    below-threshold byte-identity and the two anchor paths' statistical
+    equivalence.
     """
     t = tables(spark, sf_dir)
     # fan_out (r7): the per-character md5 anchor transform is the
@@ -1387,12 +1433,27 @@ def dedup_substring_spans(
     docs = fan_out(t["documents"]).select(
         "doc_id", F.lower(F.trim("text")).alias("txt")
     ).where(F.length("txt") >= span_len)
-    spans = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.expr(anchored_spans_sql(span_len, gram, modulus)))
-        ).alias("sp"),
-    ).select("doc_id", F.xxhash64("sp").alias("h"))
+    # the anchor-hash switch (see _SPAN_XX_MIN_DOCS): row-constant CASE
+    # off a broadcast 1-row count — md5 (oracle-portable) at driver SFs,
+    # xxhash64 at scale
+    nrel = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    spans = (
+        docs.crossJoin(F.broadcast(nrel))
+        .withColumn("use_xx", F.col("n_docs") > F.lit(_SPAN_XX_MIN_DOCS))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        anchored_spans_sql(
+                            span_len, gram, modulus, anchor="adaptive"
+                        )
+                    )
+                )
+            ).alias("sp"),
+        )
+        .select("doc_id", F.xxhash64("sp").alias("h"))
+    )
     # Persist: the anchor transform (md5 over every char position) is the
     # dominant cost and `spans` feeds BOTH the repeat-count aggregate and
     # the scoring join — without this the scan + transform run twice.

@@ -206,6 +206,15 @@ SF100_PROBES = [
     "quality_classifier_linear",
     "token_hll_distinct",
     "corpus_token_budget_select",
+    # r10 additions: the norm-precompute rework cut the tier's three
+    # slowest probes ~2x (semdedup 697 -> 292 s), buying budget for
+    # three modalities the top tier had never measured — winnowing
+    # substring dedup, the incremental (batch-vs-index) LSH form, and
+    # train/eval decontamination — each projected 1-2 min at 5M docs
+    # off its sublinear sf10 row.
+    "dedup_substring_spans",
+    "dedup_incremental_lsh",
+    "decontam_fuzzy_minhash",
 ]
 
 

@@ -1,0 +1,115 @@
+"""Gates for dedup_substring_spans' r10 adaptive anchor-hash switch.
+
+The ~sf100 tier measured the per-position md5 anchor test as the
+operator's dominant cost (280 s of 413 s — 2.2B md5 calls over the
+corpus text).  md5 is only needed where the DuckDB oracle must agree on
+anchor POSITIONS exactly (the driver SFs); above _SPAN_XX_MIN_DOCS the
+anchor switches to xxhash64 in-plan.  Two claims to pin:
+
+1. below the threshold the adaptive expression takes the md5 branch and
+   the operator is byte-identical to the pre-switch form (the oracle
+   parity suite re-checks this end-to-end every run);
+2. the two anchor hashes are statistically interchangeable: both anchor
+   1/modulus of positions uniformly and both are content-defined, so
+   span density and per-doc dup_frac must agree closely — measured at
+   commit time on sf0.1 (4,983 vs 4,989 docs emitted, span density
+   ratio 1.0145, mean dup_frac 0.0944 vs 0.0943, per-doc mean absolute
+   difference 0.0015).
+"""
+
+import statistics
+
+from pyspark.sql import functions as F
+
+from datafusion_dynamic_filter_spark.functions import fan_out
+from datafusion_dynamic_filter_spark.operators.dedup import (
+    _SPAN_XX_MIN_DOCS,
+    anchored_spans_sql,
+)
+
+SF01 = "/root/testdata/sf0.01"
+SF1 = "/root/testdata/sf0.1"
+
+
+def test_threshold_separates_driver_sfs_from_scaling_tiers():
+    """Every driver SF (sf0.001 ~ 60, sf0.01 ~ 500, sf0.1 ~ 5,000 docs)
+    sits at or below the switch; every scaling tier (sf1 = 50k docs up)
+    sits above it — so the oracle's parity scope is exactly the md5
+    branch and the measured tiers are uniformly on the xx64 branch."""
+    assert 5_000 <= _SPAN_XX_MIN_DOCS < 50_000
+
+
+def test_adaptive_expression_matches_md5_below_threshold(spark):
+    docs = (
+        spark.read.parquet(SF01 + "/documents.parquet")
+        .select("doc_id", F.lower(F.trim("text")).alias("txt"))
+        .where(F.length("txt") >= 40)
+        .withColumn("use_xx", F.lit(False))
+    )
+    diff = (
+        docs.select(
+            "doc_id",
+            F.expr(anchored_spans_sql(anchor="adaptive")).alias("a"),
+            F.expr(anchored_spans_sql(anchor="md5")).alias("m"),
+        )
+        .filter(F.col("a") != F.col("m"))
+        .count()
+    )
+    assert diff == 0
+    # and with the switch live the xx64 branch really is different input
+    docs_xx = docs.withColumn("use_xx", F.lit(True))
+    same = (
+        docs_xx.select(
+            F.expr(anchored_spans_sql(anchor="adaptive")).alias("a"),
+            F.expr(anchored_spans_sql(anchor="xx64")).alias("x"),
+        )
+        .filter(F.col("a") != F.col("x"))
+        .count()
+    )
+    assert same == 0
+
+
+def _dup_fracs(spark, anchor):
+    docs = (
+        fan_out(spark.read.parquet(SF1 + "/documents.parquet"))
+        .select("doc_id", F.lower(F.trim("text")).alias("txt"))
+        .where(F.length("txt") >= 40)
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(anchored_spans_sql(anchor=anchor)))
+        ).alias("sp"),
+    ).select("doc_id", F.xxhash64("sp").alias("h"))
+    spans = spans.persist()
+    reps = spans.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    per_doc = (
+        spans.join(reps, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            (
+                F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("dup_frac"),
+        )
+    )
+    out = {r.doc_id: (r.n_spans, r.dup_frac) for r in per_doc.collect()}
+    spans.unpersist()
+    return out
+
+
+def test_anchor_paths_statistically_equivalent(spark):
+    md5 = _dup_fracs(spark, "md5")
+    xx = _dup_fracs(spark, "xx64")
+    common = set(md5) & set(xx)
+    # both paths emit (nearly) the same document set: a doc drops out
+    # only when NO position anchors under one hash — rare at 1/8 density
+    assert len(common) >= 0.99 * max(len(md5), len(xx))
+    density = sum(xx[d][0] for d in common) / sum(md5[d][0] for d in common)
+    assert 0.9 <= density <= 1.1, density
+    m_md5 = statistics.mean(md5[d][1] for d in common)
+    m_xx = statistics.mean(xx[d][1] for d in common)
+    assert abs(m_md5 - m_xx) < 0.01, (m_md5, m_xx)
+    mad = statistics.mean(abs(xx[d][1] - md5[d][1]) for d in common)
+    assert mad < 0.02, mad
