@@ -133,6 +133,9 @@ _ALLOWED_BROADCAST_LINES = {
     # 1-row corpus-stats relation (count + label count) feeding the
     # declarative n_sub formula in dedup_semdedup.
     ("operators/dedup.py", ".crossJoin(F.broadcast(stats))"),
+    # 1-row document-count relation feeding the substring-span
+    # anchor-hash switch (r10, _SPAN_XX_MIN_DOCS).
+    ("operators/dedup.py", "docs.crossJoin(F.broadcast(nrel))"),
     # fixed 4-row histogram bin relation.
     (
         "operators/events.py",
