@@ -5,12 +5,31 @@ no row-at-a-time Python UDFs) so it survives whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # -- text ------------------------------------------------------------------
+
+
+#: Logical nodes that make a plan non-scan-rooted for fan_out's purposes:
+#: anything that implies an exchange (or an eager subtree) downstream.
+_FAN_OUT_DISALLOWED = (
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Repartition",  # also matches RepartitionByExpression
+    "Deduplicate",
+    "Distinct",
+    "GlobalLimit",
+    "Union",
+    "Intersect",
+    "Except",
+)
 
 
 def fan_out(df, multiplier: int = 1):
@@ -23,12 +42,36 @@ def fan_out(df, multiplier: int = 1):
     false, and NO shuffle is added.  Use only in front of CPU-bound map
     pipelines (shingling, sketching, vector math); relational operators get
     their parallelism back at their first shuffle anyway.
+
+    SCAN-ROOTED INPUTS ONLY (enforced): the partition-count read below
+    goes through the JVM query execution's internal RDD, which is pure
+    driver-side metadata for a scan/project/filter plan but — under AQE —
+    MATERIALIZES query stages (submits the shuffle jobs) if the plan
+    contains exchanges (r10 advice).  Rather than document the trap, the
+    guard rejects joins/aggregates/windows/sorts/set-ops up front; every
+    legitimate call site feeds a raw table scan plus narrow projections.
     """
+    plan = df._jdf.queryExecution().analyzed().toString()
+    nodes = {
+        m.group(1)
+        for m in re.finditer(r"^[\s:+\-]*'?(\w+)", plan, flags=re.MULTILINE)
+    }
+    bad = sorted(
+        n for n in nodes if any(n.startswith(d) for d in _FAN_OUT_DISALLOWED)
+    )
+    if bad:
+        raise ValueError(
+            f"fan_out requires a scan-rooted plan (scan/project/filter "
+            f"only); got nodes {bad}. Reading the partition count of a "
+            f"shuffled plan would eagerly materialize its query stages "
+            f"under AQE — repartition explicitly instead."
+        )
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
     # Partition count via the JVM query execution's internal RDD: pure
-    # driver-side metadata (no job), and unlike df.rdd it skips building
-    # the Python-conversion RDD lineage (r9 advice).
+    # driver-side metadata (no job) for the scan-shaped plans the guard
+    # admits, and unlike df.rdd it skips building the Python-conversion
+    # RDD lineage (r9 advice).
     if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -82,6 +82,7 @@ def main(names: list[str]) -> None:
     dirs = {role: prior[role] for role in _LABEL if prior.get(role)}
     results = reconstruct(prior, dirs)
     samples = prior.get("samples") or {}
+    remeasured: set[tuple[str, str]] = set()
     for role in prior.get("tiers_complete") or []:
         if only_tiers is not None and role not in only_tiers:
             continue
@@ -109,8 +110,35 @@ def main(names: list[str]) -> None:
         fresh = json.loads(proc.stdout.strip().splitlines()[-1])
         results[dirs[role]].update(fresh)
         for name, m in fresh.items():
+            remeasured.add((role, name))
             sys.stderr.write(
                 f"[refresh {role}] {name}: {m['sec']}s rows={m['rows']}\n"
+            )
+    # r10 advice: a requested probe whose rows at some tier were NOT
+    # re-measured keeps the prior (possibly salvaged/stale) numbers in the
+    # rewritten artifact — say so loudly instead of merging silently.  A
+    # tier can be skipped because the caller excluded it (--tiers=), or —
+    # the dangerous case — because it is absent from tiers_complete (a
+    # failed tier whose rows exist only via sidecar salvage).
+    for name in names:
+        for role in dirs:
+            has_row = f"sec_{_LABEL[role]}" in prior["probes"][name]
+            in_list = name in _TIER_LIST[role]
+            if not has_row or not in_list or (role, name) in remeasured:
+                continue
+            if only_tiers is not None and role not in only_tiers:
+                why = "excluded by --tiers"
+            elif role not in (prior.get("tiers_complete") or []):
+                why = (
+                    "tier not in tiers_complete (failed tier — its rows "
+                    "came from sidecar salvage and are now STALE for this "
+                    "probe; re-run the tier to refresh them)"
+                )
+            else:  # pragma: no cover - child ran but dropped the probe
+                why = "tier child returned no measurement"
+            sys.stderr.write(
+                f"WARNING: {name} keeps its prior {_LABEL[role]} row "
+                f"({why})\n"
             )
     _write_artifact(
         results, prior.get("failed_tiers") or [],

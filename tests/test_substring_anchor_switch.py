@@ -35,8 +35,36 @@ def test_threshold_separates_driver_sfs_from_scaling_tiers():
     """Every driver SF (sf0.001 ~ 60, sf0.01 ~ 500, sf0.1 ~ 5,000 docs)
     sits at or below the switch; every scaling tier (sf1 = 50k docs up)
     sits above it — so the oracle's parity scope is exactly the md5
-    branch and the measured tiers are uniformly on the xx64 branch."""
+    branch and the measured tiers are uniformly on the kernel branch."""
     assert 5_000 <= _SPAN_XX_MIN_DOCS < 50_000
+
+
+def test_every_parity_gated_sf_is_below_the_switch():
+    """The ACTUAL document counts of every SF directory the oracle-parity
+    gates run against (driver: sf0.01; pytest: sf0.001 or
+    SPARK_GRAFT_TEST_SF_DIR; the byte-identity tests here: sf0.1) must sit
+    at or below _SPAN_XX_MIN_DOCS — read from parquet metadata, not
+    assumed (r10 advice): a new larger driver SF would otherwise silently
+    flip dedup_substring_spans onto the kernel branch and break
+    md5-oracle parity with no test noticing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    gated = {
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+    }
+    for sf_dir in sorted(gated):
+        path = os.path.join(sf_dir, "documents.parquet")
+        n = pq.ParquetFile(path).metadata.num_rows
+        assert n <= _SPAN_XX_MIN_DOCS, (
+            f"{sf_dir} has {n} documents > _SPAN_XX_MIN_DOCS="
+            f"{_SPAN_XX_MIN_DOCS}: its oracle parity would run on the "
+            "kernel anchor branch, which md5-based DuckDB SQL cannot mirror"
+        )
 
 
 def test_adaptive_expression_matches_md5_below_threshold(spark):
