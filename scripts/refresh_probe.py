@@ -66,6 +66,13 @@ def reconstruct(prior: dict, dirs: dict) -> dict:
 
 
 def main(names: list[str]) -> None:
+    recompute_only = False
+    if names and names[0] == "--recompute":
+        # Rewrite SCALING.json through the current _write_artifact with NO
+        # new measurements — picks up newly added derived columns (e.g.
+        # the r11 marginal per-decade exponents) for every recorded row.
+        recompute_only = True
+        names = names[1:]
     only_tiers = None
     if names and names[0].startswith("--tiers="):
         # e.g. --tiers=lo,hi : re-measure the named probes at a subset of
@@ -83,7 +90,7 @@ def main(names: list[str]) -> None:
     results = reconstruct(prior, dirs)
     samples = prior.get("samples") or {}
     remeasured: set[tuple[str, str]] = set()
-    for role in prior.get("tiers_complete") or []:
+    for role in [] if recompute_only else (prior.get("tiers_complete") or []):
         if only_tiers is not None and role not in only_tiers:
             continue
         subset = [n for n in names if n in _TIER_LIST[role]]

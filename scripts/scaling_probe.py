@@ -570,6 +570,41 @@ def _write_artifact(
             )
             if x3hi[name].get("salvaged"):
                 table[name]["salvaged_sf100"] = True
+        # Marginal per-decade exponents (r10 verdict): the full-span fits
+        # above are anchored at a floor-bound base tier (~1-1.5 s of JVM/
+        # job overhead at sf0.01), which DEFLATES them — a probe can read
+        # alpha 0.6 over the span while its LAST decade runs 20x for 10x
+        # data.  Record each adjacent measured decade's own exponent
+        # (log10 of the time ratio; tiers are 10x apart) and the last one
+        # explicitly, so the artifact itself shows where growth is, not
+        # just the flattering span average.  Values > 1.0 at the top
+        # decade are adjudicated per-probe in README's scaling section.
+        chain = [table[name].get(k) for k in (
+            "sec_sf0.01", "sec_sf0.1", "sec_sf1", "sec_sf10", "sec_sf100",
+        )]
+        per_dec = [
+            round(math.log10(b / a), 2)
+            if (a and b and a > 0) else None
+            for a, b in zip(chain, chain[1:])
+        ]
+        measured = [v for v in per_dec if v is not None]
+        table[name]["time_exponent_per_dec"] = per_dec
+        table[name]["time_exponent_last_dec"] = (
+            measured[-1] if measured else None
+        )
+        rchain = [table[name].get(k) for k in (
+            "rows_sf0.01", "rows_sf0.1", "rows_sf1", "rows_sf10",
+            "rows_sf100",
+        )]
+        r_per_dec = [
+            round(math.log10(b / a), 2) if (a and b) else None
+            for a, b in zip(rchain, rchain[1:])
+        ]
+        r_measured = [v for v in r_per_dec if v is not None]
+        table[name]["rows_exponent_per_dec"] = r_per_dec
+        table[name]["rows_exponent_last_dec"] = (
+            r_measured[-1] if r_measured else None
+        )
     out = {
         "lo": lo_dir,
         "hi": hi_dir,
