@@ -57,7 +57,9 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # new and its driver greens should be re-earned.
     "similarity_lsh_topk": 10,  # r6 banded LSH; r10 norm-precomputed re-rank
     "similarity_ivf_topk": 10,  # r9 adaptive cells; r10 norm-precomputed
-    "dedup_substring_spans": 10,  # r10: adaptive anchor-hash switch
+    # r11: the scale branch is the Arrow span-hash kernel (md5 parity
+    # branch byte-identical, oracle unchanged — ledger cannot see it)
+    "dedup_substring_spans": 11,
     "dedup_semdedup": 8,  # r7 adaptive cells; r8 short-circuit (r10 via ledger)
     "anti_join_not_exists": 8,  # r8: date-windowed, non-vacuous form
 }

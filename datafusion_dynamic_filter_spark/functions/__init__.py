@@ -420,3 +420,137 @@ def lsh_table_keys_udf(plane_rows: list[list[int]], planes_per_table: int, n_tab
         return pd.Series(list(keys.astype("int32")))
 
     return _keys
+
+
+# -- content-defined span hashing (dedup_substring_spans' scale kernel) -----
+
+#: Odd 64-bit multiplier for the polynomial window hashes (the golden-ratio
+#: constant; any odd multiplier works — odd keeps the map x -> M*x mod 2^64
+#: a bijection so no byte position's contribution collapses).
+_POLY_M = 0x9E3779B97F4A7C15
+_SPLIT_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLIT_C2 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over a uint64 array.  The raw
+    polynomial hash's low bits are a linear function of the window bytes
+    (mod 8 would anchor on byte-sum structure, not content uniformity);
+    this full-avalanche mix makes every output bit depend on every input
+    byte, so `mixed % modulus == 0` anchors a uniform 1/modulus of
+    positions.  Same constants as the reference splitmix64 (Steele et al.,
+    JDK SplittableRandom) — public domain, standard in hashing literature.
+    """
+    z = z ^ (z >> np.uint64(30))
+    z = z * _SPLIT_C1
+    z = z ^ (z >> np.uint64(27))
+    z = z * _SPLIT_C2
+    return z ^ (z >> np.uint64(31))
+
+
+def poly_window_hash_weights(width: int) -> np.ndarray:
+    """uint64 weights [M^(width-1), ..., M, 1] so a window's raw hash is
+    sum(byte[j] * w[j]) mod 2^64 — computable either as a strided
+    elementwise pass (the kernel) or per-position in pure Python (the
+    tests' independent reference)."""
+    return np.array(
+        [pow(_POLY_M, width - 1 - j, 1 << 64) for j in range(width)],
+        dtype=np.uint64,
+    )
+
+
+def span_hash_kernel_udf(span_len: int, gram: int, modulus: int):
+    """Arrow-vectorized content-defined span extractor: per input document,
+    the DISTINCT 64-bit hashes of every ``span_len``-byte window whose
+    leading ``gram``-byte prefix hashes to 0 mod ``modulus`` — the
+    winnowing/CDC anchoring of dedup_substring_spans, as numpy strided
+    passes instead of per-position interpreted SQL lambdas.
+
+    Why this exists (r10 verdict #1): the operator's scale branch evaluated
+    an anchor hash per CHARACTER POSITION through Catalyst's interpreted
+    higher-order-function lambdas — 2.2B lambda invocations at the ~sf100
+    tier, measured as the tier's dominant cost (md5: 280 s of 413 s; the
+    r10 xxhash64 switch helped but the per-position HOF interpreter still
+    cost the operator a 20.3x marginal last decade, 16.4 -> 333 s).  This
+    kernel does the same anchoring arithmetic as ~20 fused uint64
+    elementwise ops per byte over one concatenated buffer per Arrow batch.
+
+    Semantics vs the md5/SQL branch: anchor POSITIONS differ (any
+    deterministic uniform content-defined anchor is valid above the
+    parity threshold — both anchor 1/modulus of positions and land at the
+    same in-passage offsets in every copy of a shared passage, so
+    detection probability is identical; see _SPAN_XX_MIN_DOCS in
+    operators/dedup.py) and windows are BYTE-based (UTF-8) rather than
+    character-based — also irrelevant to the contract for the same
+    reason: copies of a passage share bytes exactly as they share
+    characters.
+
+    Scale shape: one map-side pandas UDF — no shuffle, no explode of
+    per-position rows; output is the per-doc distinct hash array, ~
+    span_count = bytes/modulus longs per doc.  Rows whose ``use_xx`` flag
+    is false (the md5-parity branch handles them in the same plan) cost
+    only their Arrow transfer: the kernel short-circuits to empty arrays.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    w_gram = poly_window_hash_weights(gram)
+    w_span = poly_window_hash_weights(span_len)
+    mod = np.uint64(modulus)
+
+    # Type object, not a DDL string: string return types are parsed
+    # through the active SparkContext, which would make the kernel
+    # unconstructible in session-free unit tests of its numpy body.
+    @pandas_udf(ArrayType(LongType()))
+    def _spans(txt: pd.Series, use_xx: pd.Series) -> pd.Series:
+        n_rows = len(txt)
+        empty = np.empty(0, dtype=np.int64)
+        all_empty = pd.Series([empty] * n_rows)
+        xx = use_xx.fillna(False).to_numpy(dtype=bool)
+        if n_rows == 0 or not xx.any():
+            return all_empty
+        enc = [
+            t.encode("utf-8") if isinstance(t, str) else b"" for t in txt
+        ]
+        lens = np.fromiter((len(b) for b in enc), count=n_rows, dtype=np.int64)
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        total = int(starts[-1])
+        n_pos = total - span_len + 1
+        if n_pos <= 0:
+            return all_empty
+        b64 = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+        # Anchor test: polynomial hash of the gram-byte prefix at EVERY
+        # buffer position (docs are concatenated; windows that cross a
+        # doc boundary are masked out below, never emitted).
+        gh = np.zeros(total - gram + 1, dtype=np.uint64)
+        for j in range(gram):
+            gh += b64[j : j + total - gram + 1] * w_gram[j]
+        anchor = (_mix64(gh[:n_pos]) % mod) == np.uint64(0)
+        # Validity: position p belongs to doc d iff
+        # starts[d] <= p <= starts[d+1] - span_len, and d has use_xx set.
+        n_win = np.where(xx, np.maximum(lens - span_len + 1, 0), 0)
+        delta = np.zeros(n_pos + 1, dtype=np.int32)
+        live = n_win > 0
+        np.add.at(delta, starts[:-1][live], 1)
+        np.add.at(delta, (starts[:-1] + n_win)[live], -1)
+        valid = np.cumsum(delta[:-1]) > 0
+        pos = np.nonzero(anchor & valid)[0]
+        if len(pos) == 0:
+            return all_empty
+        # Span hash: polynomial over the full span_len window, anchors only.
+        sh = np.zeros(len(pos), dtype=np.uint64)
+        for j in range(span_len):
+            sh += b64[pos + j] * w_span[j]
+        sh = _mix64(sh).view(np.int64)
+        doc = np.searchsorted(starts, pos, side="right") - 1
+        # Per-doc distinct (the md5 branch's array_distinct twin).
+        order = np.lexsort((sh, doc))
+        d_s, h_s = doc[order], sh[order]
+        keep = np.ones(len(h_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_u, h_u = d_s[keep], h_s[keep]
+        counts = np.bincount(d_u, minlength=n_rows)
+        return pd.Series(np.split(h_u, np.cumsum(counts)[:-1]))
+
+    return _spans

@@ -38,6 +38,7 @@ from ..functions import (
     minhash_agg_columns,
     simhash_agg_columns,
     simhash_from_votes,
+    span_hash_kernel_udf,
     token_jaccard,
     tokens,
     word_shingles,
@@ -1289,20 +1290,25 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
 SPAN_LEN, SPAN_GRAM, SPAN_MODULUS = 40, 8, 8
 
 
-#: Corpus-size threshold for the anchor-hash switch (r10): md5 anchors at
-#: or below it (every driver SF — sf0.1 is 5,000 docs — so the DuckDB
-#: oracle's parity scope is exactly the md5 branch and results there are
-#: byte-identical to the pre-switch operator), xxhash64 anchors above it.
-#: Anchor choice only needs DETERMINISM, not cross-engine portability:
-#: both hashes anchor at the same density (1/modulus of positions, both
-#: uniform over the gram window), both are content-defined (copies of a
-#: passage anchor at the same in-passage offsets), so detection
-#: probability per shared passage is identical — only WHICH positions
-#: anchor differs.  The per-position md5 was measured as the operator's
-#: dominant cost at the ~sf100 tier (280 s of 413 s: 2.2B md5 calls);
-#: xxhash64 is a native long hash.  tests/test_substring_anchor_switch.py
-#: pins the below-threshold byte-identity and the statistical equivalence
-#: of the two anchor paths' dup_frac outputs.
+#: Corpus-size threshold for the anchor-hash switch (r10; kernel r11):
+#: md5 SQL anchors at or below it (every driver SF — sf0.1 is 5,000 docs
+#: — so the DuckDB oracle's parity scope is exactly the md5 branch and
+#: results there are byte-identical to the pre-switch operator); above it
+#: anchoring and span hashing run in functions.span_hash_kernel_udf, an
+#: Arrow-vectorized numpy kernel.  Anchor choice only needs DETERMINISM,
+#: not cross-engine portability: both paths anchor a uniform 1/modulus of
+#: positions and both are content-defined (copies of a passage anchor at
+#: the same in-passage offsets), so detection probability per shared
+#: passage is identical — only WHICH positions anchor differs.  History:
+#: the per-position md5 was the operator's dominant ~sf100 cost (280 s of
+#: 413 s — 2.2B md5 calls); r10's xxhash64 switch cut it to 333 s but
+#: still paid Catalyst's interpreted per-position HOF lambdas, a 20.3x
+#: marginal last decade; the r11 kernel replaces per-position lambda
+#: dispatch with ~20 fused uint64 ops per byte.
+#: tests/test_substring_anchor_switch.py pins the below-threshold
+#: byte-identity, the kernel's exact agreement with an independent
+#: pure-Python reference, and the statistical equivalence of the two
+#: anchor paths' dup_frac outputs.
 _SPAN_XX_MIN_DOCS = 10_000
 
 
@@ -1316,10 +1322,13 @@ def anchored_spans_sql(
     from a column ``txt`` — shared between dedup_substring_spans and its
     quality tests so both always exercise the same anchoring.
 
-    anchor: "md5" (the oracle-portable hash), "xx64" (the scale path),
-    or "adaptive" (CASE on a boolean column ``use_xx`` in scope — the
-    in-plan corpus-size switch; the branch condition is row-constant so
-    codegen evaluates only the selected hash per position)."""
+    anchor: "md5" (the oracle-portable hash, the operator's parity
+    branch), "xx64" (r10's interpreted scale path — kept for the anchor
+    equivalence tests and A/B measurements; the operator's scale branch
+    is functions.span_hash_kernel_udf since r11), or "adaptive" (CASE on
+    a boolean column ``use_xx`` in scope; the branch condition is
+    row-constant so codegen evaluates only the selected hash per
+    position)."""
     md5_test = (
         f"CAST(conv(substring(md5(substring(txt, i, {gram})), 1, 15), "
         f"16, 10) AS BIGINT) % {modulus} = 0"
@@ -1394,25 +1403,32 @@ def dedup_substring_spans(
 
     Spark-first scale design (the paper's suffix array is a single-machine
     construction; this is its shuffle-native analog):
-    - anchoring and window extraction run JVM-side via
-      ``filter(sequence)`` + ``transform`` lambdas (no Python in the hot
-      path); expected amplification = span_len/modulus = 5x of text bytes,
-      tunable by ``modulus`` independently of corpus size;
-    - the cross-document repeat test is a groupBy on ``xxhash64(span)`` —
-      an 8-byte uniform shuffle key instead of the 40-char span text (the
-      DuckDB oracle groups on the span text itself: equality partitions are
-      identical modulo 64-bit hash collisions, ~2^-25 at sf0.1's span count;
-      a 100 TB run would move to the 128-bit md5 for birthday headroom);
+    - anchoring and window hashing are ADAPTIVE (see _SPAN_XX_MIN_DOCS):
+      at or below 10k documents — every driver SF, where the DuckDB
+      oracle must agree on anchor positions exactly — they run JVM-side
+      via the cross-engine md5 ``filter(sequence)`` + ``transform``
+      expression, byte-identical to the pre-switch operator; above it
+      they run in ``functions.span_hash_kernel_udf``, an Arrow-batched
+      numpy kernel (~20 fused uint64 ops per byte over one concatenated
+      buffer per batch) emitting each doc's distinct 8-byte span hashes
+      directly.  The switch is a row-constant flag computed from a
+      broadcast 1-row count — one lazy plan, each branch free when
+      inactive.  History: per-position md5 measured 280 s of the
+      operator's 413 s at ~sf100 (2.2B md5 calls); r10's xxhash64 switch
+      still paid Catalyst's interpreted per-position HOF lambda dispatch
+      (333 s, a 20.3x marginal last decade); the kernel removes
+      per-position interpretation entirely;
+    - span amplification = span_len/modulus = 5x of text bytes, tunable
+      by ``modulus`` independently of corpus size;
+    - the cross-document repeat test is a groupBy on an 8-byte uniform
+      span hash instead of the 40-char span text (md5 branch: xxhash64
+      of the span; kernel branch: a mixed polynomial window hash — the
+      DuckDB oracle groups on the span text itself: equality partitions
+      are identical modulo 64-bit hash collisions, ~2^-25 at sf0.1's
+      span count; a 100 TB run would move to a 128-bit hash for birthday
+      headroom);
     - per-doc aggregation shuffles on doc_id, already the scan's natural
-      key.  The anchor hash is ADAPTIVE since r10 (see _SPAN_XX_MIN_DOCS):
-      the cross-engine md5 prefix at or below 10k documents — every
-      driver SF, where the oracle must agree on anchor positions exactly
-      and results are byte-identical to the pre-switch operator — and
-      xxhash64 above it, where anchor choice only needs determinism and
-      the per-position md5 was the measured dominant cost of the whole
-      scaling tier (280 s of 413 s at ~sf100: 2.2B md5 calls).  The
-      switch is a row-constant CASE computed from a broadcast 1-row
-      count, the same in-plan adaptive pattern as the ANN band width.
+      key.
     Reference parity: extends the dedup family required by the brief; no
     reference twin (the reference engine has no text operators).
 
@@ -1425,34 +1441,40 @@ def dedup_substring_spans(
     equivalence.
     """
     t = tables(spark, sf_dir)
-    # fan_out (r7): the per-character md5 anchor transform is the
-    # operator's dominant cost and the compressed documents file is a
-    # single scan split even at ~sf1 (5.9 MB < maxPartitionBytes) — the
-    # whole transform was running on ONE core.  On a real multi-split
-    # table fan_out is a no-op.
+    # fan_out (r7): the per-position anchor work is the operator's
+    # dominant cost and the compressed documents file is a single scan
+    # split even at ~sf1 (5.9 MB < maxPartitionBytes) — the whole
+    # transform was running on ONE core.  On a real multi-split table
+    # fan_out is a no-op.
     docs = fan_out(t["documents"]).select(
         "doc_id", F.lower(F.trim("text")).alias("txt")
     ).where(F.length("txt") >= span_len)
-    # the anchor-hash switch (see _SPAN_XX_MIN_DOCS): row-constant CASE
-    # off a broadcast 1-row count — md5 (oracle-portable) at driver SFs,
-    # xxhash64 at scale
+    # the anchor-hash switch (see _SPAN_XX_MIN_DOCS): row-constant flag
+    # off a broadcast 1-row count — md5 SQL branch (oracle-portable,
+    # byte-identical to the pre-switch operator) at driver SFs, the
+    # Arrow-vectorized numpy kernel at scale.  Both branches live in ONE
+    # lazy plan: the md5 CASE short-circuits to an empty array per row
+    # when the kernel branch is live (codegen never evaluates the md5
+    # hashes), and the kernel short-circuits to empty arrays per Arrow
+    # batch when the md5 branch is live (its only cost below the
+    # threshold is the Arrow transfer of <= 10k documents' text).
     nrel = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    md5_hashes = (
+        "CASE WHEN use_xx THEN CAST(array() AS array<bigint>) "
+        f"ELSE transform(array_distinct("
+        f"{anchored_spans_sql(span_len, gram, modulus, anchor='md5')}"
+        "), s -> xxhash64(s)) END"
+    )
+    kernel = span_hash_kernel_udf(span_len, gram, modulus)
     spans = (
         docs.crossJoin(F.broadcast(nrel))
         .withColumn("use_xx", F.col("n_docs") > F.lit(_SPAN_XX_MIN_DOCS))
         .select(
             "doc_id",
             F.explode(
-                F.array_distinct(
-                    F.expr(
-                        anchored_spans_sql(
-                            span_len, gram, modulus, anchor="adaptive"
-                        )
-                    )
-                )
-            ).alias("sp"),
+                F.concat(F.expr(md5_hashes), kernel("txt", "use_xx"))
+            ).alias("h"),
         )
-        .select("doc_id", F.xxhash64("sp").alias("h"))
     )
     # Persist: the anchor transform (md5 over every char position) is the
     # dominant cost and `spans` feeds BOTH the repeat-count aggregate and
