@@ -56,7 +56,9 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # (so the ledger cannot see it), but the shipped implementation is
     # new and its driver greens should be re-earned.
     "similarity_lsh_topk": 10,  # r6 banded LSH; r10 norm-precomputed re-rank
-    "similarity_ivf_topk": 10,  # r9 adaptive cells; r10 norm-precomputed
+    # r11: map-only argmax assignment (byte-identical to the window form,
+    # pinned at sf0.1; oracle unchanged — ledger cannot see it)
+    "similarity_ivf_topk": 11,
     # r11: the scale branch is the Arrow span-hash kernel (md5 parity
     # branch byte-identical, oracle unchanged — ledger cannot see it)
     "dedup_substring_spans": 11,

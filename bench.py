@@ -615,8 +615,8 @@ def main() -> None:
     import subprocess
 
     calibration = cpu_calibration()  # before the sections add load
-    parts: dict[str, dict] = {}
-    for sec in ("points", "analytics"):
+
+    def run_section(sec: str) -> dict:
         env = dict(os.environ, SPARK_GRAFT_BENCH_SECTION=sec)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -627,9 +627,47 @@ def main() -> None:
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
             raise SystemExit(proc.returncode)
-        parts[sec] = json.loads(proc.stdout.strip().splitlines()[-1])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    timings = {**parts["points"]["timings"], **parts["analytics"]["timings"]}
+    # Min-of-3 SESSIONS for the prepared-statement core (r10 verdict #3):
+    # the headline ratios drifted round-over-round (steady-state
+    # 4.11 -> 3.73) while the core's code was byte-identical — the
+    # documented +-10% host-factor jitter compounds through a ratio of
+    # two sub-second timings.  Three fresh-JVM sessions, per-workload MIN
+    # (each workload's closest-to-quiet observation), with every
+    # session's own headline ratios recorded so the spread is visible in
+    # the artifact rather than inferred.
+    point_runs = [run_section("points") for _ in range(3)]
+    parts: dict[str, dict] = {
+        "points": point_runs[-1],
+        "analytics": run_section("analytics"),
+    }
+    point_timings = {
+        k: min(r["timings"][k] for r in point_runs)
+        for k in point_runs[0]["timings"]
+    }
+    session_ratios = [
+        {
+            "steady_state": round(
+                r["timings"]["fstring_50keys"]
+                / r["timings"]["prepared_50keys_repeat"],
+                3,
+            ),
+            "hot": round(
+                r["timings"]["fstring_50keys_hotphase"]
+                / r["timings"]["prepared_50keys"],
+                3,
+            ),
+            "dpp_batch": round(
+                r["timings"]["fstring_50keys"]
+                / r["timings"]["prepared_dpp_batch_50keys"],
+                3,
+            ),
+        }
+        for r in point_runs
+    ]
+
+    timings = {**point_timings, **parts["analytics"]["timings"]}
     inlist_n = int(timings.pop("_inlist_n"))
     plan_exec_split = parts["points"]["plan_exec_split"]
     scan_evidence = parts["points"]["scan_metrics"]
@@ -686,6 +724,13 @@ def main() -> None:
         "plan_exec_split": plan_exec_split,
         "scan_metrics": scan_evidence,
         "rows": rows,
+        # Per-session headline ratios of the three points sessions (the
+        # published speedups above use per-workload min across sessions):
+        # the spread IS the noise model — the prepared core has been
+        # code-identical since r9 (git diff empty), so ratio drift between
+        # rounds within this spread is measurement, not regression.
+        "prepared_core_session_ratios": session_ratios,
+        "points_sessions": len(point_runs),
         # Raw per-query samples (headline timings are min-of-3) and the
         # host 1-min load average after the analytics section: an inflated
         # entry then shows WHETHER all samples were slow (sustained host

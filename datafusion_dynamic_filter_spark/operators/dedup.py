@@ -1476,13 +1476,22 @@ def dedup_substring_spans(
             ).alias("h"),
         )
     )
-    # Persist: the anchor transform (md5 over every char position) is the
-    # dominant cost and `spans` feeds BOTH the repeat-count aggregate and
-    # the scoring join — without this the scan + transform run twice.
-    spans = track_persist(spans)
-    repeats = spans.groupBy("h").agg(
-        F.countDistinct("doc_id").alias("nd")
-    )
+    # Persist PARTITIONED ON h (r11): `spans` feeds BOTH the repeat-count
+    # aggregate and the scoring join, and both key on h — materializing
+    # it hash-partitioned means ONE exchange of the span relation total
+    # (the persisted InMemoryRelation's outputPartitioning satisfies the
+    # aggregate's and the join's required distributions, so neither adds
+    # its own shuffle; pre-r11 the relation crossed the wire three times:
+    # the groupBy, the join's spans side, and the join's repeats side).
+    # Also without the persist the scan + anchor kernel would run twice.
+    spans = track_persist(spans.repartition("h"))
+    # count(*) == countDistinct(doc_id) EXACTLY here: each doc emits its
+    # span hashes pre-deduplicated (array_distinct in the md5 branch, the
+    # kernel's per-doc distinct collapse in the scale branch), so no
+    # (doc_id, h) pair repeats — count skips the distinct-aggregation
+    # pass over the span relation that countDistinct would run.  The
+    # DuckDB oracle keeps count(DISTINCT doc_id); values are identical.
+    repeats = spans.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     return (
         spans.join(repeats, "h")
         .groupBy("doc_id")

@@ -216,6 +216,23 @@ _BAND_PACKED = [
 _IVF_TARGET_CELL = 2000
 _IVF_SUB_BITS_MAX = 12
 
+# "Fixed nlist" adjudication (r11, closing the README's self-identified
+# suspect): in this design the IVF index's EFFECTIVE cell count is
+#     nlist_eff = n_labels * 2^s_eff
+# — count-derived since r9 via the indicator-sum above, so per-cell
+# population is pinned inside (TARGET/2, TARGET] for every corpus size up
+# to the saturation boundary (where the plan raises; boundary-tested both
+# sides in tests/test_ann_recall.py, population-band formula pinned in
+# test_ivf_nlist_derivation).  What remains fixed is only the COARSE
+# quantizer's list (the per-label centroids): that choice costs O(n_labels)
+# fold evaluations per vector at assignment — a map-only projection since
+# r11, no shuffle — and has NO effect on per-query candidate volume, which
+# the sub-bucket mask bounds.  I.e. the classic IVF failure mode (fixed
+# nlist => per-cell population, and with it probe cost, grows linearly
+# with the corpus) is structurally closed by the same recipe as the
+# banded index: the parameter that binds candidate volume is derived from
+# the corpus count inside the plan, and saturates loudly.
+
 
 def ivf_sub_width_col():
     """s_eff over a relation carrying the 1-row (n, nl) corpus stats
@@ -752,11 +769,21 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     single-bit-flip sub-buckets, Hamming-1 multiprobe — with an exact
     cosine re-rank.
 
-    The cell list is tiny -> broadcast; assignment is a broadcast nested
-    scan, never a shuffle of the corpus; candidate search is an equi-join
-    on (cell, sub).  Cell similarity is rounded to 4 decimals (tie-broken
-    by cell id) on BOTH engines so assignment is deterministic
-    cross-engine.
+    The cell list is tiny -> broadcast (one row of per-cell structs);
+    assignment is MAP-ONLY since r11 — an array_max over per-cell
+    (cell_sim, -cell) structs inside a projection, no join explosion, no
+    shuffle (the pre-r11 form ran row_number over a Window partitioned
+    by vec_id, which shuffled + sorted corpus x cells rows each carrying
+    the full vector — ~15 GB at the 2M-vector tier); candidate search is
+    an equi-join on (cell, sub).  Cell similarity is rounded to 4
+    decimals (tie-broken by cell id) on BOTH engines so assignment is
+    deterministic cross-engine; the argmax evaluates the identical
+    sequential-fold dot in the identical operand order, so the rework is
+    byte-identical (pinned vs the window form at sf0.1 at commit time).
+    On nlist: see the adjudication comment above _IVF_TARGET_CELL — the
+    candidate-binding cell count nlist_eff = n_labels * 2^s_eff is
+    count-derived; only the O(n_labels) per-vector assignment cost rides
+    on the coarse list, now a pure map.
 
     Adaptive cell refinement (r9): the old form searched the ENTIRE label
     cell, so per-query candidates were corpus/n_labels — linear in the
@@ -769,8 +796,6 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     while recall is held by the Hamming-1 probe ring.  s_eff = 0 at every
     driver/test SF: sub is 0 everywhere, the probe ring is empty, and
     results are byte-identical to the fixed-cell form."""
-    from pyspark.sql.window import Window
-
     t = tables(spark, sf_dir)
     # Norms ride along from the first projection (r10): assignment folds
     # dot / (nv * cn) once per (vector, cell) and the re-rank once per
@@ -803,18 +828,44 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     sub_keys = lsh_table_keys_udf(
         _IVF_SUB_PLANE_ROWS, _IVF_SUB_BITS_MAX, 1
     )
-    cell_sim = F.round(
-        dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("cn")), 4
+    # Assignment is MAP-ONLY (r11): the cell list rides along as ONE
+    # broadcast row holding all (cell, centroid, norm) structs, and each
+    # vector picks argmax_{cell} round(dot/(nv*cn), 4) — ties to the
+    # smallest cell id — via array_max over per-cell structs
+    # (cell_sim, -cell).  The previous form exploded the corpus x cells
+    # through a broadcast nested-loop join and ran row_number over a
+    # Window partitioned by vec_id: a full shuffle + sort of
+    # n_vecs * n_cells rows EACH CARRYING THE 96-double VECTOR (~15 GB
+    # of shuffle at the 2M-vector tier) purely to pick each vector's max.
+    # Byte-identical by construction: the same sequential-fold dot in
+    # the same operand order, the same 4-dp rounding, and
+    # max(cell_sim, -cell) == first row of (cell_sim DESC, cell ASC).
+    cells1 = centv.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("c"), F.col("cn")))
+        ).alias("cells")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell"))
+    best = F.array_max(
+        F.transform(
+            F.col("cells"),
+            lambda s: F.struct(
+                F.round(
+                    dot(F.col("v"), s.getField("c"))
+                    / (F.col("nv") * s.getField("cn")),
+                    4,
+                ).alias("cell_sim"),
+                (-s.getField("cell")).alias("neg_cell"),
+            ),
+        )
+    )
     # Persisted: this IS the probed index — (ids, vector, cell, masked
     # sub) — with two consumers (query extraction + probe side), same
     # shape and rationale as the banded index's persisted corpus.
     assigned = track_persist(
-        emb.crossJoin(F.broadcast(centv))
-        .select("vec_id", "v", "nv", "cell", cell_sim.alias("cell_sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
+        emb.crossJoin(F.broadcast(cells1))
+        .select(
+            "vec_id", "v", "nv", (-best.getField("neg_cell")).alias("cell")
+        )
         .withColumn("key12", sub_keys("v").getItem(0))
         .crossJoin(F.broadcast(nrel))
         .withColumn("s_eff", s_eff.cast("int"))

@@ -355,3 +355,37 @@ def test_sf100_ring_jump_keeps_candidates_flat():
     rejected = out[(12, True)][1].mean()
     assert shipped <= 3 * single12, (shipped, single12)
     assert rejected >= 4 * shipped, (rejected, shipped)
+
+
+def test_ivf_nlist_derivation_pins_cell_population():
+    """The 'fixed nlist' adjudication (r11): the IVF index's effective
+    cell count nlist_eff = n_labels * 2^s_eff is count-derived, so the
+    expected per-cell population n / nlist_eff sits in
+    (TARGET/2, TARGET] for EVERY corpus size above one target cell and
+    below the saturation boundary — the property that bounds per-query
+    candidate volume no matter how the corpus grows.  Pure-Python mirror
+    of the in-plan indicator sum (the Spark Column twin is
+    boundary-tested in test_ivf_sub_budget_guard_fires_at_boundary)."""
+    from datafusion_dynamic_filter_spark.operators.similarity import (
+        _IVF_SUB_BITS_MAX,
+        _IVF_TARGET_CELL,
+    )
+
+    t, bmax = _IVF_TARGET_CELL, _IVF_SUB_BITS_MAX
+    for nl in (1, 7, 10, 40):
+        saturation = t * nl * (1 << bmax)
+        # sweep densely around every power-of-two threshold plus random
+        # interior points across four decades
+        ns = set()
+        for j in range(bmax + 1):
+            edge = t * nl * (1 << j)
+            ns.update((edge - 1, edge, edge + 1))
+        ns.update(int(t * nl * x) for x in (1.5, 3.7, 9.9, 41.0, 777.0))
+        for n in sorted(ns):
+            if not (t * nl < n <= saturation):
+                continue
+            s_eff = sum(1 for j in range(bmax) if n > t * nl * (1 << j))
+            pop = n / (nl * (1 << s_eff))
+            assert t / 2 < pop <= t, (nl, n, s_eff, pop)
+        # below one target cell the mask is empty and cells are small
+        assert sum(1 for j in range(bmax) if t * nl > t * nl * (1 << j)) == 0
