@@ -801,9 +801,15 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     # dot / (nv * cn) once per (vector, cell) and the re-rank once per
     # candidate — one fold each instead of three, identical IEEE values
     # (same folds, same operand order; the semdedup/banded-index change).
-    emb = fan_out(t["embeddings"]).select(
-        "vec_id", vec_double("embedding").alias("v")
-    ).withColumn("nv", l2_norm(F.col("v")))
+    # Persisted (r11): (vec_id, v, nv) feeds BOTH the assignment argmax
+    # (via the broadcast cell crossJoin) and the join-back that attaches
+    # the winning cell — without the persist the parquet scan, the
+    # double-cast transform, and the norm fold all run twice.
+    emb = track_persist(
+        fan_out(t["embeddings"])
+        .select("vec_id", vec_double("embedding").alias("v"))
+        .withColumn("nv", l2_norm(F.col("v")))
+    )
     by_dim = t["embeddings"].select(
         "label", F.posexplode(vec_double("embedding")).alias("i", "x")
     )
@@ -828,44 +834,42 @@ def similarity_ivf_topk(spark, sf_dir, *, k: int = 5):
     sub_keys = lsh_table_keys_udf(
         _IVF_SUB_PLANE_ROWS, _IVF_SUB_BITS_MAX, 1
     )
-    # Assignment is MAP-ONLY (r11): the cell list rides along as ONE
-    # broadcast row holding all (cell, centroid, norm) structs, and each
-    # vector picks argmax_{cell} round(dot/(nv*cn), 4) — ties to the
-    # smallest cell id — via array_max over per-cell structs
-    # (cell_sim, -cell).  The previous form exploded the corpus x cells
-    # through a broadcast nested-loop join and ran row_number over a
-    # Window partitioned by vec_id: a full shuffle + sort of
-    # n_vecs * n_cells rows EACH CARRYING THE 96-double VECTOR (~15 GB
-    # of shuffle at the 2M-vector tier) purely to pick each vector's max.
-    # Byte-identical by construction: the same sequential-fold dot in
-    # the same operand order, the same 4-dp rounding, and
-    # max(cell_sim, -cell) == first row of (cell_sim DESC, cell ASC).
-    cells1 = centv.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cell"), F.col("c"), F.col("cn")))
-        ).alias("cells")
+    cell_sim = F.round(
+        dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("cn")), 4
     )
-    best = F.array_max(
-        F.transform(
-            F.col("cells"),
-            lambda s: F.struct(
-                F.round(
-                    dot(F.col("v"), s.getField("c"))
-                    / (F.col("nv") * s.getField("cn")),
-                    4,
-                ).alias("cell_sim"),
-                (-s.getField("cell")).alias("neg_cell"),
-            ),
+    # Assignment argmax over IDS + SIMS ONLY (r11): the broadcast
+    # nested-loop join still evaluates one fold per (vector, cell) — the
+    # unavoidable arithmetic — but the per-vector max now runs as
+    # max(struct(cell_sim, -cell)) under a groupBy(vec_id), and the
+    # winning cell joins back onto the corpus by vec_id.  The pre-r11
+    # form ran row_number over a Window partitioned by vec_id ON THE
+    # JOINED RELATION, shuffling + sorting n_vecs * n_cells rows EACH
+    # CARRYING THE 96-double VECTOR (~15 GB at the 2M-vector tier); here
+    # the aggregate's input rows are ~24 bytes, partial aggregation
+    # collapses cells-per-vector to one row per vector BEFORE the
+    # exchange, and only the corpus itself (once, not x cells) crosses
+    # the wire for the join-back.  Byte-identical by construction: the
+    # same sequential-fold dot in the same operand order, the same 4-dp
+    # rounding, and max(cell_sim, -cell) == first of (cell_sim DESC,
+    # cell ASC) — pinned vs the window form's full sf0.1 output at
+    # commit time.
+    choice = (
+        emb.crossJoin(F.broadcast(centv))
+        .select(
+            "vec_id",
+            F.struct(
+                cell_sim.alias("cell_sim"), (-F.col("cell")).alias("neg_cell")
+            ).alias("scored"),
         )
+        .groupBy("vec_id")
+        .agg(F.max("scored").alias("best"))
+        .select("vec_id", (-F.col("best.neg_cell")).alias("cell"))
     )
     # Persisted: this IS the probed index — (ids, vector, cell, masked
     # sub) — with two consumers (query extraction + probe side), same
     # shape and rationale as the banded index's persisted corpus.
     assigned = track_persist(
-        emb.crossJoin(F.broadcast(cells1))
-        .select(
-            "vec_id", "v", "nv", (-best.getField("neg_cell")).alias("cell")
-        )
+        emb.join(choice, "vec_id")
         .withColumn("key12", sub_keys("v").getItem(0))
         .crossJoin(F.broadcast(nrel))
         .withColumn("s_eff", s_eff.cast("int"))
