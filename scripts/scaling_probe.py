@@ -507,6 +507,52 @@ def main() -> None:
     print(f"wrote {os.path.join(REPO, 'SCALING.json')}")
 
 
+#: Per-probe adjudications for last-decade marginal exponents > 1.0 —
+#: embedded in the artifact so SCALING.json carries its own defense (r10
+#: verdict: the README paragraph alone leaves a reader of the artifact
+#: concluding uniform sublinearity).  A probe whose last-decade marginal
+#: exceeds 1.0 WITHOUT an entry here is stamped UNADJUDICATED in the
+#: artifact: a loud flag, not a silent scoreboard entry.  Long-form
+#: numbers and methodology live in README's scaling section.
+_MARGINAL_NOTES = {
+    "dedup_lsh_verified": (
+        "output-normalized: verified-pair output grows faster than time "
+        "in this decade (rows_exponent_last_dec > time marginal; "
+        "generator mutation compounding) - time per verified pair falls"
+    ),
+    "dedup_substring_spans": (
+        "rows exactly linear; plan is one exchange + local aggs; "
+        "stage-isolated same-session sums ~108-130 s vs one-shot probe "
+        "157-279 s on identical code (single-host I/O writeback; CPU "
+        "calibration flat) - marginal sits inside protocol spread"
+    ),
+    "dedup_jaccard_partners": (
+        "exact-verify output grows 10.7x in this decade and the verify "
+        "payload compounds with partner density (generator compounding); "
+        "excluded above sf10 by permanent policy - LSH family is the "
+        "measured scale path"
+    ),
+    "similarity_ivf_topk": (
+        "query batch is 2% of the corpus: per-query marginal = recorded "
+        "- 1 = 0.37; remainder host drift (untouched same-day control "
+        "similarity_lsh_topk drifted 1.46x on identical code)"
+    ),
+    "similarity_lsh_topk": (
+        "query batch is 2% of the corpus: per-query marginal = recorded "
+        "- 1 = 0.11; both top tiers measured same-day (cleanest "
+        "similarity-family marginal)"
+    ),
+    "dedup_semdedup": (
+        "time tracks output within 0.02 of exponent (rows 1.02) - "
+        "linear per output row, inside the +-30% protocol band"
+    ),
+    "dedup_simhash_partners": (
+        "rows exponent exceeds time exponent - time per output row "
+        "falls across the decade"
+    ),
+}
+
+
 def _write_artifact(
     results, failed_tiers, done_tiers, lo_dir, hi_dir, xhi_dir, x2hi_dir, x3hi_dir
 ):
@@ -592,6 +638,13 @@ def _write_artifact(
         table[name]["time_exponent_last_dec"] = (
             measured[-1] if measured else None
         )
+        if measured and measured[-1] > 1.0:
+            table[name]["last_dec_note"] = _MARGINAL_NOTES.get(
+                name,
+                "UNADJUDICATED superlinear last decade - investigate and "
+                "add a _MARGINAL_NOTES entry (scripts/scaling_probe.py) "
+                "or fix the operator",
+            )
         rchain = [table[name].get(k) for k in (
             "rows_sf0.01", "rows_sf0.1", "rows_sf1", "rows_sf10",
             "rows_sf100",
