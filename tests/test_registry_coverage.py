@@ -93,10 +93,6 @@ _ALLOWED_BROADCAST_LINES = {
     # k-means: the k-row centroid relation (k=4 x 64 doubles, KB-sized at
     # every corpus scale — cluster state, not data).
     ("operators/similarity.py", "emb.crossJoin(F.broadcast(cent_row))"),
-    # IVF map-only assignment (r11): the 1-row relation carrying all
-    # n_labels (cell, centroid, norm) structs — the coarse quantizer's
-    # cell list, KB-sized at every corpus scale (cluster state, not data).
-    ("operators/similarity.py", "emb.crossJoin(F.broadcast(cells1))"),
     # adaptive-band LSH (r8): the 1-row corpus-count relation that the
     # in-plan band width b_eff derives from — bounded by construction.
     ("operators/similarity.py", ".crossJoin(F.broadcast(nrel))"),
