@@ -389,3 +389,72 @@ def test_ivf_nlist_derivation_pins_cell_population():
             assert t / 2 < pop <= t, (nl, n, s_eff, pop)
         # below one target cell the mask is empty and cells are small
         assert sum(1 for j in range(bmax) if t * nl > t * nl * (1 << j)) == 0
+
+
+def test_ivf_argmax_assignment_matches_window_twin(spark):
+    """The r11 map-side argmax assignment (max(struct(cell_sim, -cell))
+    under groupBy(vec_id) + join-back) must pick EXACTLY the cell a
+    row_number-over-Window assignment picks — the independent-twin
+    pattern (tests/test_semdedup_refinement.py): the twin below is the
+    pre-r11 window construction, built here from the same centroid
+    relation, so a tie-break or rounding divergence in the shipped form
+    cannot hide."""
+    from pyspark.sql.window import Window
+
+    from datafusion_dynamic_filter_spark.functions import (
+        dot,
+        l2_norm,
+        vec_double,
+    )
+    from datafusion_dynamic_filter_spark.registry import tables
+
+    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        t = tables(spark, sf_dir)
+        emb = t["embeddings"].select(
+            "vec_id", vec_double("embedding").alias("v")
+        ).withColumn("nv", l2_norm(F.col("v")))
+        by_dim = t["embeddings"].select(
+            "label", F.posexplode(vec_double("embedding")).alias("i", "x")
+        )
+        centv = (
+            by_dim.groupBy("label", "i")
+            .agg(F.avg("x").alias("cx"))
+            .groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("p"))
+            .select(
+                F.col("label").alias("cell"),
+                F.transform("p", lambda s: s.getField("cx")).alias("c"),
+            )
+            .withColumn("cn", l2_norm(F.col("c")))
+        )
+        cell_sim = F.round(
+            dot(F.col("v"), F.col("c")) / (F.col("nv") * F.col("cn")), 4
+        )
+        scored = emb.crossJoin(F.broadcast(centv)).select(
+            "vec_id", "cell", cell_sim.alias("cell_sim")
+        )
+        # twin: the pre-r11 window form
+        w = Window.partitionBy("vec_id").orderBy(
+            F.desc("cell_sim"), F.asc("cell")
+        )
+        twin = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cell").alias("cell_twin"))
+        )
+        # shipped shape: max of (cell_sim, -cell)
+        shipped = (
+            scored.select(
+                "vec_id",
+                F.struct(
+                    F.col("cell_sim"), (-F.col("cell")).alias("neg_cell")
+                ).alias("s"),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("s").alias("best"))
+            .select("vec_id", (-F.col("best.neg_cell")).alias("cell"))
+        )
+        diff = shipped.join(twin, "vec_id").filter(
+            F.col("cell") != F.col("cell_twin")
+        )
+        assert diff.count() == 0, sf_dir
