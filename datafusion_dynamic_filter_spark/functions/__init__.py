@@ -494,6 +494,18 @@ def span_hash_kernel_udf(span_len: int, gram: int, modulus: int):
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
+    # The anchor gram is a PREFIX of the span window: gram > span_len
+    # would make the per-position arrays in the body diverge in length
+    # (gh has total-gram+1 entries, the validity mask total-span_len+1)
+    # and fail with an opaque shape error inside an executor.
+    if not 0 < gram <= span_len:
+        raise ValueError(
+            f"span_hash_kernel_udf requires 0 < gram <= span_len, got "
+            f"gram={gram}, span_len={span_len}"
+        )
+    if modulus < 1:
+        raise ValueError(f"modulus must be >= 1, got {modulus}")
+
     w_gram = poly_window_hash_weights(gram)
     w_span = poly_window_hash_weights(span_len)
     mod = np.uint64(modulus)

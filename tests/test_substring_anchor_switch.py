@@ -273,3 +273,17 @@ def _ref_spans_count(text: str) -> int:
     collapse is negligible on random text."""
     got = _kernel_lists([text], [True])
     return len(got.iloc[0])
+
+
+def test_kernel_rejects_invalid_geometry():
+    """gram is the span window's PREFIX: gram > span_len would mis-shape
+    the kernel's per-position arrays inside an executor; the constructor
+    rejects it (and non-positive modulus) at plan-build time instead."""
+    import pytest
+
+    with pytest.raises(ValueError, match="gram <= span_len"):
+        span_hash_kernel_udf(8, 40, 8)
+    with pytest.raises(ValueError, match="gram"):
+        span_hash_kernel_udf(40, 0, 8)
+    with pytest.raises(ValueError, match="modulus"):
+        span_hash_kernel_udf(40, 8, 0)
