@@ -64,6 +64,16 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     "dedup_substring_spans": 11,
     "dedup_semdedup": 8,  # r7 adaptive cells; r8 short-circuit (r10 via ledger)
     "anti_join_not_exists": 8,  # r8: date-windowed, non-vacuous form
+    # r12: the MinHash family's word hash is adaptive (md5 parity branch
+    # byte-identical at driver SFs, xxhash64 above _MINHASH_XX_MIN_DOCS)
+    # and the t=0.8 verify is two-phase prefix-filtered — oracles
+    # unchanged (ledger cannot see it), so every _minhash_sig consumer's
+    # greens must be re-earned.
+    "dedup_minhash_lsh": 12,
+    "dedup_lsh_verified": 12,
+    "dedup_minhash_error": 12,
+    "dedup_source_overlap": 12,
+    "dedup_incremental_lsh": 12,
 }
 
 

@@ -569,18 +569,58 @@ def dedup_jaccard_partners(spark, sf_dir, *, threshold: float = 0.8):
     )
 
 
+#: Word-hash switch threshold for the MinHash family — same boundary and
+#: rationale as the substring-span anchor switch (_SPAN_XX_MIN_DOCS, and
+#: the two are asserted equal where that constant is defined): every
+#: driver SF (<= 5,000 docs) sits at or below it, so the DuckDB oracle's
+#: md5-based word hash is exactly what runs wherever parity is checked;
+#: every scaling tier (sf1 = 50k docs up) sits above it and takes the
+#: xxhash64 branch.  The r11 sf100 stage split priced the md5-per-word
+#: front end at 230 s of dedup_lsh_verified's 363 s (~400M md5+conv
+#: calls); xxhash64 is a codegen'd native hash with no hex round-trip.
+_MINHASH_XX_MIN_DOCS = 10_000
+
+
 def _minhash_sig(spark, sf_dir, *, num_hashes):
     """Persisted (doc_id, mh0..mhN, elems) MinHash signature relation over
     per-doc word-3-gram shingle-hash sets — the shared front end of every
     MinHash-family operator (see _minhash_verified_pairs for the full
-    pipeline story)."""
+    pipeline story).
+
+    The per-WORD content hash is adaptive (r12, the spans recipe): at or
+    below _MINHASH_XX_MIN_DOCS documents it is the cross-engine md5-based
+    ``h60 % HASH_P`` — byte-identical to the pre-switch operator, and the
+    form every DuckDB oracle reproduces; above the threshold it is
+    ``pmod(xxhash64(w), HASH_P)``.  Both branches land in [0, HASH_P), so
+    the shingle mix / affine signature arithmetic downstream is overflow-
+    safe either way, and both are content hashes of the same word, so the
+    sketch's statistics (band collision rates, exact hashed-set Jaccard)
+    are interchangeable — pinned by tests/test_minhash_word_hash_switch.py.
+    The switch is a row-constant flag off a broadcast 1-row count: ONE
+    lazy plan, and codegen's conditional never evaluates the md5 chain
+    when the xxhash64 branch is live.
+
+    ``elems`` is the doc's distinct shingle-hash set sorted ASCENDING —
+    hash value is the one consistent global total order the PPJoin prefix
+    filter in _prefix_positional_prune needs (order is free to choose;
+    array_sort costs O(n log n) per doc once, here, instead of per
+    candidate pair there)."""
     from pyspark.storagelevel import StorageLevel
 
     t = tables(spark, sf_dir)
-    toked = fan_out(t["documents"]).select("doc_id", tokens("text").alias("tok"))
+    nrel = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    toked = (
+        fan_out(t["documents"])
+        .select("doc_id", tokens("text").alias("tok"))
+        .crossJoin(F.broadcast(nrel))
+        .withColumn("use_xx", F.col("n_docs") > F.lit(_MINHASH_XX_MIN_DOCS))
+    )
+    hw = F.when(
+        F.col("use_xx"), F.pmod(F.xxhash64("w"), F.lit(HASH_P))
+    ).otherwise(h60("w") % F.lit(HASH_P))
     wordh = toked.select(
-        "doc_id", F.posexplode("tok").alias("pos", "w")
-    ).select("doc_id", "pos", (h60("w") % F.lit(HASH_P)).alias("hw"))
+        "doc_id", "use_xx", F.posexplode("tok").alias("pos", "w")
+    ).select("doc_id", "pos", hw.alias("hw"))
     # Word hashes back to a positional array (one doc_id shuffle of longs),
     # then every shingle hash is three element_at's + two multiply-adds.
     hws = (
@@ -615,10 +655,13 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
     # 3-4x less shuffle/persist volume and a far cheaper array_intersect in
     # the verify, with the oracle hashing identically (see _minhash_lsh_oracle).
     return track_persist(
-        exploded.groupBy("doc_id").agg(
+        exploded.groupBy("doc_id")
+        .agg(
             *minhash_agg_columns("hp", num_hashes),
-            F.collect_set("h").alias("elems"),
-        ),
+            F.collect_set("h").alias("elems0"),
+        )
+        .withColumn("elems", F.array_sort("elems0"))
+        .drop("elems0"),
         StorageLevel.MEMORY_AND_DISK,
     )
 
@@ -657,17 +700,80 @@ def _lsh_candidates(sig, *, num_hashes, bands, threshold, size_prune):
     )
 
 
+def _prefix_positional_prune(sig, cand, threshold):
+    """PPJoin prefix + positional filter applied to an EXISTING candidate
+    pair relation — phase one of the two-phase exact verify (r12; the
+    candidate-GENERATING form of the same kernel is _exact_jaccard_pairs,
+    Xiao et al. 2008).  Pure pruning: any pair with hashed-set Jaccard >=
+    threshold survives, so the verified result set (and the DuckDB
+    oracle) is unchanged.
+
+    Why: the r11 sf100 stage split measured dedup_lsh_verified's verify
+    join shipping each candidate's full ~4 KB element array through the
+    doc_b shuffle (~200 GB projected for 53.9M candidates -> 2.47M
+    verified, a 4.6% yield).  This phase ships only each doc's sorted
+    PREFIX — the first n - ceil(t*n) + 1 elements, ~20% of the array at
+    t=0.8 — and full arrays then move for prefix survivors only.
+
+    Derivation (both arrays sorted ascending by hash value — THE global
+    total order, established once in _minhash_sig):
+    - prefix-filter lemma: J(A,B) >= t implies overlap o >= alpha =
+      ceil(t/(1+t) * (|A|+|B|)) >= ceil(t*|A|) (since |B| >= t|A| when
+      J >= t), so A's first |A| - ceil(t|A|) + 1 elements and B's first
+      |B| - ceil(t|B|) + 1 elements must share at least one element —
+      disjoint prefixes bound o <= alpha - 1;
+    - positional filter: the first common element overall is x =
+      min(pref_a INTERSECT pref_b) (any smaller common element would
+      itself be in both sorted prefixes), at 1-based sorted positions
+      (pa, pb), so o <= 1 + min(|A| - pa, |B| - pb); prune when that
+      bound cannot reach alpha.  The 1e-9 nudge keeps float ceil from
+      pruning an exactly-on-threshold pair."""
+    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
+    pref = sig.select(
+        "doc_id",
+        F.size("elems").alias("n"),
+        F.slice("elems", F.lit(1), plen).alias("pref"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), F.col("pref").alias("pa")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), F.col("pref").alias("pb")
+    )
+    joined = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("x", F.array_min(F.array_intersect("pa", "pb")))
+    )
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb"))
+        - F.lit(1e-9)
+    )
+    # position of x in the FULL sorted array == its position in the prefix
+    # (the prefix is the array's head); computed as |{e in pref : e < x}|+1
+    # rather than array_position so the sorted-distinct structure is used.
+    pos = lambda arr: (  # noqa: E731
+        F.size(F.filter(arr, lambda e: e < F.col("x"))) + 1
+    )
+    keep = F.col("x").isNotNull() & (
+        1 + F.least(F.col("na") - pos("pa"), F.col("nb") - pos("pb")) >= alpha
+    )
+    return joined.filter(keep).select("doc_a", "doc_b")
+
+
 def _minhash_verified_pairs(
-    spark, sf_dir, *, num_hashes, bands, threshold, size_prune=False
+    spark, sf_dir, *, num_hashes, bands, threshold, size_prune=False,
+    prefix_verify=False,
 ):
     """Shared MinHash->LSH->exact-verify pipeline over per-doc word-3-gram
-    shingle-hash sets.
+    shingle-hash sets.  Returns the UNORDERED verified pair relation
+    (doc_a < doc_b, jaccard) — callers order or aggregate.
 
     All joins/aggs are on uniform hash keys — no skew at scale:
-      1. ONE cross-engine 60-bit md5-prefix hash per WORD (codegen'd
-         column over posexploded words — not per constructed shingle
-         string: the interpreted concat-per-position form plus a string
-         explode was measured 4x slower at sf0.1)
+      1. ONE content hash per WORD (adaptive md5/xxhash64, see
+         _minhash_sig — not per constructed shingle string: the
+         interpreted concat-per-position form plus a string explode was
+         measured 4x slower at sf0.1)
       2. shingle hash per position i = (hw[i]*K1) xor (hw[i+1]*K2) xor
          (hw[i+2]*K3) (pure 64-bit-exact arithmetic, identical in DuckDB
          — see functions.SHINGLE_K1/K2/K3)
@@ -676,7 +782,13 @@ def _minhash_verified_pairs(
       4. banding: per-band bucket key from the band's signature minima
       5. candidates: explode bands, equi-join on (band_idx, bucket)
       6. verify: exact shingle-hash-set Jaccard >= threshold on
-         candidates only
+         candidates only — two-phase when ``prefix_verify`` (prefix
+         arrays move for every candidate, full arrays for prefix
+         survivors only; see _prefix_positional_prune).  Enabled for the
+         high-threshold headline operator, where the prefix is ~20% of
+         the array; at t=0.5 the prefix is ~half the array and survival
+         is high, so the second pass would roughly re-ship what phase
+         one already moved.
     """
     sig = _minhash_sig(spark, sf_dir, num_hashes=num_hashes)
     cand = _lsh_candidates(
@@ -686,6 +798,8 @@ def _minhash_verified_pairs(
         threshold=threshold,
         size_prune=size_prune,
     )
+    if prefix_verify:
+        cand = _prefix_positional_prune(sig, cand, threshold)
     # Exact verify only on candidates: join element arrays back in.  The
     # candidate pair set is orders of magnitude smaller than the corpus,
     # but it is still UNBOUNDED (grows with the data), so no broadcast
@@ -701,7 +815,6 @@ def _minhash_verified_pairs(
         .withColumn("jaccard", F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -716,7 +829,7 @@ def dedup_minhash_lsh(spark, sf_dir, *, num_hashes: int = 32, bands: int = 8):
         bands=bands,
         threshold=0.5,
         size_prune=True,
-    )
+    ).orderBy("doc_a", "doc_b")
 
 
 @query(
@@ -736,7 +849,12 @@ def dedup_lsh_verified(spark, sf_dir):
     2-row token bands degenerated to near-all-pairs on the test corpus,
     11.8M of 12.5M possible candidate pairs), while 3-gram diversity keeps
     buckets small.  A PPJoin size-ratio implication of the threshold rides
-    in the candidate join as extra pruning."""
+    in the candidate join as extra pruning, and the exact verify is
+    two-phase (r12): sorted element-array PREFIXES move for every
+    candidate, full arrays only for pairs surviving the prefix +
+    positional filters — see _prefix_positional_prune (the r11 sf100
+    stage split measured the one-phase verify shipping ~200 GB of element
+    arrays for a 4.6% verify yield)."""
     return _minhash_verified_pairs(
         spark,
         sf_dir,
@@ -744,7 +862,8 @@ def dedup_lsh_verified(spark, sf_dir):
         bands=16,
         threshold=0.8,
         size_prune=True,
-    )
+        prefix_verify=True,
+    ).orderBy("doc_a", "doc_b")
 
 
 @query("dedup_minhash_error", oracle=_minhash_error_oracle())
@@ -1311,6 +1430,12 @@ SPAN_LEN, SPAN_GRAM, SPAN_MODULUS = 40, 8, 8
 #: anchor paths' dup_frac outputs.
 _SPAN_XX_MIN_DOCS = 10_000
 
+# Both adaptive hash switches share one parity-scope boundary, so the
+# parquet-doc-count test that proves every oracle-gated SF sits below the
+# switch (tests/test_substring_anchor_switch.py) covers the MinHash family
+# too.  If they ever need to diverge, that test must learn both constants.
+assert _SPAN_XX_MIN_DOCS == _MINHASH_XX_MIN_DOCS
+
 
 def anchored_spans_sql(
     span_len: int = SPAN_LEN,
@@ -1485,12 +1610,15 @@ def dedup_substring_spans(
     # the groupBy, the join's spans side, and the join's repeats side).
     # Also without the persist the scan + anchor kernel would run twice.
     spans = track_persist(spans.repartition("h"))
-    # count(*) == countDistinct(doc_id) EXACTLY here: each doc emits its
-    # span hashes pre-deduplicated (array_distinct in the md5 branch, the
-    # kernel's per-doc distinct collapse in the scale branch), so no
-    # (doc_id, h) pair repeats — count skips the distinct-aggregation
-    # pass over the span relation that countDistinct would run.  The
-    # DuckDB oracle keeps count(DISTINCT doc_id); values are identical.
+    # count(*) == countDistinct(doc_id) here: each doc emits its span
+    # hashes pre-deduplicated — the kernel branch dedups the HASHES
+    # (exact), the md5 branch array_distinct's the span TEXT before
+    # xxhash64, so an intra-doc 64-bit hash collision there could repeat
+    # a (doc_id, h) pair (~2^-64 per span pair, the same accepted class
+    # as the cross-doc collisions above).  count skips the
+    # distinct-aggregation pass over the span relation that
+    # countDistinct would run.  The DuckDB oracle groups on the span
+    # TEXT itself, where the identity is exact.
     repeats = spans.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     return (
         spans.join(repeats, "h")
@@ -1698,23 +1826,19 @@ def dedup_source_overlap(spark, sf_dir):
     them should be dropped or downweighted before training.
 
     Scale shape: identical to dedup_lsh_verified through the verify join
-    (shared persisted signature relation, banded equi-join candidates, no
-    broadcast hint on the unbounded pair relation), then two doc_id-keyed
-    joins against a two-column projection of documents attach provenance,
-    and the final rollup keys on the source pair — output is
+    (shared pipeline — _minhash_verified_pairs with the same parameters,
+    including the r12 two-phase prefix-filtered verify), then two
+    doc_id-keyed joins against a two-column projection of documents attach
+    provenance, and the final rollup keys on the source pair — output is
     |sources|^2-bounded, i.e. tiny at any corpus scale."""
-    sig = _minhash_sig(spark, sf_dir, num_hashes=32)
-    cand = _lsh_candidates(
-        sig, num_hashes=32, bands=16, threshold=0.8, size_prune=True
-    )
-    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("elems").alias("sh_a"))
-    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("elems").alias("sh_b"))
-    pairs = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("jaccard", F.round(token_jaccard(F.col("sh_a"), F.col("sh_b")), 4))
-        .filter(F.col("jaccard") >= 0.8)
-        .select("doc_a", "doc_b", "jaccard")
+    pairs = _minhash_verified_pairs(
+        spark,
+        sf_dir,
+        num_hashes=32,
+        bands=16,
+        threshold=0.8,
+        size_prune=True,
+        prefix_verify=True,
     )
     src = tables(spark, sf_dir)["documents"].select("doc_id", "source")
     with_src = (
