@@ -5,8 +5,6 @@ no row-at-a-time Python UDFs) so it survives whole-stage codegen at 100 TB.
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -17,18 +15,32 @@ from pyspark.sql import functions as F
 
 #: Logical nodes that make a plan non-scan-rooted for fan_out's purposes:
 #: anything that implies an exchange (or an eager subtree) downstream.
-_FAN_OUT_DISALLOWED = (
-    "Join",
-    "Aggregate",
-    "Window",
-    "Sort",
-    "Repartition",  # also matches RepartitionByExpression
-    "Deduplicate",
-    "Distinct",
-    "GlobalLimit",
-    "Union",
-    "Intersect",
-    "Except",
+# EXACT logical-plan node names (TreeNode.nodeName — the class name
+# without the trailing $; r11 advice: exact matches against walked plan
+# nodes, not prefix matches against the rendered plan string, which
+# could false-positive on future node names sharing a prefix and paid a
+# full toString render per call).
+_FAN_OUT_DISALLOWED = frozenset(
+    {
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Repartition",
+        "RepartitionByExpression",
+        "Rebalance",
+        "RebalancePartitions",
+        "Deduplicate",
+        "DeduplicateWithinWatermark",
+        "Distinct",
+        "GlobalLimit",
+        "LocalLimit",
+        "Union",
+        "Intersect",
+        "Except",
+        "CoGroup",
+        "FlatMapGroupsInPandas",
+    }
 )
 
 
@@ -51,14 +63,18 @@ def fan_out(df, multiplier: int = 1):
     guard rejects joins/aggregates/windows/sorts/set-ops up front; every
     legitimate call site feeds a raw table scan plus narrow projections.
     """
-    plan = df._jdf.queryExecution().analyzed().toString()
-    nodes = {
-        m.group(1)
-        for m in re.finditer(r"^[\s:+\-]*'?(\w+)", plan, flags=re.MULTILINE)
-    }
-    bad = sorted(
-        n for n in nodes if any(n.startswith(d) for d in _FAN_OUT_DISALLOWED)
-    )
+    # Walk the analyzed logical plan's nodes through the JVM TreeNode API
+    # (r11 advice) — no plan rendering, and EXACT nodeName matches instead
+    # of prefix matches on a string form that Spark is free to change.
+    nodes = set()
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        nodes.add(node.nodeName())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    bad = sorted(nodes & _FAN_OUT_DISALLOWED)
     if bad:
         raise ValueError(
             f"fan_out requires a scan-rooted plan (scan/project/filter "

@@ -126,8 +126,11 @@ def main(names: list[str]) -> None:
     # rewritten artifact — say so loudly instead of merging silently.  A
     # tier can be skipped because the caller excluded it (--tiers=), or —
     # the dangerous case — because it is absent from tiers_complete (a
-    # failed tier whose rows exist only via sidecar salvage).
-    for name in names:
+    # failed tier whose rows exist only via sidecar salvage).  Under
+    # --recompute NO measurement was requested at all (r11 advice: the
+    # "child returned no measurement" diagnosis would be misleading), so
+    # the kept-row warnings are skipped entirely.
+    for name in [] if recompute_only else names:
         for role in dirs:
             has_row = f"sec_{_LABEL[role]}" in prior["probes"][name]
             in_list = name in _TIER_LIST[role]

@@ -638,6 +638,19 @@ def _write_artifact(
         table[name]["time_exponent_last_dec"] = (
             measured[-1] if measured else None
         )
+        # r11 advice: "last decade" silently meant "last MEASURED adjacent
+        # pair" — if the probe's top tier has no adjacent predecessor (a
+        # failed/salvage-less tier), the field would report a lower
+        # decade's exponent under the last-decade name and the >1.0
+        # adjudication would inspect the wrong decade.  Record WHICH tier
+        # pair the value came from so the artifact is self-describing.
+        _tier_names = ("sf0.01", "sf0.1", "sf1", "sf10", "sf100")
+        last_pair = None
+        for i in range(len(per_dec) - 1, -1, -1):
+            if per_dec[i] is not None:
+                last_pair = f"{_tier_names[i]}->{_tier_names[i + 1]}"
+                break
+        table[name]["last_dec_span"] = last_pair
         if measured and measured[-1] > 1.0:
             table[name]["last_dec_note"] = _MARGINAL_NOTES.get(
                 name,
