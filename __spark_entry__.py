@@ -74,6 +74,7 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     "dedup_minhash_error": 12,
     "dedup_source_overlap": 12,
     "dedup_incremental_lsh": 12,
+    "decontam_fuzzy_minhash": 12,
 }
 
 

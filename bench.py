@@ -713,6 +713,17 @@ def main() -> None:
         "speedup_prepared_steady_state": round(
             timings["fstring_50keys"] / timings["prepared_50keys_repeat"], 3
         ),
+        # r11 advice: the row above divides per-workload minima that may
+        # come from DIFFERENT sessions, so it can be a ratio no session
+        # observed.  Publish the best and median OBSERVED per-session
+        # steady-state ratios alongside, so the headline has an
+        # as-measured companion.
+        "speedup_prepared_steady_state_best_session": max(
+            r["steady_state"] for r in session_ratios
+        ),
+        "speedup_prepared_steady_state_median_session": sorted(
+            r["steady_state"] for r in session_ratios
+        )[len(session_ratios) // 2],
         "speedup_inlist_vs_loop": round(
             (timings["fstring_50keys"] / N_KEYS)
             / (timings["prepared_inlist_1000"] / inlist_n),

@@ -475,6 +475,160 @@ def poly_window_hash_weights(width: int) -> np.ndarray:
     )
 
 
+#: ASCII whitespace bytes recognized by the MinHash kernel's word split —
+#: the same six characters Java's \s matches ([ \t\n\x0B\f\r], the class
+#: behind functions.tokens' split).  Non-ASCII Unicode whitespace differs
+#: between the branches; above the parity threshold that only shifts which
+#: shingles form, which the statistical-equivalence gate covers.
+_WS_BYTES = np.zeros(256, dtype=bool)
+_WS_BYTES[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
+
+
+def minhash_kernel_udf(num_hashes: int):
+    """Arrow-vectorized MinHash front end: per input document, the
+    ``num_hashes``-position signature and the DISTINCT word-3-gram
+    shingle-hash set, computed in one numpy pass — no per-word explode, no
+    collect_list shuffle, no per-shingle aggregation exchange.
+
+    Why this exists (r11 verdict #1 / r12): the MinHash family's
+    signature build was the dominant ~sf100 stage of dedup_lsh_verified
+    (230 s of 363 s — one md5 + hex conv per WORD, ~400M calls; the r12
+    xxhash64 SQL switch cut the hash cost but the build still paid two
+    400M-row doc_id aggregations and a 12.8B-op affine pass through
+    codegen).  This kernel computes the same sketch shape map-side: the
+    only remaining exchange in the signature relation's lineage is the
+    persist itself.
+
+    Semantics vs the md5/SQL branch (above _MINHASH_XX_MIN_DOCS only —
+    the md5 branch is bit-exact with the DuckDB oracle below it):
+    - word hash: Horner polynomial (_POLY_M) over the word's UTF-8 bytes
+      + splitmix64 finalizer, reduced mod HASH_P — a different content-
+      hash family than h60, which is exactly what the switch permits: any
+      uniform per-word hash yields the same sketch statistics (banding
+      collision rates, exact hashed-set Jaccard), pinned by
+      tests/test_minhash_word_hash_switch.py;
+    - word split: maximal runs of non-whitespace bytes (_WS_BYTES);
+    - shingle mix, affine signature family, and mod-P ranges are the SAME
+      arithmetic as the SQL branch (SHINGLE_K1/K2/K3, MINHASH_A/B,
+      HASH_P), so every downstream consumer (banding, size prune, prefix
+      filter, exact verify) is branch-agnostic.
+
+    Output per row: struct(sig: array<long>[num_hashes], elems:
+    array<long> sorted ascending distinct).  Documents with fewer than 3
+    words (no shingles) and rows whose ``use_xx`` flag is false return
+    empty arrays — the caller filters them out / unions the md5 branch.
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    if not 1 <= num_hashes <= len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes must be in [1, {len(MINHASH_A)}], got {num_hashes}"
+        )
+    p64 = np.uint64(HASH_P)
+    k1, k2, k3 = (np.uint64(SHINGLE_K1), np.uint64(SHINGLE_K2),
+                  np.uint64(SHINGLE_K3))
+    a_vec = np.array(MINHASH_A[:num_hashes], dtype=np.uint64)
+    b_vec = np.array(MINHASH_B[:num_hashes], dtype=np.uint64)
+    poly_m = np.uint64(_POLY_M)
+
+    out_type = StructType([
+        StructField("sig", ArrayType(LongType())),
+        StructField("elems", ArrayType(LongType())),
+    ])
+
+    @pandas_udf(out_type)
+    def _minhash(txt: pd.Series, use_xx: pd.Series) -> pd.DataFrame:
+        n_rows = len(txt)
+        empty = np.empty(0, dtype=np.int64)
+
+        def all_empty():
+            return pd.DataFrame(
+                {"sig": [empty] * n_rows, "elems": [empty] * n_rows}
+            )
+
+        xx = use_xx.fillna(False).to_numpy(dtype=bool)
+        if n_rows == 0 or not xx.any():
+            return all_empty()
+        # Concatenate docs with ONE separator byte (\n) so words never
+        # span documents; starts[d] is doc d's first byte in the buffer.
+        enc = [
+            t.encode("utf-8") if (isinstance(t, str) and xx[i]) else b""
+            for i, t in enumerate(txt)
+        ]
+        lens = np.fromiter((len(b) for b in enc), count=n_rows, dtype=np.int64)
+        starts = np.zeros(n_rows + 1, dtype=np.int64)
+        np.cumsum(lens + 1, out=starts[1:])
+        buf = np.frombuffer(b"\n".join(enc) + b"\n", dtype=np.uint8)
+        total = len(buf)
+        if total == n_rows:  # all docs empty
+            return all_empty()
+        # Word extents: maximal non-whitespace runs.
+        is_ws = _WS_BYTES[buf]
+        nonws = ~is_ws
+        prev = np.empty(total, dtype=bool)
+        prev[0] = False
+        prev[1:] = nonws[:-1]
+        w_start = np.nonzero(nonws & ~prev)[0]
+        if len(w_start) == 0:
+            return all_empty()
+        nxt = np.empty(total, dtype=bool)
+        nxt[-1] = False
+        nxt[:-1] = nonws[1:]
+        w_end = np.nonzero(nonws & ~nxt)[0] + 1  # exclusive
+        w_len = w_end - w_start
+        n_words = len(w_start)
+        # Horner polynomial per word, vectorized over the k-th byte of
+        # every still-live word; the live set shrinks with word length so
+        # pathological long words cost only their own bytes.
+        h = np.zeros(n_words, dtype=np.uint64)
+        live = np.arange(n_words)
+        k = 0
+        while len(live):
+            h[live] = h[live] * poly_m + buf[w_start[live] + k].astype(np.uint64)
+            k += 1
+            live = live[w_len[live] > k]
+        hw = _mix64(h) % p64
+        # Doc id per word, then shingle hashes for consecutive in-doc
+        # word triples — the SQL branch's exact mix over a different hw.
+        w_doc = np.searchsorted(starts, w_start, side="right") - 1
+        if n_words < 3:
+            return all_empty()
+        sh = ((hw[:-2] * k1) ^ (hw[1:-1] * k2) ^ (hw[2:] * k3))
+        tri = w_doc[:-2] == w_doc[2:]
+        if not tri.any():
+            return all_empty()
+        sh = sh[tri]
+        sh_doc = w_doc[:-2][tri]
+        # Affine signature mins per doc over the (already doc-ordered)
+        # shingle stream: one reduceat per hash position.
+        hp = sh % p64
+        seg = np.empty(len(sh_doc), dtype=bool)
+        seg[0] = True
+        seg[1:] = sh_doc[1:] != sh_doc[:-1]
+        seg_starts = np.nonzero(seg)[0]
+        seg_docs = sh_doc[seg_starts]
+        sig_mat = np.empty((num_hashes, len(seg_starts)), dtype=np.uint64)
+        for i in range(num_hashes):
+            sig_mat[i] = np.minimum.reduceat((hp * a_vec[i] + b_vec[i]) % p64,
+                                             seg_starts)
+        sig_mat = sig_mat.astype(np.int64)
+        # Per-doc distinct sorted element sets (elems): lexsort collapse.
+        order = np.lexsort((sh, sh_doc))
+        d_s, h_s = sh_doc[order], sh[order].astype(np.int64)
+        keep = np.ones(len(h_s), dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_u, h_u = d_s[keep], h_s[keep]
+        counts = np.bincount(d_u, minlength=n_rows)
+        elem_lists = np.split(h_u, np.cumsum(counts)[:-1])
+        sig_col = [empty] * n_rows
+        for j, d in enumerate(seg_docs):
+            sig_col[d] = sig_mat[:, j]
+        return pd.DataFrame({"sig": sig_col, "elems": elem_lists})
+
+    return _minhash
+
+
 def span_hash_kernel_udf(span_len: int, gram: int, modulus: int):
     """Arrow-vectorized content-defined span extractor: per input document,
     the DISTINCT 64-bit hashes of every ``span_len``-byte window whose

@@ -575,9 +575,10 @@ def dedup_jaccard_partners(spark, sf_dir, *, threshold: float = 0.8):
 #: driver SF (<= 5,000 docs) sits at or below it, so the DuckDB oracle's
 #: md5-based word hash is exactly what runs wherever parity is checked;
 #: every scaling tier (sf1 = 50k docs up) sits above it and takes the
-#: xxhash64 branch.  The r11 sf100 stage split priced the md5-per-word
+#: Arrow kernel branch.  The r11 sf100 stage split priced the md5-per-word
 #: front end at 230 s of dedup_lsh_verified's 363 s (~400M md5+conv
-#: calls); xxhash64 is a codegen'd native hash with no hex round-trip.
+#: calls); the kernel computes the whole sketch map-side (see
+#: functions.minhash_kernel_udf).
 _MINHASH_XX_MIN_DOCS = 10_000
 
 
@@ -587,18 +588,30 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
     MinHash-family operator (see _minhash_verified_pairs for the full
     pipeline story).
 
-    The per-WORD content hash is adaptive (r12, the spans recipe): at or
-    below _MINHASH_XX_MIN_DOCS documents it is the cross-engine md5-based
-    ``h60 % HASH_P`` — byte-identical to the pre-switch operator, and the
-    form every DuckDB oracle reproduces; above the threshold it is
-    ``pmod(xxhash64(w), HASH_P)``.  Both branches land in [0, HASH_P), so
-    the shingle mix / affine signature arithmetic downstream is overflow-
-    safe either way, and both are content hashes of the same word, so the
-    sketch's statistics (band collision rates, exact hashed-set Jaccard)
-    are interchangeable — pinned by tests/test_minhash_word_hash_switch.py.
-    The switch is a row-constant flag off a broadcast 1-row count: ONE
-    lazy plan, and codegen's conditional never evaluates the md5 chain
-    when the xxhash64 branch is live.
+    The signature build is ADAPTIVE (r12, the spans recipe): at or below
+    _MINHASH_XX_MIN_DOCS documents it is the cross-engine md5-based
+    pipeline — per-word ``h60 % HASH_P``, positional collect, shingle
+    mix, exploded affine minima — byte-identical to the pre-switch
+    operator and exactly what every DuckDB oracle reproduces; above the
+    threshold the whole sketch is computed map-side by
+    ``functions.minhash_kernel_udf`` (one Arrow/numpy pass per batch: no
+    per-word explode, no collect_list exchange, no per-shingle
+    aggregation — the r11 sf100 stage split priced that chain at 230 s of
+    dedup_lsh_verified's 363 s).  The kernel's word-hash family differs
+    (Horner polynomial + splitmix64 vs md5 prefix) — permitted above the
+    parity threshold because any uniform content hash yields the same
+    sketch statistics; the shingle mix / affine signature arithmetic is
+    the same on both branches, so every downstream consumer is
+    branch-agnostic.  Pinned by tests/test_minhash_word_hash_switch.py:
+    below-threshold byte-identity against an independent twin, a pure-
+    Python kernel reference on adversarial inputs, and md5-vs-kernel
+    verified-pair statistical agreement at sf0.1.
+
+    Both branches live in ONE lazy plan as a union of two filter-gated
+    subtrees off a broadcast 1-row count flag: the inactive branch's
+    filter removes every row BELOW its expensive work (the md5 chain /
+    the kernel project), so it costs one extra pass over the scan and
+    nothing else.
 
     ``elems`` is the doc's distinct shingle-hash set sorted ASCENDING —
     hash value is the one consistent global total order the PPJoin prefix
@@ -607,20 +620,23 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
     candidate pair there)."""
     from pyspark.storagelevel import StorageLevel
 
+    from ..functions import minhash_kernel_udf
+
     t = tables(spark, sf_dir)
     nrel = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
-    toked = (
+    base = (
         fan_out(t["documents"])
-        .select("doc_id", tokens("text").alias("tok"))
+        .select("doc_id", "text")
         .crossJoin(F.broadcast(nrel))
         .withColumn("use_xx", F.col("n_docs") > F.lit(_MINHASH_XX_MIN_DOCS))
     )
-    hw = F.when(
-        F.col("use_xx"), F.pmod(F.xxhash64("w"), F.lit(HASH_P))
-    ).otherwise(h60("w") % F.lit(HASH_P))
+    # -- md5 parity branch (at or below the threshold) --------------------
+    toked = base.where(~F.col("use_xx")).select(
+        "doc_id", tokens("text").alias("tok")
+    )
     wordh = toked.select(
-        "doc_id", "use_xx", F.posexplode("tok").alias("pos", "w")
-    ).select("doc_id", "pos", hw.alias("hw"))
+        "doc_id", F.posexplode("tok").alias("pos", "w")
+    ).select("doc_id", "pos", (h60("w") % F.lit(HASH_P)).alias("hw"))
     # Word hashes back to a positional array (one doc_id shuffle of longs),
     # then every shingle hash is three element_at's + two multiply-adds.
     hws = (
@@ -654,14 +670,46 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
     # The element set is kept as h60 HASHES (8-byte longs), not strings:
     # 3-4x less shuffle/persist volume and a far cheaper array_intersect in
     # the verify, with the oracle hashing identically (see _minhash_lsh_oracle).
-    return track_persist(
+    md5_side = (
         exploded.groupBy("doc_id")
         .agg(
             *minhash_agg_columns("hp", num_hashes),
             F.collect_set("h").alias("elems0"),
         )
         .withColumn("elems", F.array_sort("elems0"))
-        .drop("elems0"),
+        .drop("elems0")
+    )
+    # -- kernel branch (above the threshold) ------------------------------
+    # lower(trim()) runs SQL-side (unicode-aware, matching tokens());
+    # docs whose shingle set is empty (< 3 words) drop out here exactly
+    # as they drop out of the md5 branch's explode.
+    kern = minhash_kernel_udf(num_hashes)
+    k_side = (
+        base.where(F.col("use_xx"))
+        .select(
+            "doc_id", kern(F.lower(F.trim("text")), "use_xx").alias("k")
+        )
+        .where(F.size(F.col("k.elems")) > 0)
+        .select(
+            "doc_id",
+            *[
+                F.element_at("k.sig", i + 1).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ],
+            F.col("k.elems").alias("elems"),
+        )
+    )
+    # Persist PARTITIONED ON doc_id (the spans repartition("h") recipe):
+    # the pre-r12 relation inherited hashpartitioning(doc_id) from its
+    # aggregation and the verify joins consumed the cached sig WITHOUT
+    # re-exchanging it; the union of the two branches has unknown
+    # partitioning, and without this repartition the executed plan grows
+    # an Exchange over the InMemoryTableScan per verify side (measured in
+    # the r12 plan inspection — the union alone regressed the sf100
+    # one-shot).  The md5 branch pays one extra tiny exchange below the
+    # threshold, where AQE broadcasts the joins anyway.
+    return track_persist(
+        md5_side.unionByName(k_side).repartition("doc_id"),
         StorageLevel.MEMORY_AND_DISK,
     )
 
@@ -784,11 +832,13 @@ def _minhash_verified_pairs(
       6. verify: exact shingle-hash-set Jaccard >= threshold on
          candidates only — two-phase when ``prefix_verify`` (prefix
          arrays move for every candidate, full arrays for prefix
-         survivors only; see _prefix_positional_prune).  Enabled for the
-         high-threshold headline operator, where the prefix is ~20% of
-         the array; at t=0.5 the prefix is ~half the array and survival
-         is high, so the second pass would roughly re-ship what phase
-         one already moved.
+         survivors only; see _prefix_positional_prune).  Off by default
+         AND for every registered operator, by measurement: on this
+         near-dup-rich corpus the filters pass 69% of sf100 candidates
+         and the phase-one joins cost more than they save (same-session
+         A/B in dedup_lsh_verified's docstring).  The option remains for
+         corpora whose candidates are mostly low-overlap, where the
+         prefix-filter lemma bites.
     """
     sig = _minhash_sig(spark, sf_dir, num_hashes=num_hashes)
     cand = _lsh_candidates(
@@ -849,12 +899,22 @@ def dedup_lsh_verified(spark, sf_dir):
     2-row token bands degenerated to near-all-pairs on the test corpus,
     11.8M of 12.5M possible candidate pairs), while 3-gram diversity keeps
     buckets small.  A PPJoin size-ratio implication of the threshold rides
-    in the candidate join as extra pruning, and the exact verify is
-    two-phase (r12): sorted element-array PREFIXES move for every
-    candidate, full arrays only for pairs surviving the prefix +
-    positional filters — see _prefix_positional_prune (the r11 sf100
-    stage split measured the one-phase verify shipping ~200 GB of element
-    arrays for a 4.6% verify yield)."""
+    in the candidate join as extra pruning.
+
+    The exact verify is ONE-phase by measurement (r12): a two-phase
+    prefix-filtered verify (_prefix_positional_prune — r11's named next
+    step, projected ~3x less movement from the 4.6% verify yield) was
+    built, pinned pure, and A/B'd same-session at sf100: the prefix +
+    positional filters pass 69% of the 54.2M candidates on this
+    near-dup-rich corpus (37.6M survive; most failed candidates are
+    moderate-similarity pairs whose first shared element sits early in
+    both sorted arrays, so the positional bound cannot prune them), and
+    the phase-one pair joins cost more than they save — verify measured
+    173.3/107.8 s one-phase vs 379.5/241.2 s two-phase on a shared
+    cached signature (the r11 ~200 GB projection priced UNCOMPRESSED
+    array movement; actual lz4 shuffle bytes are ~12 GB).  The kernel
+    stays available via prefix_verify=True for corpora where candidates
+    are mostly low-overlap."""
     return _minhash_verified_pairs(
         spark,
         sf_dir,
@@ -862,7 +922,6 @@ def dedup_lsh_verified(spark, sf_dir):
         bands=16,
         threshold=0.8,
         size_prune=True,
-        prefix_verify=True,
     ).orderBy("doc_a", "doc_b")
 
 
@@ -1827,10 +1886,11 @@ def dedup_source_overlap(spark, sf_dir):
 
     Scale shape: identical to dedup_lsh_verified through the verify join
     (shared pipeline — _minhash_verified_pairs with the same parameters,
-    including the r12 two-phase prefix-filtered verify), then two
-    doc_id-keyed joins against a two-column projection of documents attach
-    provenance, and the final rollup keys on the source pair — output is
-    |sources|^2-bounded, i.e. tiny at any corpus scale."""
+    including the one-phase-by-measurement verify decision documented
+    there), then two doc_id-keyed joins against a two-column projection
+    of documents attach provenance, and the final rollup keys on the
+    source pair — output is |sources|^2-bounded, i.e. tiny at any corpus
+    scale."""
     pairs = _minhash_verified_pairs(
         spark,
         sf_dir,
@@ -1838,7 +1898,6 @@ def dedup_source_overlap(spark, sf_dir):
         bands=16,
         threshold=0.8,
         size_prune=True,
-        prefix_verify=True,
     )
     src = tables(spark, sf_dir)["documents"].select("doc_id", "source")
     with_src = (

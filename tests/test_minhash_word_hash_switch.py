@@ -1,20 +1,24 @@
-"""Gates for the MinHash family's adaptive word-hash switch and the
+"""Gates for the MinHash family's adaptive signature-build switch and the
 two-phase prefix-filtered exact verify (r12).
 
 The r11 sf100 stage split priced dedup_lsh_verified's signature front end
 at 230 s of its 363 s total — one md5 + hex conv per WORD (~400M calls at
-5M docs), the same md5-dominance profile dedup_substring_spans had before
-its anchor switch.  md5 is only needed where the DuckDB oracle must
-reproduce the sketch bit-for-bit (the driver SFs); above
-_MINHASH_XX_MIN_DOCS the per-word hash is pmod(xxhash64(w), HASH_P),
-a codegen'd native hash.  Claims pinned here:
+5M docs) plus two 400M-row doc_id aggregations.  md5 is only needed where
+the DuckDB oracle must reproduce the sketch bit-for-bit (the driver SFs);
+above _MINHASH_XX_MIN_DOCS the WHOLE sketch (signature + distinct shingle
+set) is computed map-side by ``functions.minhash_kernel_udf`` — one
+Arrow/numpy pass, no explode, no collect_list exchange.  Claims pinned:
 
 1. below the threshold the md5 branch is byte-identical to the
    pre-switch formulation (an independent twin built here from the raw
    h60 expression; the DuckDB oracle-parity suite re-checks the whole
    pipeline end-to-end every run);
-2. both branches land in [0, HASH_P) — the shingle-mix / affine
-   signature arithmetic's overflow-safety precondition;
+2. the kernel computes EXACTLY its specification — ASCII-whitespace word
+   split, Horner/_POLY_M + splitmix64 word hash mod HASH_P, the SQL
+   branch's shingle mix and affine signature family — checked against an
+   independent pure-Python big-int reference on adversarial inputs
+   (unicode, empty docs, sub-3-word docs, repeated words, long words),
+   and respects per-row use_xx gating;
 3. the two branches are statistically interchangeable: both are content
    hashes of the same words, so the verified near-dup pair sets at
    Jaccard >= 0.8 must agree closely, and EXACT jaccard values must be
@@ -27,9 +31,21 @@ a codegen'd native hash.  Claims pinned here:
 """
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
-from datafusion_dynamic_filter_spark.functions import HASH_P, h60, tokens
+from datafusion_dynamic_filter_spark.functions import (
+    _POLY_M,
+    HASH_P,
+    MINHASH_A,
+    MINHASH_B,
+    SHINGLE_K1,
+    SHINGLE_K2,
+    SHINGLE_K3,
+    h60,
+    minhash_kernel_udf,
+    tokens,
+)
 from datafusion_dynamic_filter_spark.operators import dedup
 from datafusion_dynamic_filter_spark.operators.dedup import (
     _MINHASH_XX_MIN_DOCS,
@@ -43,6 +59,9 @@ from datafusion_dynamic_filter_spark.operators.dedup import (
 SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
 
+_M64 = (1 << 64) - 1
+_WS = {0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20}
+
 
 def test_switch_shares_the_span_parity_boundary():
     """One constant guards both adaptive switches, so the parquet-backed
@@ -52,41 +71,104 @@ def test_switch_shares_the_span_parity_boundary():
     assert _MINHASH_XX_MIN_DOCS == _SPAN_XX_MIN_DOCS
 
 
-def test_md5_branch_matches_pre_switch_form(spark):
-    """With the flag False (every driver SF), the adaptive hw expression
-    equals the pre-switch ``h60(w) % HASH_P`` on every word of sf0.01."""
-    words = (
-        spark.read.parquet(SF001 + "/documents.parquet")
-        .select(F.explode(tokens("text")).alias("w"))
-        .withColumn("use_xx", F.lit(False))
-    )
-    adaptive = F.when(
-        F.col("use_xx"), F.pmod(F.xxhash64("w"), F.lit(HASH_P))
-    ).otherwise(h60("w") % F.lit(HASH_P))
-    diff = words.filter(adaptive != h60("w") % F.lit(HASH_P)).count()
-    assert diff == 0
+# -- kernel vs pure-Python reference ---------------------------------------
 
 
-def test_both_branches_land_in_hash_range(spark):
-    """xxhash64 is SIGNED — pmod (not %) is what keeps the xx branch in
-    [0, HASH_P); a negative hw would break the overflow-safety bound of
-    the shingle product mix (products must stay < 2^62)."""
-    words = (
-        spark.read.parquet(SF001 + "/documents.parquet")
-        .select(F.explode(tokens("text")).alias("w"))
-    )
-    row = words.select(
-        F.min(F.pmod(F.xxhash64("w"), F.lit(HASH_P))).alias("xlo"),
-        F.max(F.pmod(F.xxhash64("w"), F.lit(HASH_P))).alias("xhi"),
-        F.min(h60("w") % F.lit(HASH_P)).alias("mlo"),
-        F.max(h60("w") % F.lit(HASH_P)).alias("mhi"),
-        # the raw signed hash really does go negative on this corpus —
-        # i.e. pmod is load-bearing, not decorative
-        F.min(F.xxhash64("w")).alias("raw_min"),
-    ).first()
-    assert 0 <= row.xlo and row.xhi < HASH_P
-    assert 0 <= row.mlo and row.mhi < HASH_P
-    assert row.raw_min < 0
+def _mix_int(z: int) -> int:
+    z &= _M64
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & _M64
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & _M64
+    return z ^ (z >> 31)
+
+
+def _ref_minhash(text: str, num_hashes: int):
+    """Big-int reference of minhash_kernel_udf's specification."""
+    words, cur = [], []
+    for byte in text.encode("utf-8"):
+        if byte in _WS:
+            if cur:
+                words.append(cur)
+                cur = []
+        else:
+            cur.append(byte)
+    if cur:
+        words.append(cur)
+    hws = []
+    for w in words:
+        h = 0
+        for byte in w:
+            h = (h * _POLY_M + byte) & _M64
+        hws.append(_mix_int(h) % HASH_P)
+    if len(hws) < 3:
+        return [], []
+    elems = [
+        (hws[i] * SHINGLE_K1) ^ (hws[i + 1] * SHINGLE_K2) ^ (hws[i + 2] * SHINGLE_K3)
+        for i in range(len(hws) - 2)
+    ]
+    sig = [
+        min(((e % HASH_P) * MINHASH_A[i] + MINHASH_B[i]) % HASH_P for e in elems)
+        for i in range(num_hashes)
+    ]
+    return sig, sorted(set(elems))
+
+
+def _kernel_frames(texts, flags, num_hashes=8):
+    inner = minhash_kernel_udf(num_hashes).func
+    return inner(pd.Series(texts), pd.Series(flags))
+
+
+def test_kernel_matches_pure_python_reference():
+    import random
+
+    random.seed(20260816)
+    texts = []
+    for _ in range(50):
+        n = random.randint(0, 200)
+        texts.append(
+            "".join(random.choice("abc defg\thi\njk çé\U0001F389 ") for _ in range(n))
+        )
+    texts += [
+        "",  # empty doc
+        "one",  # 1 word — no shingles
+        "two words",  # 2 words — no shingles
+        "exactly three words",  # single shingle
+        "w " * 50,  # one repeated word: 1 distinct shingle, 48 positions
+        "x" * 5000 + " y z w",  # pathological long word
+        "  leading and trailing   whitespace  ",
+    ]
+    got = _kernel_frames(texts, [True] * len(texts))
+    for i, t in enumerate(texts):
+        sig, elems = _ref_minhash(t, 8)
+        assert [int(x) for x in got["sig"].iloc[i]] == sig, i
+        assert [int(x) for x in got["elems"].iloc[i]] == elems, i
+        # range invariants the downstream arithmetic depends on
+        assert all(0 <= int(x) < HASH_P for x in got["sig"].iloc[i])
+        assert all(0 <= int(x) < (1 << 63) for x in got["elems"].iloc[i])
+
+
+def test_kernel_respects_use_xx_gating():
+    texts = ["some shared document body here " * 3] * 3
+    got = _kernel_frames(texts, [True, False, True])
+    ref_sig, ref_elems = _ref_minhash(texts[0], 8)
+    for i in (0, 2):
+        assert [int(x) for x in got["sig"].iloc[i]] == ref_sig
+        assert [int(x) for x in got["elems"].iloc[i]] == ref_elems
+    assert len(got["sig"].iloc[1]) == 0 and len(got["elems"].iloc[1]) == 0
+    # all-False batches short-circuit
+    got = _kernel_frames(texts, [False] * 3)
+    assert all(len(v) == 0 for v in got["elems"])
+
+
+def test_kernel_rejects_bad_num_hashes():
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_kernel_udf(0)
+    with pytest.raises(ValueError, match="num_hashes"):
+        minhash_kernel_udf(len(MINHASH_A) + 1)
+
+
+# -- md5 parity branch byte-identity ---------------------------------------
 
 
 def test_signature_relation_below_threshold_is_on_md5_branch(spark):
@@ -95,12 +177,7 @@ def test_signature_relation_below_threshold_is_on_md5_branch(spark):
     signatures AND sorted element sets."""
     sig = _minhash_sig(spark, SF001, num_hashes=8).orderBy("doc_id")
     t = spark.read.parquet(SF001 + "/documents.parquet")
-    from datafusion_dynamic_filter_spark.functions import (
-        SHINGLE_K1,
-        SHINGLE_K2,
-        SHINGLE_K3,
-        minhash_agg_columns,
-    )
+    from datafusion_dynamic_filter_spark.functions import minhash_agg_columns
 
     hws = (
         t.select("doc_id", F.posexplode(tokens("text")).alias("pos", "w"))
@@ -140,6 +217,9 @@ def test_signature_relation_below_threshold_is_on_md5_branch(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+# -- branch interchangeability & prefix prune -------------------------------
+
+
 def _pair_sets(spark):
     pairs = _minhash_verified_pairs(
         spark, SF01, num_hashes=32, bands=16, threshold=0.8, size_prune=True
@@ -148,7 +228,7 @@ def _pair_sets(spark):
 
 
 def test_branches_statistically_interchangeable(spark, monkeypatch):
-    """Verified pair sets at t=0.8 on sf0.1: md5 branch vs forced-xx
+    """Verified pair sets at t=0.8 on sf0.1: md5 branch vs forced-kernel
     branch.  Banding randomness differs (different minima win), so the
     sets need not be identical — but recall at the threshold is ~1 for
     any content hash (P(candidate | J=0.8) ~ 0.99998), so agreement must

@@ -136,6 +136,9 @@ _ALLOWED_BROADCAST_LINES = {
     # 1-row document-count relation feeding the substring-span
     # anchor-hash switch (r10, _SPAN_XX_MIN_DOCS).
     ("operators/dedup.py", "docs.crossJoin(F.broadcast(nrel))"),
+    # MinHash signature switch (r12): the same 1-row corpus-count flag,
+    # broadcast into the scan before the branch filters.
+    ("operators/dedup.py", ".crossJoin(F.broadcast(nrel))"),
     # fixed 4-row histogram bin relation.
     (
         "operators/events.py",
