@@ -517,8 +517,11 @@ def main() -> None:
 _MARGINAL_NOTES = {
     "dedup_lsh_verified": (
         "output-normalized: verified-pair output grows faster than time "
-        "in this decade (rows_exponent_last_dec > time marginal; "
-        "generator mutation compounding) - time per verified pair falls"
+        "in this decade (rows 1.49/dec vs time 1.41; generator mutation "
+        "compounding) - time per verified pair falls.  r12: the "
+        "signature stage is no longer dominant (kernel ~75 s of ~300 s "
+        "same-session; was 230 s of 363 s) - the remaining decade "
+        "exponent is the exact-verify stage riding its own output"
     ),
     "dedup_substring_spans": (
         "rows exactly linear; plan is one exchange + local aggs; "
@@ -534,8 +537,10 @@ _MARGINAL_NOTES = {
     ),
     "similarity_ivf_topk": (
         "query batch is 2% of the corpus: per-query marginal = recorded "
-        "- 1 = 0.37; remainder host drift (untouched same-day control "
-        "similarity_lsh_topk drifted 1.46x on identical code)"
+        "- 1 = 0.19 (r12 re-measure; both top tiers same-day, with the "
+        "untouched same-day control similarity_lsh_topk reading 0.93 "
+        "total / -0.07 per query in the same artifact - the r11 "
+        "host-drift remainder is resolved, not borrowed)"
     ),
     "similarity_lsh_topk": (
         "query batch is 2% of the corpus: per-query marginal = recorded "
