@@ -203,14 +203,26 @@ def minhash_agg_columns(hp_col: str, num_hashes: int = 32) -> list[Column]:
 
 
 def band_bucket_array(num_hashes: int, bands: int) -> Column:
-    """Bucket keys after minhash aggregation: band b joins its
-    rows_per_band signature minima into one string key.  Key equality is
-    all LSH needs; the string form has an exact SQL twin."""
+    """Bucket keys after minhash aggregation: band b's key is the
+    xxhash64 of (b, its rows_per_band signature minima) — one 8-byte
+    uniform long instead of the concatenated ":"-string the operator
+    shipped through r11 (r12: the sf100 candidate join shuffles
+    corpus x bands bucket rows; long keys shrink that exchange and
+    hash/compare cheaper than strings at the join).
+
+    Correctness is unchanged, not just statistically: equal minima imply
+    equal keys, so banding recall is EXACTLY the string form's (a hash
+    key can never split a bucket), and a ~2^-64 cross-bucket collision
+    can only ADD a candidate pair, which the exact Jaccard verify then
+    filters — the verified relation is identical.  The DuckDB oracles
+    keep their string-key banding (_minhash_ctes): same bucket
+    partition of the corpus, same verified output."""
     rows_per_band = num_hashes // bands
     return F.array(
         *[
-            F.concat_ws(
-                ":", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
             )
             for b in range(bands)
         ]
