@@ -517,11 +517,12 @@ def main() -> None:
 _MARGINAL_NOTES = {
     "dedup_lsh_verified": (
         "output-normalized: verified-pair output grows faster than time "
-        "in this decade (rows 1.49/dec vs time 1.41; generator mutation "
+        "in this decade (rows 1.49/dec vs time 1.39; generator mutation "
         "compounding) - time per verified pair falls.  r12: the "
-        "signature stage is no longer dominant (kernel ~75 s of ~300 s "
-        "same-session; was 230 s of 363 s) - the remaining decade "
-        "exponent is the exact-verify stage riding its own output"
+        "signature stage is no longer dominant (kernel ~75 s of ~272 s "
+        "same-session; was 230 s of 363 s) and the candidate join runs "
+        "on hashed long bucket keys - the remaining decade exponent is "
+        "the exact-verify stage riding its own output"
     ),
     "dedup_substring_spans": (
         "rows exactly linear; plan is one exchange + local aggs; "
