@@ -66,14 +66,24 @@ def fan_out(df, multiplier: int = 1):
     # Walk the analyzed logical plan's nodes through the JVM TreeNode API
     # (r11 advice) — no plan rendering, and EXACT nodeName matches instead
     # of prefix matches on a string form that Spark is free to change.
+    # The walk covers children() plus innerChildren() (CTE definitions
+    # and cached plans print there) plus subqueries() (IN/EXISTS/scalar
+    # subquery plans live inside EXPRESSIONS, not children — a
+    # children()-only walk would pass a plan whose only exchange-implying
+    # node sits in a subquery, the r12-advice blind spot).
     nodes = set()
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
         nodes.add(node.nodeName())
-        children = node.children()
-        for i in range(children.size()):
-            stack.append(children.apply(i))
+        seqs = [node.children(), node.innerChildren()]
+        try:
+            seqs.append(node.subqueries())
+        except Exception:
+            pass  # a TreeNode that is not a QueryPlan hosts no subqueries
+        for seq in seqs:
+            for i in range(seq.size()):
+                stack.append(seq.apply(i))
     bad = sorted(nodes & _FAN_OUT_DISALLOWED)
     if bad:
         raise ValueError(
@@ -210,13 +220,16 @@ def band_bucket_array(num_hashes: int, bands: int) -> Column:
     corpus x bands bucket rows; long keys shrink that exchange and
     hash/compare cheaper than strings at the join).
 
-    Correctness is unchanged, not just statistically: equal minima imply
-    equal keys, so banding recall is EXACTLY the string form's (a hash
-    key can never split a bucket), and a ~2^-64 cross-bucket collision
-    can only ADD a candidate pair, which the exact Jaccard verify then
-    filters — the verified relation is identical.  The DuckDB oracles
-    keep their string-key banding (_minhash_ctes): same bucket
-    partition of the corpus, same verified output."""
+    Recall is unchanged, not just statistically: equal minima imply
+    equal keys, so a hash key can never split a bucket and every pair
+    the string form catches is caught.  A ~bands * 2^-64-per-pair
+    cross-bucket collision can ADD a candidate pair — usually killed by
+    the exact Jaccard verify, but if such a pair's true Jaccard clears
+    the threshold it survives, and string-key banding (hence the DuckDB
+    oracle, which keeps it via _minhash_ctes) would have missed it.
+    Oracle parity therefore holds up to that ~2^-64 collision class —
+    the same accepted class documented for dedup_substring_spans — not
+    as an exact identity."""
     rows_per_band = num_hashes // bands
     return F.array(
         *[
@@ -489,9 +502,15 @@ def poly_window_hash_weights(width: int) -> np.ndarray:
 
 #: ASCII whitespace bytes recognized by the MinHash kernel's word split —
 #: the same six characters Java's \s matches ([ \t\n\x0B\f\r], the class
-#: behind functions.tokens' split).  Non-ASCII Unicode whitespace differs
-#: between the branches; above the parity threshold that only shifts which
-#: shingles form, which the statistical-equivalence gate covers.
+#: behind functions.tokens' split).  Two branch differences ride on this,
+#: both confined to above the parity threshold and both covered by the
+#: statistical-equivalence gate (they only shift WHICH shingles form):
+#: (a) non-ASCII Unicode whitespace splits words in the md5 branch's
+#: regex but not here; (b) empty-token artifacts — tokens()'s
+#: split(lower(trim(text)), '\s+') emits a leading empty-string token
+#: when text starts with whitespace F.trim does not strip (trim removes
+#: only 0x20) and keeps trailing empties, while maximal non-whitespace
+#: byte runs by construction never produce an empty word.
 _WS_BYTES = np.zeros(256, dtype=bool)
 _WS_BYTES[[0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20]] = True
 
@@ -526,9 +545,12 @@ def minhash_kernel_udf(num_hashes: int):
       filter, exact verify) is branch-agnostic.
 
     Output per row: struct(sig: array<long>[num_hashes], elems:
-    array<long> sorted ascending distinct).  Documents with fewer than 3
-    words (no shingles) and rows whose ``use_xx`` flag is false return
-    empty arrays — the caller filters them out / unions the md5 branch.
+    array<long> distinct, sorted ascending in SIGNED long order — the
+    same total order as the md5 branch's array_sort and the comparators
+    _prefix_positional_prune's positional arithmetic uses (see the
+    lexsort comment in the body).  Documents with fewer than 3 words (no
+    shingles) and rows whose ``use_xx`` flag is false return empty
+    arrays — the caller filters them out.
     """
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
@@ -626,7 +648,16 @@ def minhash_kernel_udf(num_hashes: int):
                                              seg_starts)
         sig_mat = sig_mat.astype(np.int64)
         # Per-doc distinct sorted element sets (elems): lexsort collapse.
-        order = np.lexsort((sh, sh_doc))
+        # The sort key is the SIGNED int64 view, not the raw uint64 (r12
+        # verdict #1): elems feeds _prefix_positional_prune, whose
+        # array_min / e < x positional arithmetic runs under Spark's
+        # signed long comparators, and the md5 branch array_sorts signed
+        # longs — both branches must share ONE total order.  With the
+        # current constants the two orders coincide (hw < HASH_P and
+        # SHINGLE_K* < 2^31 keep every shingle hash < 2^62, sign bit
+        # clear — the reference test asserts the < 2^63 range), but
+        # signed order is the contract, not an accident of the constants.
+        order = np.lexsort((sh.view(np.int64), sh_doc))
         d_s, h_s = sh_doc[order], sh[order].astype(np.int64)
         keep = np.ones(len(h_s), dtype=bool)
         keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])

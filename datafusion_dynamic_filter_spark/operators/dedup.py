@@ -582,6 +582,36 @@ def dedup_jaccard_partners(spark, sf_dir, *, threshold: float = 0.8):
 _MINHASH_XX_MIN_DOCS = 10_000
 
 
+def _documents_row_count(sf_dir: str) -> int:
+    """documents-table row count from parquet FOOTER metadata only — the
+    plan-build-time input of _minhash_sig's branch gate.  O(#files)
+    driver-side footer reads: no Spark job, no scan, no exchange (every
+    testdata / scaling-tier layout is a single file or a flat directory
+    of part files, and parquet footers carry exact row counts).
+    Deterministic for a given sf_dir, so the gate cannot flap between
+    builds of the same corpus.
+
+    Why not the r12 in-plan count flag: charging the branch decision to
+    the PLAN (broadcast 1-row count crossJoin gating two filter-fenced
+    subtrees) made the decision scale-safe but billed the active branch
+    the inactive one's fixed costs — an extra pass over the scan, the
+    crossJoin exchange, a below-threshold repartition — measured as the
+    six MinHash bench rows regressing 1.4-2x at sf0.1 (r12 verdict #2).
+    A metadata read prices the same decision at ~0 on both sides."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    return sum(_pq.read_metadata(f).num_rows for f in files)
+
+
 def _minhash_sig(spark, sf_dir, *, num_hashes):
     """Persisted (doc_id, mh0..mhN, elems) MinHash signature relation over
     per-doc word-3-gram shingle-hash sets — the shared front end of every
@@ -607,33 +637,60 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
     Python kernel reference on adversarial inputs, and md5-vs-kernel
     verified-pair statistical agreement at sf0.1.
 
-    Both branches live in ONE lazy plan as a union of two filter-gated
-    subtrees off a broadcast 1-row count flag: the inactive branch's
-    filter removes every row BELOW its expensive work (the md5 chain /
-    the kernel project), so it costs one extra pass over the scan and
-    nothing else.
+    The branch decision happens at PLAN BUILD TIME from parquet footer
+    metadata (_documents_row_count — no job, no scan), and ONLY the
+    active branch's subtree is built.  The r12 form made the decision
+    in-plan (a broadcast 1-row count flag gating two filter-fenced
+    subtrees united in one lazy plan); that billed the active branch the
+    inactive one's fixed costs — an extra pass over the scan, the
+    crossJoin exchange, an always-on repartition — measured as the six
+    MinHash-family bench rows regressing 1.4-2x at sf0.1 (r12 verdict
+    #2).  The footer read prices the same deterministic decision at ~0,
+    and the md5 branch below is byte-identical to the pre-switch (r11)
+    plan again.
 
-    ``elems`` is the doc's distinct shingle-hash set sorted ASCENDING —
-    hash value is the one consistent global total order the PPJoin prefix
-    filter in _prefix_positional_prune needs (order is free to choose;
-    array_sort costs O(n log n) per doc once, here, instead of per
-    candidate pair there)."""
+    ``elems`` is the doc's distinct shingle-hash set sorted ASCENDING in
+    signed long order (Spark's array_sort comparator; the kernel lexsorts
+    the signed view to match) — the one consistent global total order the
+    PPJoin prefix filter in _prefix_positional_prune needs (order is free
+    to choose; array_sort costs O(n log n) per doc once, here, instead of
+    per candidate pair there)."""
     from pyspark.storagelevel import StorageLevel
 
     from ..functions import minhash_kernel_udf
 
     t = tables(spark, sf_dir)
-    nrel = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
-    base = (
-        fan_out(t["documents"])
-        .select("doc_id", "text")
-        .crossJoin(F.broadcast(nrel))
-        .withColumn("use_xx", F.col("n_docs") > F.lit(_MINHASH_XX_MIN_DOCS))
-    )
+    base = fan_out(t["documents"]).select("doc_id", "text")
+    if _documents_row_count(sf_dir) > _MINHASH_XX_MIN_DOCS:
+        # -- kernel branch (above the threshold) --------------------------
+        # lower(trim()) runs SQL-side (unicode-aware, matching tokens());
+        # docs whose shingle set is empty (< 3 words) drop out here
+        # exactly as they drop out of the md5 branch's explode.  The
+        # kernel is map-side, so the relation has no keyed exchange of
+        # its own: repartition("doc_id") gives the cached relation the
+        # hashpartitioning(doc_id) the three downstream consumers
+        # (bucketing, both verify sides) join on — without it the
+        # executed plan grows an Exchange over the InMemoryTableScan per
+        # verify side (measured in the r12 plan inspection).
+        kern = minhash_kernel_udf(num_hashes)
+        return track_persist(
+            base.select(
+                "doc_id", kern(F.lower(F.trim("text")), F.lit(True)).alias("k")
+            )
+            .where(F.size(F.col("k.elems")) > 0)
+            .select(
+                "doc_id",
+                *[
+                    F.element_at("k.sig", i + 1).alias(f"mh{i}")
+                    for i in range(num_hashes)
+                ],
+                F.col("k.elems").alias("elems"),
+            )
+            .repartition("doc_id"),
+            StorageLevel.MEMORY_AND_DISK,
+        )
     # -- md5 parity branch (at or below the threshold) --------------------
-    toked = base.where(~F.col("use_xx")).select(
-        "doc_id", tokens("text").alias("tok")
-    )
+    toked = base.select("doc_id", tokens("text").alias("tok"))
     wordh = toked.select(
         "doc_id", F.posexplode("tok").alias("pos", "w")
     ).select("doc_id", "pos", (h60("w") % F.lit(HASH_P)).alias("hw"))
@@ -670,46 +727,18 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
     # The element set is kept as h60 HASHES (8-byte longs), not strings:
     # 3-4x less shuffle/persist volume and a far cheaper array_intersect in
     # the verify, with the oracle hashing identically (see _minhash_lsh_oracle).
-    md5_side = (
+    # The aggregation leaves the relation hashpartitioned on doc_id, and
+    # the verify joins consume the cached sig WITHOUT re-exchanging it —
+    # no repartition needed on this branch (the kernel branch, map-side
+    # with no keyed exchange of its own, adds one explicitly).
+    return track_persist(
         exploded.groupBy("doc_id")
         .agg(
             *minhash_agg_columns("hp", num_hashes),
             F.collect_set("h").alias("elems0"),
         )
         .withColumn("elems", F.array_sort("elems0"))
-        .drop("elems0")
-    )
-    # -- kernel branch (above the threshold) ------------------------------
-    # lower(trim()) runs SQL-side (unicode-aware, matching tokens());
-    # docs whose shingle set is empty (< 3 words) drop out here exactly
-    # as they drop out of the md5 branch's explode.
-    kern = minhash_kernel_udf(num_hashes)
-    k_side = (
-        base.where(F.col("use_xx"))
-        .select(
-            "doc_id", kern(F.lower(F.trim("text")), "use_xx").alias("k")
-        )
-        .where(F.size(F.col("k.elems")) > 0)
-        .select(
-            "doc_id",
-            *[
-                F.element_at("k.sig", i + 1).alias(f"mh{i}")
-                for i in range(num_hashes)
-            ],
-            F.col("k.elems").alias("elems"),
-        )
-    )
-    # Persist PARTITIONED ON doc_id (the spans repartition("h") recipe):
-    # the pre-r12 relation inherited hashpartitioning(doc_id) from its
-    # aggregation and the verify joins consumed the cached sig WITHOUT
-    # re-exchanging it; the union of the two branches has unknown
-    # partitioning, and without this repartition the executed plan grows
-    # an Exchange over the InMemoryTableScan per verify side (measured in
-    # the r12 plan inspection — the union alone regressed the sf100
-    # one-shot).  The md5 branch pays one extra tiny exchange below the
-    # threshold, where AQE broadcasts the joins anyway.
-    return track_persist(
-        md5_side.unionByName(k_side).repartition("doc_id"),
+        .drop("elems0"),
         StorageLevel.MEMORY_AND_DISK,
     )
 
@@ -774,9 +803,17 @@ def _prefix_positional_prune(sig, cand, threshold):
       min(pref_a INTERSECT pref_b) (any smaller common element would
       itself be in both sorted prefixes), at 1-based sorted positions
       (pa, pb), so o <= 1 + min(|A| - pa, |B| - pb); prune when that
-      bound cannot reach alpha.  The 1e-9 nudge keeps float ceil from
-      pruning an exactly-on-threshold pair."""
-    plen = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1
+      bound cannot reach alpha.  The 1e-9 nudge — on BOTH ceils (r12
+      advice: the prefix-length ceil needs it too, or a float product
+      landing just above an exact integer t*n shortens the prefix by one
+      and breaks the pure-pruning guarantee for caller-chosen
+      thresholds) — keeps float ceil from pruning an exactly-on-threshold
+      pair; a one-longer prefix is always safe."""
+    plen = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+        + 1
+    )
     pref = sig.select(
         "doc_id",
         F.size("elems").alias("n"),

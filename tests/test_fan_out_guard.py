@@ -49,3 +49,18 @@ def test_sort_and_limit_rejected(spark):
         fan_out(spark.read.parquet(DOCS).orderBy("doc_id"))
     with pytest.raises(ValueError, match="scan-rooted"):
         fan_out(spark.read.parquet(DOCS).limit(5))
+
+
+def test_subquery_hosted_aggregate_rejected(spark):
+    """r12 advice: a children()-only walk misses plans hosted inside
+    EXPRESSIONS (IN/EXISTS/scalar subqueries) — this plan's only
+    exchange-implying node is the Aggregate inside the IN-subquery, which
+    treeString prints under the subquery but children() never yields.
+    The guard must traverse subqueries() and reject it."""
+    spark.read.parquet(DOCS).createOrReplaceTempView("fanout_guard_docs")
+    df = spark.sql(
+        "SELECT doc_id FROM fanout_guard_docs "
+        "WHERE doc_id IN (SELECT max(doc_id) FROM fanout_guard_docs)"
+    )
+    with pytest.raises(ValueError, match="scan-rooted"):
+        fan_out(df)

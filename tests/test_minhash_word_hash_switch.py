@@ -276,3 +276,34 @@ def test_prefix_prune_is_pure(spark):
     # the prune must actually prune on this corpus — otherwise phase one
     # is pure overhead and the two-phase claim is vacuous here
     assert n_kept < n_cand, (n_kept, n_cand)
+
+
+def test_prefix_prune_is_pure_on_kernel_branch(spark, monkeypatch):
+    """Forced-KERNEL twin of test_prefix_prune_is_pure (r12 verdict #1):
+    the kernel's elems lexsort must use SIGNED long order — the total
+    order of the md5 branch's array_sort and of the signed array_min /
+    e < x arithmetic in _prefix_positional_prune.  An unsigned-keyed sort
+    would give the prefix slice and the positional bound different total
+    orders on the kernel branch, silently over-pruning qualifying pairs
+    exactly where the docstring advertises prefix_verify=True (above the
+    switch threshold); this combination was untested before r13 because
+    the md5-branch purity test runs below the threshold."""
+    monkeypatch.setattr(dedup, "_MINHASH_XX_MIN_DOCS", 0)
+    a = (
+        _minhash_verified_pairs(
+            spark, SF001, num_hashes=32, bands=16, threshold=0.8,
+            size_prune=True,
+        )
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    b = (
+        _minhash_verified_pairs(
+            spark, SF001, num_hashes=32, bands=16, threshold=0.8,
+            size_prune=True, prefix_verify=True,
+        )
+        .orderBy("doc_a", "doc_b")
+        .toPandas()
+    )
+    assert len(a) > 0  # non-vacuous: the corpus must yield verified pairs
+    pd.testing.assert_frame_equal(a, b)

@@ -231,15 +231,14 @@ def test_exact_verify_joins_stay_equi_without_broadcast_hint(spark):
         df.count()  # finalize AQE so the inspected plan is the real one
         plan = executed_plan(df)
         assert "CartesianProduct" not in plan, (q, plan)
-        # The ONLY legal BNLJ is the broadcast 1-row count flag of the
-        # r12 adaptive signature switch (crossJoin of the n_docs
-        # aggregate — "BuildRight, Cross" with an Exchange
-        # SinglePartition build, the same blessed shape as TF-IDF's
-        # broadcast-N).  A keyed verify join degrading to BNLJ would
-        # print an Inner/LeftOuter BNLJ with a join condition instead.
-        for line in plan.splitlines():
-            if "BroadcastNestedLoopJoin" in line:
-                assert "Cross" in line, (q, line)
+        # r13: back to the strict form.  The r12 in-plan count-flag
+        # crossJoin (the one blessed Cross BNLJ) is gone — the MinHash
+        # branch gate moved to plan build time (dedup._documents_row_count
+        # reads parquet footers; no flag relation in the plan) — so NO
+        # BNLJ of any form is legal here again; the r12 "any Cross line
+        # passes" loophole (verdict #4: a genuine unkeyed cross join of
+        # broadcastable relations would also print Cross) is closed.
+        assert "BroadcastNestedLoopJoin" not in plan, (q, plan)
         registry.release_persisted()
 
 
@@ -425,13 +424,10 @@ def test_fuzzy_decontam_equi_join_no_cartesian(spark):
         df.count()  # finalize AQE so the inspected plan is the real one
         plan = executed_plan(df)
         assert "CartesianProduct" not in plan, plan
-        # Cross-form BNLJ = the broadcast 1-row count flag of the r12
-        # adaptive signature switch (see
-        # test_exact_verify_joins_stay_equi_without_broadcast_hint);
-        # a keyed join degrading would print an Inner BNLJ instead.
-        for line in plan.splitlines():
-            if "BroadcastNestedLoopJoin" in line:
-                assert "Cross" in line, line
+        # r13: strict again — the r12 count-flag crossJoin left the plan
+        # with the plan-build-time branch gate (see
+        # test_exact_verify_joins_stay_equi_without_broadcast_hint).
+        assert "BroadcastNestedLoopJoin" not in plan, plan
         assert plan.count("InMemoryTableScan") >= 3, plan
     finally:
         registry.release_persisted()

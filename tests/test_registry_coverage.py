@@ -136,9 +136,9 @@ _ALLOWED_BROADCAST_LINES = {
     # 1-row document-count relation feeding the substring-span
     # anchor-hash switch (r10, _SPAN_XX_MIN_DOCS).
     ("operators/dedup.py", "docs.crossJoin(F.broadcast(nrel))"),
-    # MinHash signature switch (r12): the same 1-row corpus-count flag,
-    # broadcast into the scan before the branch filters.
-    ("operators/dedup.py", ".crossJoin(F.broadcast(nrel))"),
+    # (the r12 MinHash-switch count-flag crossJoin was removed in r13 —
+    # that branch gate now reads parquet footer metadata at plan build
+    # time, see dedup._documents_row_count)
     # fixed 4-row histogram bin relation.
     (
         "operators/events.py",
