@@ -672,6 +672,113 @@ def minhash_kernel_udf(num_hashes: int):
     return _minhash
 
 
+def _md5_shingle_batch(toks, num_docs: int):
+    """Shared md5-exact shingle front end of the token-array kernels
+    (md5_minhash_kernel_udf / md5_phash_kernel_udf): per Arrow batch,
+    the word-3-gram shingle hashes of every document, with the EXACT
+    md5-based word hash of the JVM/DuckDB parity pipeline.
+
+    Input: a sequence of ``num_docs`` token lists (the JVM ``tokens()``
+    arrays — tokenization, lowercasing and empty-token artifacts all
+    happen SQL-side, so this kernel's hashes are byte-identical to the
+    exploded-codegen form it replaces).  Word hash = h60 (int of the
+    first 15 md5 hex digits) % HASH_P — hashlib.md5 over the UTF-8 bytes
+    is the same function Spark's ``md5(w)`` computes, and the value is
+    MEMOIZED per unique word within the batch (corpus vocabularies are
+    Zipfian: the memo turns ~words md5 calls into ~vocabulary calls).
+
+    Returns ``(sh, sh_doc)``: int64 shingle-hash array (the SHINGLE_K1/2/3
+    xor-of-products mix — exact 64-bit arithmetic, values < 2^62 so the
+    signed/unsigned views agree) and the doc index of each shingle, in
+    document order; both empty when no doc has >= 3 words."""
+    import hashlib
+
+    k1, k2, k3 = (np.uint64(SHINGLE_K1), np.uint64(SHINGLE_K2),
+                  np.uint64(SHINGLE_K3))
+    empty = np.empty(0, dtype=np.int64)
+    lens = np.fromiter(
+        (len(t) if t is not None else 0 for t in toks),
+        count=num_docs,
+        dtype=np.int64,
+    )
+    n_words = int(lens.sum())
+    if n_words < 3:
+        return empty, empty
+    memo = {}
+    hp = int(HASH_P)
+
+    def hw_of(w: str) -> int:
+        v = memo.get(w)
+        if v is None:
+            v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) % hp
+            memo[w] = v
+        return v
+
+    hw = np.fromiter(
+        (hw_of(w) for t in toks if t is not None for w in t),
+        count=n_words,
+        dtype=np.uint64,
+    )
+    w_doc = np.repeat(np.arange(num_docs, dtype=np.int64), lens)
+    sh = (hw[:-2] * k1) ^ (hw[1:-1] * k2) ^ (hw[2:] * k3)
+    tri = w_doc[:-2] == w_doc[2:]
+    if not tri.any():
+        return empty, empty
+    return sh[tri].view(np.int64), w_doc[:-2][tri]
+
+
+
+def md5_phash_kernel_udf(px_cells: int, min_features: int):
+    """Arrow-vectorized md5-EXACT perceptual-hash signature for
+    multimodal_phash_dedup: per document, the ``px_cells``-bit
+    average-hash signature over the 60-bucket shingle-hash histogram —
+    NULL when the doc has fewer than ``min_features`` distinct shingles.
+
+    Byte-identical to the exploded JVM pipeline it replaces (same
+    md5-based word hash via _md5_shingle_batch, same bucket/intensity
+    arithmetic: bucket = hs % px_cells, intensity = hs % 256, bit j set
+    iff px_j * px_cells > sum(px)); all values are non-negative so numpy
+    int64 ``%`` matches Spark's remainder exactly.  Replaces two
+    word/shingle-level exchanges (positional collect_list +
+    60-conditional-sum histogram aggregation) with one map-side pass."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    weights = (np.int64(1) << np.arange(px_cells, dtype=np.int64))
+
+    @pandas_udf(LongType())
+    def _phash(toks: pd.Series) -> pd.Series:
+        n_rows = len(toks)
+        out = np.zeros(n_rows, dtype=np.int64)
+        mask = np.zeros(n_rows, dtype=bool)
+        sh, sh_doc = _md5_shingle_batch(toks, n_rows)
+        if len(sh):
+            # distinct (doc, shingle) pairs — the JVM form's
+            # array_distinct before the histogram explode.
+            order = np.lexsort((sh, sh_doc))
+            d_s, h_s = sh_doc[order], sh[order]
+            keep = np.ones(len(h_s), dtype=bool)
+            keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            d_u, h_u = d_s[keep], h_s[keep]
+            n_sh = np.bincount(d_u, minlength=n_rows)
+            px = np.bincount(
+                d_u * px_cells + (h_u % px_cells),
+                weights=(h_u % 256).astype(np.float64),
+                minlength=n_rows * px_cells,
+            ).reshape(n_rows, px_cells).astype(np.int64)
+            tot = px.sum(axis=1)
+            sig = (px * px_cells > tot[:, None]).astype(np.int64) @ weights
+            mask = n_sh >= min_features
+            out = np.where(mask, sig, 0)
+        # Nullable Int64, NOT float-NaN masking: signatures reach 2^59 and
+        # a float64 round trip would corrupt values above 2^53.
+        res = pd.Series(out, dtype="Int64")
+        res[~mask] = pd.NA
+        return res
+
+    return _phash
+
+
 def span_hash_kernel_udf(span_len: int, gram: int, modulus: int):
     """Arrow-vectorized content-defined span extractor: per input document,
     the DISTINCT 64-bit hashes of every ``span_len``-byte window whose

@@ -246,79 +246,44 @@ def multimodal_phash_dedup(spark, sf_dir, *, max_hamming: int = 3):
     trivially close.  Swapping in a real decoder + DCT (pHash proper)
     changes only the pixel source.
 
-    Scale shape: the word-hash and shingle steps are the MinHash front end
-    (one md5 per word in codegen, shingle hashes by 64-bit-exact
-    arithmetic — dedup._minhash_sig's measured-fastest form); two doc_id
-    shuffles (positional word collect, then the 60-column conditional-sum
-    histogram aggregation — the SimHash vote shape); candidate generation
-    is the chunk equi-join with exact Hamming riding in the join
-    condition.  No all-pairs anywhere."""
+    Scale shape (r13 rework): the signature is computed MAP-SIDE by the
+    md5-exact Arrow kernel (functions.md5_phash_kernel_udf — same
+    per-word md5 via hashlib, same shingle mix, same integer histogram
+    and bit rule, memoized per unique word), so the whole decode ->
+    downsample -> average-hash front end is one pass with NO shuffle;
+    the 1-long-per-doc signature relation is persisted and feeds BOTH
+    sides of the chunk-pigeonhole equi-join.  The r12 form paid two
+    word/shingle-level doc_id exchanges (positional word collect, then
+    the 60-column conditional-sum histogram aggregation) and — because
+    the self-join recomputes each side — paid them TWICE per run
+    (measured 4.6 s at sf0.1; the executed plan showed the full
+    signature subtree duplicated under the candidate join's broadcast
+    side).  Candidate generation is unchanged: the chunk equi-join with
+    exact Hamming riding in the join condition.  No all-pairs anywhere."""
     from ..functions import (
-        HASH_P,
-        SHINGLE_K1,
-        SHINGLE_K2,
-        SHINGLE_K3,
         SIMHASH_CHUNK_BITS,
         SIMHASH_CHUNKS,
-        h60,
         hamming64,
+        md5_phash_kernel_udf,
         tokens,
     )
+    from ..registry import track_persist
 
     t = tables(spark, sf_dir)
     toked = fan_out(t["documents"]).select(
         "doc_id", tokens("text").alias("tok")
     )
-    wordh = toked.select(
-        "doc_id", F.posexplode("tok").alias("pos", "w")
-    ).select("doc_id", "pos", (h60("w") % F.lit(HASH_P)).alias("hw"))
-    hws = (
-        wordh.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "hw"))).alias("ph"))
-        .select("doc_id", F.transform("ph", lambda x: x.getField("hw")).alias("hws"))
-    )
-    shingled = hws.select(
-        "doc_id",
-        F.when(
-            F.size("hws") >= 3,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("hws") - 2),
-                    lambda i: (F.element_at(F.col("hws"), i) * F.lit(SHINGLE_K1))
-                    .bitwiseXOR(
-                        F.element_at(F.col("hws"), i + 1) * F.lit(SHINGLE_K2)
-                    )
-                    .bitwiseXOR(
-                        F.element_at(F.col("hws"), i + 2) * F.lit(SHINGLE_K3)
-                    ),
-                )
-            ),
+    # asNondeterministic: the isNotNull filter on the kernel's output
+    # column otherwise makes the optimizer evaluate the UDF twice — once
+    # below the pushed-down filter and once in the surviving projection
+    # (two ArrowEvalPython nodes in the executed plan; the function is in
+    # fact deterministic, the marker only pins it in place).
+    kern = md5_phash_kernel_udf(_PHASH_PX, PHASH_MIN_FEATURES).asNondeterministic()
+    sigs = track_persist(
+        toked.select("doc_id", kern("tok").alias("sig")).where(
+            F.col("sig").isNotNull()
         )
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("elems"),
     )
-    hs = shingled.select("doc_id", F.explode("elems").alias("hs"))
-    px = hs.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[
-            F.sum(
-                F.when(F.col("hs") % _PHASH_PX == j, F.col("hs") % 256).otherwise(0)
-            ).alias(f"px{j}")
-            for j in range(_PHASH_PX)
-        ],
-    ).filter(F.col("n_sh") >= PHASH_MIN_FEATURES)
-    tot = None
-    for j in range(_PHASH_PX):
-        tot = F.col(f"px{j}") if tot is None else tot + F.col(f"px{j}")
-    with_tot = px.withColumn("tot", tot)
-    sig = None
-    for j in range(_PHASH_PX):
-        bit = F.when(
-            F.col(f"px{j}") * _PHASH_PX > F.col("tot"),
-            F.lit(1 << j).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    sigs = with_tot.select("doc_id", sig.alias("sig"))
     mask = (1 << SIMHASH_CHUNK_BITS) - 1
     chunks = sigs.select(
         "doc_id",
