@@ -1096,7 +1096,7 @@ def token_cms_topk(spark, sf_dir):
     from ..functions import h60
 
     t = tables(spark, sf_dir)
-    tk = track_persist(
+    tk = (
         fan_out(t["documents"])
         .filter(F.col("n_chars") > 0)
         .select(F.explode(tokens("text")).alias("w"))
@@ -1115,13 +1115,22 @@ def token_cms_topk(spark, sf_dir):
             ]
         )
 
-    cnt = tk.groupBy("w").agg(F.count(F.lit(1)).alias("true_count"))
+    # r13: the CMS is built FROM the exact per-token counts, not from the
+    # occurrence stream — a bucket's count is sum(true_count) over the
+    # tokens hashing into it, identical by definition to counting the
+    # occurrences directly (snapshot-checked byte-equal at all three
+    # SFs), but the 4 md5-per-OCCURRENCE hash passes (~4x corpus tokens)
+    # become 4 md5 per VOCABULARY entry, and the exploded token relation
+    # now has a single consumer, so its corpus-sized persist is gone —
+    # cnt (vocabulary-sized, the mergeable-sketch property's whole point)
+    # is what gets persisted and feeds top/cms/probe.
+    cnt = track_persist(tk.groupBy("w").agg(F.count(F.lit(1)).alias("true_count")))
     top = cnt.orderBy(F.desc("true_count"), "w").limit(20)
     cms = (
-        tk.select(F.explode(rb_array()).alias("rb"))
-        .select("rb.r", "rb.b")
+        cnt.select(F.explode(rb_array()).alias("rb"), "true_count")
+        .select("rb.r", "rb.b", "true_count")
         .groupBy("r", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("true_count").alias("c"))
     )
     probe = top.select("w", "true_count", F.explode(rb_array()).alias("rb")).select(
         "w", "true_count", "rb.r", "rb.b"
