@@ -609,13 +609,18 @@ def text_tfidf_top_terms(spark, sf_dir):
 
     t = tables(spark, sf_dir)
     docs = fan_out(t["documents"]).filter(F.col("n_chars") > 0)
-    # Persisted (r13): tf feeds BOTH the DF aggregation and the scoring
-    # join, and each consumer was re-running the tokenize + explode +
-    # (doc_id, term) aggregation from the scan (6 parquet scans in the
-    # before-plan, no ReusedExchange).  The persisted relation is the
-    # AGGREGATED one — one row per (doc, distinct term), far smaller
-    # than the occurrence stream it replaces recomputing.
-    tf = track_persist(
+    # NOT persisted (re-decided r13): tf feeds BOTH the DF aggregation and
+    # the scoring join, and the static plan duplicates the tokenize +
+    # explode + aggregation subtree — but at runtime AQE's
+    # ReusedQueryStage collapses the identical exchanges, so the shuffle
+    # is computed once either way (pinned by
+    # test_multi_consumer_shuffles_are_exchange_reused).  A same-session
+    # A/B of persist-vs-reuse at sf0.1 measured a wash (min 1.40 vs
+    # 1.43 s, medians within noise), consistent with the r8 A/B that
+    # found persist 1.05-1.66x slower for this relation class; the
+    # persist adds a materialization barrier and cache pressure with no
+    # computation saved.
+    tf = (
         docs.select("doc_id", F.explode(tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
