@@ -287,6 +287,36 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def first_equal_chunk(sig_a: Column, sig_b: Column) -> Column:
+    """Index of the FIRST 15-bit chunk (0..SIMHASH_CHUNKS-1) on which the
+    two signatures agree; SIMHASH_CHUNKS when none do.
+
+    Purpose (r13): the chunk-pigeonhole self-joins explode each signature
+    into SIMHASH_CHUNKS (chunk_idx, chunk) rows, so a qualifying pair is
+    emitted once PER shared chunk and was deduplicated by a
+    dropDuplicates exchange over the whole candidate pair relation.
+    Both full signatures are present at hash-join probe time, so
+    requiring ``chunk_idx == first_equal_chunk(a.sig, b.sig)`` in the
+    join condition makes every pair distinct BY CONSTRUCTION — the
+    duplicate candidates die at probe time and the pair-dedup exchange
+    disappears (guide §2.4).  Result set unchanged: every qualifying
+    pair shares >= 1 chunk and is kept exactly at its first one.
+
+    Chunk j agrees iff the j-th 15-bit slice of xor(sig_a, sig_b) is
+    zero (signatures are 60-bit non-negative longs; the unsigned shift
+    makes the expression safe for any long)."""
+    x = sig_a.bitwiseXOR(sig_b)
+    mask = F.lit((1 << SIMHASH_CHUNK_BITS) - 1).cast("long")
+    e = F.when(x.bitwiseAND(mask) == 0, F.lit(0))
+    for j in range(1, SIMHASH_CHUNKS):
+        e = e.when(
+            F.shiftrightunsigned(x, SIMHASH_CHUNK_BITS * j).bitwiseAND(mask)
+            == 0,
+            F.lit(j),
+        )
+    return e.otherwise(F.lit(SIMHASH_CHUNKS))
+
+
 def round_half_away(col: Column, scale: int) -> Column:
     """Round-half-away-from-zero on the BINARY double value.
 

@@ -263,6 +263,7 @@ def multimodal_phash_dedup(spark, sf_dir, *, max_hamming: int = 3):
     from ..functions import (
         SIMHASH_CHUNK_BITS,
         SIMHASH_CHUNKS,
+        first_equal_chunk,
         hamming64,
         md5_phash_kernel_udf,
         tokens,
@@ -300,20 +301,28 @@ def multimodal_phash_dedup(spark, sf_dir, *, max_hamming: int = 3):
     )
     a, b = chunks.alias("a"), chunks.alias("b")
     ham = hamming64(F.col("a.sig"), F.col("b.sig"))
+    # r13: pairs are distinct by construction — each pair is kept exactly
+    # at its FIRST shared chunk (first_equal_chunk in the join condition),
+    # replacing the dropDuplicates exchange over the pair relation
+    # (same-session A/B at sf0.1: min 0.83 -> 0.77 s, 235 rows byte-equal;
+    # the simhash twin's rationale, see dedup._simhash_pairs).
     return (
         a.join(
             b,
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (ham <= max_hamming),
+            & (ham <= max_hamming)
+            & (
+                F.col("a.chunk_idx")
+                == first_equal_chunk(F.col("a.sig"), F.col("b.sig"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
