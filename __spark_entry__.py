@@ -69,12 +69,30 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # and the t=0.8 verify is two-phase prefix-filtered — oracles
     # unchanged (ledger cannot see it), so every _minhash_sig consumer's
     # greens must be re-earned.
-    "dedup_minhash_lsh": 12,
-    "dedup_lsh_verified": 12,
-    "dedup_minhash_error": 12,
-    "dedup_source_overlap": 12,
-    "dedup_incremental_lsh": 12,
-    "decontam_fuzzy_minhash": 12,
+    # r13 (optimization round; results snapshot-checked byte-identical at
+    # sf0.001/0.01/0.1, oracles unchanged — ledger cannot see it):
+    # - the _minhash_sig md5 parity branch is a map-side md5-exact Arrow
+    #   kernel (md5_minhash_kernel_udf) and both kernels are pinned
+    #   against filter-duplication with asNondeterministic
+    "dedup_minhash_lsh": 13,
+    "dedup_lsh_verified": 13,
+    "dedup_minhash_error": 13,
+    "dedup_source_overlap": 13,
+    "dedup_incremental_lsh": 13,
+    "decontam_fuzzy_minhash": 13,
+    # - pigeonhole pair-dedup moved into the join condition
+    #   (first_equal_chunk; the dropDuplicates exchange is gone)
+    "dedup_simhash": 13,
+    "dedup_simhash_partners": 13,
+    # - map-side md5-exact phash kernel + first_equal_chunk
+    "multimodal_phash_dedup": 13,
+    # - CMS built from the per-token exact counts
+    "token_cms_topk": 13,
+    # - lazy per-round merged-token checkpoint
+    "bpe_train_merges": 13,
+    "bpe_encode_token_counts": 13,
+    # - head counts derived from bigram counts
+    "text_bigram_lm_logprob": 13,
 }
 
 

@@ -664,42 +664,106 @@ def minhash_kernel_udf(num_hashes: int):
             return all_empty()
         sh = sh[tri]
         sh_doc = w_doc[:-2][tri]
-        # Affine signature mins per doc over the (already doc-ordered)
-        # shingle stream: one reduceat per hash position.
-        hp = sh % p64
-        seg = np.empty(len(sh_doc), dtype=bool)
-        seg[0] = True
-        seg[1:] = sh_doc[1:] != sh_doc[:-1]
-        seg_starts = np.nonzero(seg)[0]
-        seg_docs = sh_doc[seg_starts]
-        sig_mat = np.empty((num_hashes, len(seg_starts)), dtype=np.uint64)
-        for i in range(num_hashes):
-            sig_mat[i] = np.minimum.reduceat((hp * a_vec[i] + b_vec[i]) % p64,
-                                             seg_starts)
-        sig_mat = sig_mat.astype(np.int64)
-        # Per-doc distinct sorted element sets (elems): lexsort collapse.
-        # The sort key is the SIGNED int64 view, not the raw uint64 (r12
-        # verdict #1): elems feeds _prefix_positional_prune, whose
-        # array_min / e < x positional arithmetic runs under Spark's
-        # signed long comparators, and the md5 branch array_sorts signed
-        # longs — both branches must share ONE total order.  With the
-        # current constants the two orders coincide (hw < HASH_P and
-        # SHINGLE_K* < 2^31 keep every shingle hash < 2^62, sign bit
-        # clear — the reference test asserts the < 2^63 range), but
-        # signed order is the contract, not an accident of the constants.
-        order = np.lexsort((sh.view(np.int64), sh_doc))
-        d_s, h_s = sh_doc[order], sh[order].astype(np.int64)
-        keep = np.ones(len(h_s), dtype=bool)
-        keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
-        d_u, h_u = d_s[keep], h_s[keep]
-        counts = np.bincount(d_u, minlength=n_rows)
-        elem_lists = np.split(h_u, np.cumsum(counts)[:-1])
-        sig_col = [empty] * n_rows
-        for j, d in enumerate(seg_docs):
-            sig_col[d] = sig_mat[:, j]
-        return pd.DataFrame({"sig": sig_col, "elems": elem_lists})
+        return _sketch_from_shingles(sh, sh_doc, n_rows, a_vec, b_vec)
 
     return _minhash
+
+
+def _sketch_from_shingles(sh, sh_doc, n_rows, a_vec, b_vec):
+    """Shared sketch tail of the MinHash kernels: given the uint64
+    shingle-hash stream ``sh`` and its nondecreasing doc index ``sh_doc``
+    (document order), the per-doc affine-minima signature and the
+    distinct sorted element set, as the kernels' output DataFrame.
+
+    - Affine signature mins per doc over the (already doc-ordered)
+      shingle stream: one reduceat per hash position.
+    - Per-doc distinct sorted element sets (elems): lexsort collapse.
+      The sort key is the SIGNED int64 view, not the raw uint64 (r12
+      verdict #1): elems feeds _prefix_positional_prune, whose
+      array_min / e < x positional arithmetic runs under Spark's
+      signed long comparators, and the md5 branch array_sorts signed
+      longs — both branches must share ONE total order.  With the
+      current constants the two orders coincide (hw < HASH_P and
+      SHINGLE_K* < 2^31 keep every shingle hash < 2^62, sign bit
+      clear — the reference test asserts the < 2^63 range), but
+      signed order is the contract, not an accident of the constants."""
+    p64 = np.uint64(HASH_P)
+    num_hashes = len(a_vec)
+    empty = np.empty(0, dtype=np.int64)
+    hp = sh % p64
+    seg = np.empty(len(sh_doc), dtype=bool)
+    seg[0] = True
+    seg[1:] = sh_doc[1:] != sh_doc[:-1]
+    seg_starts = np.nonzero(seg)[0]
+    seg_docs = sh_doc[seg_starts]
+    sig_mat = np.empty((num_hashes, len(seg_starts)), dtype=np.uint64)
+    for i in range(num_hashes):
+        sig_mat[i] = np.minimum.reduceat((hp * a_vec[i] + b_vec[i]) % p64,
+                                         seg_starts)
+    sig_mat = sig_mat.astype(np.int64)
+    order = np.lexsort((sh.view(np.int64), sh_doc))
+    d_s, h_s = sh_doc[order], sh[order].astype(np.int64)
+    keep = np.ones(len(h_s), dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    d_u, h_u = d_s[keep], h_s[keep]
+    counts = np.bincount(d_u, minlength=n_rows)
+    elem_lists = np.split(h_u, np.cumsum(counts)[:-1])
+    sig_col = [empty] * n_rows
+    for j, d in enumerate(seg_docs):
+        sig_col[d] = sig_mat[:, j]
+    return pd.DataFrame({"sig": sig_col, "elems": elem_lists})
+
+
+def md5_minhash_kernel_udf(num_hashes: int):
+    """Arrow-vectorized md5-EXACT MinHash front end — the parity-branch
+    twin of ``minhash_kernel_udf`` (r13): per input document's token
+    array, the ``num_hashes``-position signature and the DISTINCT
+    word-3-gram shingle-hash set, byte-identical to the exploded
+    JVM/codegen pipeline it replaces (and hence to the DuckDB oracle).
+
+    Same recipe as md5_phash_kernel_udf: tokenization stays SQL-side
+    (``tokens()`` — lowercasing, whitespace split, empty-token artifacts
+    all shared), the word hash is h60 (int of the first 15 md5 hex
+    digits) % HASH_P via hashlib.md5 == Spark ``md5(w)``, memoized per
+    unique word per batch (_md5_shingle_batch), and the shingle mix /
+    affine family / element order are the shared kernel tail
+    (_sketch_from_shingles).  Replaces the md5 branch's two word- and
+    shingle-level doc_id exchanges (positional collect_list + the
+    33-column signature aggregation) with one map-side pass.
+
+    Output contract identical to minhash_kernel_udf: struct(sig, elems),
+    empty arrays for docs with < 3 words (the caller filters them)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    if not 1 <= num_hashes <= len(MINHASH_A):
+        raise ValueError(
+            f"num_hashes must be in [1, {len(MINHASH_A)}], got {num_hashes}"
+        )
+    a_vec = np.array(MINHASH_A[:num_hashes], dtype=np.uint64)
+    b_vec = np.array(MINHASH_B[:num_hashes], dtype=np.uint64)
+
+    out_type = StructType([
+        StructField("sig", ArrayType(LongType())),
+        StructField("elems", ArrayType(LongType())),
+    ])
+
+    @pandas_udf(out_type)
+    def _mh(toks: pd.Series) -> pd.DataFrame:
+        n_rows = len(toks)
+        sh, sh_doc = _md5_shingle_batch(toks, n_rows)
+        if not len(sh):
+            empty = np.empty(0, dtype=np.int64)
+            return pd.DataFrame(
+                {"sig": [empty] * n_rows, "elems": [empty] * n_rows}
+            )
+        # values < 2^62 (see _md5_shingle_batch), so the unsigned view is
+        # the same bit pattern the JVM's signed arithmetic produces
+        return _sketch_from_shingles(
+            sh.view(np.uint64), sh_doc, n_rows, a_vec, b_vec
+        )
+
+    return _mh
 
 
 def _md5_shingle_batch(toks, num_docs: int):

@@ -36,7 +36,6 @@ from ..functions import (
     h60,
     h60_sql,
     hamming64,
-    minhash_agg_columns,
     simhash_agg_columns,
     simhash_from_votes,
     span_hash_kernel_udf,
@@ -673,7 +672,14 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
         # (bucketing, both verify sides) join on — without it the
         # executed plan grows an Exchange over the InMemoryTableScan per
         # verify side (measured in the r12 plan inspection).
-        kern = minhash_kernel_udf(num_hashes)
+        # asNondeterministic (r13): the size(k.elems) > 0 filter otherwise
+        # makes the optimizer evaluate the kernel TWICE — once below the
+        # pushed-down filter and once in the surviving projection (two
+        # ArrowEvalPython nodes observed in the executed plan; the r12
+        # phash-kernel pattern).  The function is in fact deterministic;
+        # the marker only pins it in place — at the ~sf100 tier the
+        # duplicated node re-ran the whole Arrow signature pass.
+        kern = minhash_kernel_udf(num_hashes).asNondeterministic()
         return track_persist(
             base.select(
                 "doc_id", kern(F.lower(F.trim("text")), F.lit(True)).alias("k")
@@ -691,55 +697,44 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
             StorageLevel.MEMORY_AND_DISK,
         )
     # -- md5 parity branch (at or below the threshold) --------------------
+    # r13: the parity branch is ALSO a map-side Arrow kernel now —
+    # md5-EXACT (hashlib.md5 == Spark md5 per word, the phash-kernel
+    # recipe), so results stay byte-identical to the exploded JVM
+    # pipeline it replaces and to every DuckDB oracle.  Tokenization
+    # stays SQL-side (tokens(): lowercasing, whitespace split and the
+    # empty-token artifacts are shared), the word hash is memoized per
+    # unique word per batch, and the shingle mix / affine minima /
+    # signed element order are the SAME kernel tail the xxhash branch
+    # uses (_sketch_from_shingles).  The replaced pipeline paid one
+    # word-level and one shingle-level doc_id exchange (positional
+    # collect_list + the 33-column signature aggregation); the kernel
+    # relation, like the xxhash branch, is map-side — the
+    # repartition("doc_id") gives the cached relation the
+    # hashpartitioning(doc_id) its three downstream consumers join on
+    # (measured: without it the executed plan grows an Exchange over the
+    # InMemoryTableScan per verify side).  The element set is kept as
+    # h60 HASHES (8-byte longs), not strings: 3-4x less persist volume
+    # and a far cheaper array_intersect in the verify, with the oracle
+    # hashing identically (see _minhash_lsh_oracle).
+    from ..functions import md5_minhash_kernel_udf
+
+    # asNondeterministic: same double-evaluation pin as the kernel branch
+    # above (the size(k.elems) > 0 filter would otherwise duplicate the
+    # ArrowEvalPython node).
+    kern = md5_minhash_kernel_udf(num_hashes).asNondeterministic()
     toked = base.select("doc_id", tokens("text").alias("tok"))
-    wordh = toked.select(
-        "doc_id", F.posexplode("tok").alias("pos", "w")
-    ).select("doc_id", "pos", (h60("w") % F.lit(HASH_P)).alias("hw"))
-    # Word hashes back to a positional array (one doc_id shuffle of longs),
-    # then every shingle hash is three element_at's + two multiply-adds.
-    hws = (
-        wordh.groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "hw"))).alias("ph"))
-        .select("doc_id", F.transform("ph", lambda x: x.getField("hw")).alias("hws"))
-    )
-    shingled = hws.select(
-        "doc_id",
-        F.when(
-            F.size("hws") >= 3,
-            F.transform(
-                F.sequence(F.lit(1), F.size("hws") - 2),
-                lambda i: (F.element_at(F.col("hws"), i) * F.lit(SHINGLE_K1))
-                .bitwiseXOR(F.element_at(F.col("hws"), i + 1) * F.lit(SHINGLE_K2))
-                .bitwiseXOR(F.element_at(F.col("hws"), i + 2) * F.lit(SHINGLE_K3)),
-            ),
-        )
-        .otherwise(F.array().cast("array<bigint>"))
-        .alias("elems"),
-    )
-    exploded = shingled.select(
-        "doc_id", F.explode("elems").alias("h")
-    ).withColumn("hp", F.col("h") % F.lit(HASH_P))
-    # ONE scan + ONE doc_id shuffle builds BOTH the signature and the
-    # element set; every downstream branch (bucketing, both verify sides)
-    # consumes this relation.  It is persisted because ReuseExchange only
-    # sometimes unifies the three subtrees (the broadcast branch plans
-    # separately) — and at any scale a sketch relation reused 3x is exactly
-    # what you materialize (MEMORY_AND_DISK: spills, never recomputes).
-    # The element set is kept as h60 HASHES (8-byte longs), not strings:
-    # 3-4x less shuffle/persist volume and a far cheaper array_intersect in
-    # the verify, with the oracle hashing identically (see _minhash_lsh_oracle).
-    # The aggregation leaves the relation hashpartitioned on doc_id, and
-    # the verify joins consume the cached sig WITHOUT re-exchanging it —
-    # no repartition needed on this branch (the kernel branch, map-side
-    # with no keyed exchange of its own, adds one explicitly).
     return track_persist(
-        exploded.groupBy("doc_id")
-        .agg(
-            *minhash_agg_columns("hp", num_hashes),
-            F.collect_set("h").alias("elems0"),
+        toked.select("doc_id", kern("tok").alias("k"))
+        .where(F.size(F.col("k.elems")) > 0)
+        .select(
+            "doc_id",
+            *[
+                F.element_at("k.sig", i + 1).alias(f"mh{i}")
+                for i in range(num_hashes)
+            ],
+            F.col("k.elems").alias("elems"),
         )
-        .withColumn("elems", F.array_sort("elems0"))
-        .drop("elems0"),
+        .repartition("doc_id"),
         StorageLevel.MEMORY_AND_DISK,
     )
 

@@ -161,6 +161,58 @@ def test_kernel_respects_use_xx_gating():
     assert all(len(v) == 0 for v in got["elems"])
 
 
+def _ref_md5_minhash(toks, num_hashes):
+    """Independent pure-Python big-int reference of the md5-exact parity
+    kernel: per token ARRAY (the kernel's input — tokenization happens
+    SQL-side), h60-mod-P word hashes, the shingle mix, affine minima, and
+    the sorted distinct element set."""
+    import hashlib
+
+    hws = [
+        int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16) % HASH_P
+        for w in toks
+    ]
+    if len(hws) < 3:
+        return [], []
+    elems = [
+        (hws[i] * SHINGLE_K1) ^ (hws[i + 1] * SHINGLE_K2) ^ (hws[i + 2] * SHINGLE_K3)
+        for i in range(len(hws) - 2)
+    ]
+    sig = [
+        min(((e % HASH_P) * MINHASH_A[i] + MINHASH_B[i]) % HASH_P for e in elems)
+        for i in range(num_hashes)
+    ]
+    return sig, sorted(set(elems))
+
+
+def test_md5_kernel_matches_pure_python_reference():
+    """The r13 md5-exact parity kernel (md5_minhash_kernel_udf) on
+    adversarial token arrays: unicode, empty-string tokens (the tokens()
+    leading-whitespace artifact), sub-3-word docs, None rows, repeated
+    words, values above 2^53 (float-corruption guard)."""
+    from datafusion_dynamic_filter_spark.functions import md5_minhash_kernel_udf
+
+    tok_lists = [
+        [],  # no tokens
+        ["one"],
+        ["two", "words"],
+        ["exactly", "three", "words"],
+        ["", "a", "b", "c"],  # leading empty-string token artifact
+        ["w"] * 50,
+        ["çé", "\U0001F389", "mixed", "unicode", "tokens"],
+        None,  # NULL token array row
+        ["x" * 5000, "y", "z", "w"],
+    ]
+    inner = md5_minhash_kernel_udf(8).func
+    got = inner(pd.Series(tok_lists, dtype=object))
+    for i, toks in enumerate(tok_lists):
+        sig, elems = _ref_md5_minhash(toks or [], 8)
+        assert [int(x) for x in got["sig"].iloc[i]] == sig, i
+        assert [int(x) for x in got["elems"].iloc[i]] == elems, i
+        assert all(0 <= int(x) < HASH_P for x in got["sig"].iloc[i])
+        assert all(0 <= int(x) < (1 << 63) for x in got["elems"].iloc[i])
+
+
 def test_kernel_rejects_bad_num_hashes():
     with pytest.raises(ValueError, match="num_hashes"):
         minhash_kernel_udf(0)
