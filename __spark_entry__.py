@@ -60,8 +60,8 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # pinned at sf0.1; oracle unchanged — ledger cannot see it)
     "similarity_ivf_topk": 11,
     # r11: the scale branch is the Arrow span-hash kernel (md5 parity
-    # branch byte-identical, oracle unchanged — ledger cannot see it)
-    "dedup_substring_spans": 11,
+    # branch byte-identical, oracle unchanged — ledger cannot see it);
+    # r13 entry below: the switch moved to the plan-build-time footer gate
     "dedup_semdedup": 8,  # r7 adaptive cells; r8 short-circuit (r10 via ledger)
     "anti_join_not_exists": 8,  # r8: date-windowed, non-vacuous form
     # r12: the MinHash family's word hash is adaptive (md5 parity branch
@@ -93,6 +93,8 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     "bpe_encode_token_counts": 13,
     # - head counts derived from bigram counts
     "text_bigram_lm_logprob": 13,
+    # - anchor-hash switch moved to the plan-build-time footer gate
+    "dedup_substring_spans": 13,
 }
 
 

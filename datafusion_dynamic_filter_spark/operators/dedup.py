@@ -1672,33 +1672,34 @@ def dedup_substring_spans(
     docs = fan_out(t["documents"]).select(
         "doc_id", F.lower(F.trim("text")).alias("txt")
     ).where(F.length("txt") >= span_len)
-    # the anchor-hash switch (see _SPAN_XX_MIN_DOCS): row-constant flag
-    # off a broadcast 1-row count — md5 SQL branch (oracle-portable,
+    # the anchor-hash switch (see _SPAN_XX_MIN_DOCS): decided at PLAN
+    # BUILD TIME from parquet footer metadata (_documents_row_count — no
+    # job, no scan; the r13 _minhash_sig recipe), and ONLY the active
+    # branch's subtree is built — md5 SQL branch (oracle-portable,
     # byte-identical to the pre-switch operator) at driver SFs, the
-    # Arrow-vectorized numpy kernel at scale.  Both branches live in ONE
-    # lazy plan: the md5 CASE short-circuits to an empty array per row
-    # when the kernel branch is live (codegen never evaluates the md5
-    # hashes), and the kernel short-circuits to empty arrays per Arrow
-    # batch when the md5 branch is live (its only cost below the
-    # threshold is the Arrow transfer of <= 10k documents' text).
-    nrel = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
-    md5_hashes = (
-        "CASE WHEN use_xx THEN CAST(array() AS array<bigint>) "
-        f"ELSE transform(array_distinct("
-        f"{anchored_spans_sql(span_len, gram, modulus, anchor='md5')}"
-        "), s -> xxhash64(s)) END"
-    )
-    kernel = span_hash_kernel_udf(span_len, gram, modulus)
-    spans = (
-        docs.crossJoin(F.broadcast(nrel))
-        .withColumn("use_xx", F.col("n_docs") > F.lit(_SPAN_XX_MIN_DOCS))
-        .select(
+    # Arrow-vectorized numpy kernel at scale.  The r11-r12 form made the
+    # decision in-plan (a broadcast 1-row count crossJoin + row-constant
+    # CASE + per-batch kernel gating); below the threshold that billed
+    # the md5 branch the crossJoin exchange AND a full Arrow round trip
+    # of every document's text through the Python worker for empty
+    # arrays — the same inactive-branch fixed-cost class the r12 verdict
+    # measured on the MinHash family.
+    if _documents_row_count(sf_dir) > _SPAN_XX_MIN_DOCS:
+        kernel = span_hash_kernel_udf(span_len, gram, modulus)
+        spans = docs.select(
+            "doc_id", F.explode(kernel("txt", F.lit(True))).alias("h")
+        )
+    else:
+        spans = docs.select(
             "doc_id",
             F.explode(
-                F.concat(F.expr(md5_hashes), kernel("txt", "use_xx"))
+                F.expr(
+                    "transform(array_distinct("
+                    f"{anchored_spans_sql(span_len, gram, modulus, anchor='md5')}"
+                    "), s -> xxhash64(s))"
+                )
             ).alias("h"),
         )
-    )
     # Persist PARTITIONED ON h (r11): `spans` feeds BOTH the repeat-count
     # aggregate and the scoring join, and both key on h — materializing
     # it hash-partitioned means ONE exchange of the span relation total
