@@ -95,6 +95,9 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     "text_bigram_lm_logprob": 13,
     # - anchor-hash switch moved to the plan-build-time footer gate
     "dedup_substring_spans": 13,
+    # - registers + exact count derived from one AQE-reused distinct
+    #   (source, token) exchange; corpus-sized persist dropped
+    "token_hll_distinct": 13,
 }
 
 

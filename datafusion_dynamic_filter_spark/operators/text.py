@@ -1231,15 +1231,32 @@ def token_hll_distinct(spark, sf_dir):
     approx_count_distinct, every bit of this sketch is oracle-replicated
     in DuckDB — the estimate itself is cross-checked, not just bounded."""
     t = tables(spark, sf_dir)
-    tk = track_persist(
+    # r13 (the token_cms_topk recipe): both consumers — the register max
+    # and the exact count — factor through the DISTINCT (source, token)
+    # relation: a register's max rank over occurrences equals its max
+    # over distinct tokens (rank is a function of the token), and
+    # countDistinct(w) is count(*) over the distinct relation.  So the
+    # occurrence stream is distinct-aggregated ONCE (map-side combined)
+    # and h60's md5 runs per DISTINCT (source, token) instead of per
+    # occurrence.  The old shape also persisted the CORPUS-sized
+    # occurrence stream (a 100 TB-scale memory/spill hazard) to share it
+    # between the registers and countDistinct; the shared relation is
+    # now the distinct one, and it is NOT persisted — the two consumers'
+    # distinct subtrees are canonically identical, so AQE computes the
+    # exchange once (ReusedQueryStage, pinned by
+    # test_multi_consumer_shuffles_are_exchange_reused; the tfidf/r8
+    # persist-vs-reuse lesson — a 3-way same-session A/B at sf0.1
+    # measured old 0.70 / persist 0.80 / reuse 0.50 s min).  Results are
+    # byte-identical (snapshot-checked at sf0.001/0.01/0.1).
+    uw = (
         fan_out(t["documents"])
         .filter(F.col("n_chars") > 0)
         .select("source", F.explode(tokens("text")).alias("w"))
+        .distinct()
     )
     z = h60("w")
-    hz = tk.select(
+    hz = uw.select(
         "source",
-        "w",
         (z % _HLL_M).alias("reg"),
         F.shiftright(z, 8).alias("rest"),
     )
@@ -1257,8 +1274,8 @@ def token_hll_distinct(spark, sf_dir):
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("z_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    ex = tk.groupBy("source").agg(
-        F.countDistinct("w").alias("exact_distinct")
+    ex = uw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
     )
     raw_hll = F.lit(_HLL_ALPHA_MM) / (
         F.col("z_present") + F.lit(_HLL_M) - F.col("n_present")

@@ -717,6 +717,11 @@ def test_multi_consumer_shuffles_are_exchange_reused(spark):
         "text_tfidf_top_terms",
         "market_basket_pairs",
         "join_key_skew_profile",
+        # r13: the HLL registers and the exact count share one
+        # distinct-(source, token) exchange via AQE reuse (the persisted
+        # occurrence-stream form was measured slower at sf0.1 AND is a
+        # corpus-sized persist at scale; 3-way A/B in the operator)
+        "token_hll_distinct",
     ):
         df = registry.QUERIES[name](spark, SF_DIR)
         assert runtime_exchange_reuse_count(df) >= 1, name
