@@ -534,9 +534,14 @@ def test_hll_distinct_mergeable_register_agg(spark):
         plan = executed_plan(df)
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
-        # fan_out + register agg + source rollup + distinct-expand agg +
-        # final join/sort exchanges
-        assert shuffle_count(df) <= 7, plan
+        # fan_out + the distinct-(source, token) subtree (which the STATIC
+        # plan prints once per consumer — register agg and exact count —
+        # but AQE computes once at runtime; the reuse is pinned by
+        # test_multi_consumer_shuffles_are_exchange_reused) + register
+        # agg + source rollups + final join/sort exchanges.  9 static,
+        # of which one duplicated (fan_out + distinct) pair collapses at
+        # runtime.
+        assert shuffle_count(df) <= 9, plan
     finally:
         registry.release_persisted()
 
