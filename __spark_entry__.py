@@ -81,9 +81,13 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     "dedup_incremental_lsh": 13,
     "decontam_fuzzy_minhash": 13,
     # - pigeonhole pair-dedup moved into the join condition
-    #   (first_equal_chunk; the dropDuplicates exchange is gone)
+    #   (first_equal_chunk; the dropDuplicates exchange is gone) AND the
+    #   signature is the map-side md5-exact Arrow kernel
+    #   (md5_simhash_kernel_udf) — all four _simhash_pairs consumers
     "dedup_simhash": 13,
     "dedup_simhash_partners": 13,
+    "dedup_graph_degree_histogram": 13,
+    "dedup_connected_components": 13,
     # - map-side md5-exact phash kernel + first_equal_chunk
     "multimodal_phash_dedup": 13,
     # - CMS built from the per-token exact counts

@@ -822,6 +822,71 @@ def _md5_shingle_batch(toks, num_docs: int):
 
 
 
+def md5_simhash_kernel_udf():
+    """Arrow-vectorized md5-EXACT SimHash signature (r13): per input
+    document's DISTINCT token array (``distinct_tokens`` runs SQL-side,
+    so tokenization and dedup artifacts are shared with the exploded
+    pipeline this replaces), the 60-bit signature — bit j set iff the
+    per-token ±1 vote sum on bit j of h60(token) is positive.
+
+    Byte-identical to the exploded JVM form (simhash_agg_columns +
+    simhash_from_votes): the word hash is the full h60 (int of the
+    first 15 md5 hex digits — hashlib.md5 == Spark ``md5(w)``),
+    memoized per unique word per batch; votes are exact integer sums.
+    Replaces a token-level explode + the 60-vote-column doc_id
+    aggregation with one map-side pass.  NULL for rows whose token
+    array is NULL (such docs drop out of the exploded form the same
+    way); a non-null array always has >= 1 element under ``tokens()``,
+    and a signature can legitimately be 0."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    weights = (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64))
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    @pandas_udf(LongType())
+    def _simhash(toks: pd.Series) -> pd.Series:
+        n_rows = len(toks)
+        lens = np.fromiter(
+            (len(t) if t is not None else 0 for t in toks),
+            count=n_rows,
+            dtype=np.int64,
+        )
+        n_words = int(lens.sum())
+        out = pd.Series(np.zeros(n_rows, dtype=np.int64), dtype="Int64")
+        out[lens == 0] = pd.NA
+        if n_words == 0:
+            return out
+        memo: dict = {}
+
+        def h_of(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                v = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                memo[w] = v
+            return v
+
+        hw = np.fromiter(
+            (h_of(w) for t in toks if t is not None for w in t),
+            count=n_words,
+            dtype=np.uint64,
+        )
+        # per-word bit matrix (int32: vote sums exceed int8/int16 on
+        # long documents), summed per doc segment via reduceat
+        bits = ((hw[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        seg_starts = np.zeros(len(lens[lens > 0]), dtype=np.int64)
+        np.cumsum(lens[lens > 0][:-1], out=seg_starts[1:])
+        ones = np.add.reduceat(bits, seg_starts, axis=0)
+        votes = 2 * ones - lens[lens > 0][:, None].astype(np.int32)
+        sig = (votes > 0).astype(np.int64) @ weights
+        out[lens > 0] = sig
+        return out
+
+    return _simhash
+
+
 def md5_phash_kernel_udf(px_cells: int, min_features: int):
     """Arrow-vectorized md5-EXACT perceptual-hash signature for
     multimodal_phash_dedup: per document, the ``px_cells``-bit

@@ -36,8 +36,6 @@ from ..functions import (
     h60,
     h60_sql,
     hamming64,
-    simhash_agg_columns,
-    simhash_from_votes,
     span_hash_kernel_udf,
     token_jaccard,
     tokens,
@@ -1089,17 +1087,25 @@ def _simhash_pairs(spark, sf_dir, max_hamming: int = 3):
     docs = fan_out(t["documents"]).select(
         "doc_id", distinct_tokens("text").alias("tok")
     )
-    # Exploded vote aggregation (see functions/: avoids codegen blowup).
     from pyspark.storagelevel import StorageLevel
 
-    tok_hashes = docs.select("doc_id", F.explode("tok").alias("t")).select(
-        "doc_id", h60("t").alias("h")
-    )
-    votes = tok_hashes.groupBy("doc_id").agg(*simhash_agg_columns("h"))
-    # Tiny (doc_id, sig) relation consumed by BOTH self-join sides: persist
-    # so tokenize+hash+vote runs once, not once per side.
+    from ..functions import md5_simhash_kernel_udf
+
+    # r13: the signature is computed MAP-SIDE by the md5-exact Arrow
+    # kernel (one h60 per unique word per batch, memoized; exact integer
+    # vote sums — byte-identical to the exploded
+    # simhash_agg_columns/simhash_from_votes form it replaces, which
+    # paid one md5 per token OCCURRENCE plus a token-level doc_id
+    # exchange into the 60-vote-column aggregation).  asNondeterministic
+    # pins the kernel against the isNotNull-filter double evaluation
+    # (the minhash/phash §4.4 pattern).  Tiny (doc_id, sig) relation
+    # consumed by BOTH self-join sides: persist so tokenize+hash runs
+    # once, not once per side.
+    kern = md5_simhash_kernel_udf().asNondeterministic()
     sigs = track_persist(
-        votes.select("doc_id", simhash_from_votes().alias("sig")),
+        docs.select("doc_id", kern("tok").alias("sig")).where(
+            F.col("sig").isNotNull()
+        ),
         StorageLevel.MEMORY_AND_DISK,
     )
     chunk_mask = F.lit((1 << SIMHASH_CHUNK_BITS) - 1).cast("long")
