@@ -14,7 +14,6 @@ token lists."""
 import hashlib
 
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from datafusion_dynamic_filter_spark.functions import (
@@ -28,19 +27,10 @@ from datafusion_dynamic_filter_spark.functions import (
 
 SF001 = "/root/testdata/sf0.01"
 
-
-@pytest.fixture(scope="module")
-def spark():
-    from datafusion_dynamic_filter_spark import Engine
-
-    eng = Engine(
-        app_name="simhash-kernel-tests",
-        master="local[4]",
-        shuffle_partitions=8,
-        extra_conf={"spark.ui.enabled": "false"},
-    )
-    yield eng.spark
-    eng.spark.stop()
+# NOTE: the `spark` fixture comes from conftest (session-scoped shared
+# engine).  Never create-and-stop a local session here: getOrCreate
+# returns the shared one, and stop() kills it for every later test
+# module in the run.
 
 
 def _ref_simhash(toks):
