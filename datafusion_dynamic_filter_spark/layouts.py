@@ -49,6 +49,24 @@ class PointLayout:
         return value % self.buckets
 
 
+def parquet_row_count(path: str) -> int:
+    """Exact row count of a parquet file-or-directory from FOOTER metadata
+    only — O(#files) driver-side reads, no Spark job (the layout dirs are
+    ``buckets`` small files).  Feeds plan-build-time policy decisions
+    (e.g. the prepared-template expression-codegen gate), mirroring the
+    operators' ``_documents_row_count`` pattern."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.read_metadata(f).num_rows for f in files)
+
+
 def source_fingerprint(path: str) -> str:
     """size+mtime fingerprint of a parquet file-or-directory, for
     invalidating derived layouts when the base data is regenerated in

@@ -398,6 +398,27 @@ def _parse_from(from_body: str) -> tuple[str | None, str | None, list[JoinPart]]
     return table, alias, joins
 
 
+# Expression-codegen policy bound (r14).  nojit templates (wholestage off)
+# still paid a Janino compile PER KEY through the non-wholestage expression
+# path: bound literals are inlined into the generated predicate/projection
+# source, so every fresh key is a codegen-cache miss (~10-20 ms driver-side).
+# For executions whose scan only TOUCHES a few rows — hot templates (batch-
+# stats pruning over the pinned relation: ~rows/batchSize stats rows + ~one
+# decoded batch) and layout templates (static bucket pruning: ~rows/buckets)
+# — the compile never pays back, and forcing the interpreted expression path
+# (factoryMode=NO_CODEGEN, plus constraintPropagation off to shave the
+# per-key optimizer pass) measured at sf0.1: hot fresh-key 2.54 -> 1.89 s /
+# 50 keys, hot repeat 1.41 -> 0.89, layout 3.61 -> 3.28, DPP micro-batches
+# 1.27 -> 1.06, IN-list-1000 a wash — while the FLAT cold template (every
+# key's filter interpreted over all 150k scanned rows) regressed +6-14%,
+# which locates the crossover at ~1e5 interpreted rows per execution.  The
+# policy is therefore gated on the per-execution touched-row ESTIMATE from
+# parquet footer metadata / the materialized cache count — scale-adaptive,
+# not a local[32] constant: a 100 TB layout bucket or a huge pinned set
+# keeps compiled expressions.
+_INTERP_MAX_SCAN_ROWS = 131072
+
+
 _AGG_FN_RE = re.compile(
     r"\b(count|sum|avg|mean|min|max|stddev\w*|var\w*|corr|covar\w*|"
     r"approx_count_distinct|percentile\w*|median|collect_list|collect_set|"
@@ -435,6 +456,7 @@ class CompiledTemplate:
         # multi-branch owner (UnionTemplate) supply ONE shared clone so
         # branch DataFrames compose without crossing sessions.
         self.driver_spark = spark
+        owns_session = session is None
         if session is not None:
             self.spark = session
         else:
@@ -674,12 +696,48 @@ class CompiledTemplate:
             for ph in parsed.where_placeholders + parsed.having_placeholders
         }
         self.build(nulls)
+        self._hot_rows: int | None = None
         if hot:
             # "hot" promises a pinned scan: build the cache at prepare time
             # so the first execute runs at memory speed, not cache-fill
             # speed (prepare cost is the amortized cost by definition).
-            for pdf in self._persisted:
-                pdf.count()
+            counts = [pdf.count() for pdf in self._persisted]
+            if counts:
+                self._hot_rows = counts[0]
+        # Expression-codegen policy (see _INTERP_MAX_SCAN_ROWS): decided
+        # once at prepare, baked into the template's private cloned-session
+        # conf like the wholestage policy.  A shared session (UnionTemplate
+        # branches) defers to its owner, which requires every branch to
+        # qualify.
+        self.interp_exprs = False
+        if nojit and owns_session:
+            est = self._interp_scan_rows()
+            if est is not None and est <= _INTERP_MAX_SCAN_ROWS:
+                self.interp_exprs = True
+                self.spark.conf.set(
+                    "spark.sql.codegen.factoryMode", "NO_CODEGEN"
+                )
+                self.spark.conf.set(
+                    "spark.sql.constraintPropagation.enabled", "false"
+                )
+
+    def _interp_scan_rows(self) -> int | None:
+        """Estimated rows a single-key execution TOUCHES in the base scan —
+        the input of the expression-codegen gate (_INTERP_MAX_SCAN_ROWS).
+        Hot: the pinned relation's batch-stat rows (one stats row per
+        1024-row cache batch) plus ~one decoded batch; layout: one pruned
+        bucket (rows/buckets, exact footer counts).  None (= keep compiled
+        expressions) for flat cold scans, whose filter runs over every
+        scanned row."""
+        if self.hot and self._hot_rows is not None:
+            return self._hot_rows // 1024 + 1024
+        if self.layout is not None:
+            from .layouts import parquet_row_count
+
+            return parquet_row_count(self.layout.path) // max(
+                1, self.layout.buckets
+            )
+        return None
 
     def _side_of(self, col: str) -> int | None:
         """Which FROM-clause side a column belongs to: -1 = base scan,
@@ -1062,6 +1120,20 @@ class UnionTemplate:
             for p in parsed_branches
         ]
         self.is_aggregating = any(b.is_aggregating for b in self.branches)
+        # Expression-codegen policy for the SHARED branch session (see
+        # _INTERP_MAX_SCAN_ROWS): every branch must qualify, because the
+        # conf covers all of them.
+        self.interp_exprs = False
+        if nojit:
+            ests = [b._interp_scan_rows() for b in self.branches]
+            if all(e is not None and e <= _INTERP_MAX_SCAN_ROWS for e in ests):
+                self.interp_exprs = True
+                self.spark.conf.set(
+                    "spark.sql.codegen.factoryMode", "NO_CODEGEN"
+                )
+                self.spark.conf.set(
+                    "spark.sql.constraintPropagation.enabled", "false"
+                )
         self.grouped_batch_ok = False
         # bind='data' single-key execution routes through build() (below);
         # batched execution folds per-branch semi-joins when every branch
