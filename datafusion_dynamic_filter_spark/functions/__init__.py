@@ -835,16 +835,25 @@ def md5_simhash_kernel_udf():
     memoized per unique word per batch; votes are exact integer sums.
     Replaces a token-level explode + the 60-vote-column doc_id
     aggregation with one map-side pass.  NULL for rows whose token
-    array is NULL (such docs drop out of the exploded form the same
-    way); a non-null array always has >= 1 element under ``tokens()``,
-    and a signature can legitimately be 0."""
+    array is NULL or EMPTY (such docs drop out of the exploded form
+    the same way — a NULL array has no rows to explode and an empty
+    one explodes to none); under ``tokens()`` a non-null array always
+    has >= 1 element, so the empty case is defensive.  A signature can
+    legitimately be 0.
+
+    Memory shape (r14, r13 verdict #1): votes are accumulated with one
+    1-D pass PER BIT (shift + mask + reduceat over the word stream),
+    so peak extra allocation is ~20 B/word-occurrence regardless of
+    document length.  The r13 form broadcast ``hw[:, None] >> shifts``
+    into an n_words x 60 matrix (~720 B/word of uint64 + int32
+    temporaries per Arrow batch per core) — multi-GB per Python worker
+    on token-heavy batches at the sf10/sf100 tiers, a §5 spill/OOM
+    hazard the driver SFs cannot see.  Votes are the same exact
+    integers; pinned by test_kernel_long_document_memory_bounded."""
     import hashlib
 
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
-
-    weights = (np.int64(1) << np.arange(SIMHASH_BITS, dtype=np.int64))
-    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
     @pandas_udf(LongType())
     def _simhash(toks: pd.Series) -> pd.Series:
@@ -873,14 +882,20 @@ def md5_simhash_kernel_udf():
             count=n_words,
             dtype=np.uint64,
         )
-        # per-word bit matrix (int32: vote sums exceed int8/int16 on
-        # long documents), summed per doc segment via reduceat
-        bits = ((hw[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-        seg_starts = np.zeros(len(lens[lens > 0]), dtype=np.int64)
-        np.cumsum(lens[lens > 0][:-1], out=seg_starts[1:])
-        ones = np.add.reduceat(bits, seg_starts, axis=0)
-        votes = 2 * ones - lens[lens > 0][:, None].astype(np.int32)
-        sig = (votes > 0).astype(np.int64) @ weights
+        # One 1-D pass per bit (see docstring): int32 per-segment one-
+        # counts (a segment is one doc's words within the batch, always
+        # < 2^31), widened to int64 before the doubled compare.  Bit j
+        # set iff votes = 2*ones - len > 0, i.e. 2*ones > len.
+        live_lens = lens[lens > 0]
+        seg_starts = np.zeros(len(live_lens), dtype=np.int64)
+        np.cumsum(live_lens[:-1], out=seg_starts[1:])
+        sig = np.zeros(len(live_lens), dtype=np.int64)
+        one_u = np.uint64(1)
+        for j in range(SIMHASH_BITS):
+            ones_j = np.add.reduceat(
+                ((hw >> np.uint64(j)) & one_u).astype(np.int32), seg_starts
+            ).astype(np.int64)
+            sig |= (2 * ones_j > live_lens).astype(np.int64) << j
         out[lens > 0] = sig
         return out
 

@@ -93,3 +93,30 @@ def test_kernel_matches_exploded_jvm_twin(spark):
     a = got.toPandas()
     b = twin.toPandas()
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_kernel_long_document_memory_bounded():
+    """r14 (r13 verdict #1): the kernel's peak allocation must stay
+    O(words) — ~tens of bytes per word occurrence — not O(words x 60).
+    A 2M-word document under the old bit-matrix form allocated ~1.4 GB
+    of temporaries (uint64 broadcast + int32 copy); the per-bit pass
+    form stays under ~150 MB including the hw array and pandas input.
+    numpy allocations are tracked by tracemalloc (PyTraceMalloc_Track),
+    so the peak is measurable in-process.  Correctness of the same
+    batch is pinned against the pure-Python reference on a sample."""
+    import tracemalloc
+
+    n_words = 2_000_000
+    # ~58k distinct words so the md5 memo stays small while the word
+    # STREAM is long (the hazard scales with occurrences, not vocab).
+    toks = [f"w{i % 58_333}" for i in range(n_words)]
+    inner = md5_simhash_kernel_udf().func
+    tracemalloc.start()
+    got = inner(pd.Series([toks, ["a", "b", "c"]], dtype=object))
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 250 * 1024 * 1024, f"peak {peak/1e6:.0f} MB"
+    assert int(got.iloc[1]) == _ref_simhash(["a", "b", "c"])
+    # spot-check the long doc against the reference on its DISTINCT
+    # hash multiset via a cheaper equivalent: same votes per bit
+    assert int(got.iloc[0]) == _ref_simhash(toks)
