@@ -55,7 +55,12 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # norms — values are byte-identical and the oracles did not change
     # (so the ledger cannot see it), but the shipped implementation is
     # new and its driver greens should be re-earned.
-    "similarity_lsh_topk": 10,  # r6 banded LSH; r10 norm-precomputed re-rank
+    # r14: candidate pair dedup + parallelism pin share ONE keyed exchange
+    # (repartition on the dedup keys BEFORE dropDuplicates) — results
+    # snapshot-checked byte-identical at 3 SFs, oracle unchanged (ledger
+    # cannot see it); ann_recall consumes the same candidate relation.
+    "similarity_lsh_topk": 14,  # r6 banded LSH; r10 norms; r14 one-exchange dedup
+    "similarity_ann_recall": 14,
     # r11: map-only argmax assignment (byte-identical to the window form,
     # pinned at sf0.1; oracle unchanged — ledger cannot see it)
     "similarity_ivf_topk": 11,
@@ -83,11 +88,8 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # - pigeonhole pair-dedup moved into the join condition
     #   (first_equal_chunk; the dropDuplicates exchange is gone) AND the
     #   signature is the map-side md5-exact Arrow kernel
-    #   (md5_simhash_kernel_udf) — all four _simhash_pairs consumers
-    "dedup_simhash": 13,
-    "dedup_simhash_partners": 13,
-    "dedup_graph_degree_histogram": 13,
-    "dedup_connected_components": 13,
+    #   (md5_simhash_kernel_udf) — all four _simhash_pairs consumers.
+    #   (bumped 13 -> 14 below: per-bit vote passes inside the kernel)
     # - map-side md5-exact phash kernel + first_equal_chunk
     "multimodal_phash_dedup": 13,
     # - CMS built from the per-token exact counts
@@ -102,6 +104,18 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # - registers + exact count derived from one AQE-reused distinct
     #   (source, token) exchange; corpus-sized persist dropped
     "token_hll_distinct": 13,
+    # r14 (optimization round 2; results snapshot-checked byte-identical
+    # at 3 SFs, oracles unchanged — ledger cannot see it):
+    # - the SimHash kernel accumulates votes with per-bit 1-D passes
+    #   (bounded per-batch memory) — all four _simhash_pairs consumers
+    "dedup_simhash": 14,
+    "dedup_simhash_partners": 14,
+    "dedup_graph_degree_histogram": 14,
+    "dedup_connected_components": 14,
+    # - hot/layout prepared templates run the interpreted expression path
+    #   (factoryMode=NO_CODEGEN on their private cloned sessions)
+    "prepared_dpp_partition_pruning": 14,
+    "prepared_layout_point_lookup": 14,
 }
 
 
