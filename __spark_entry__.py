@@ -79,12 +79,7 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # - the _minhash_sig md5 parity branch is a map-side md5-exact Arrow
     #   kernel (md5_minhash_kernel_udf) and both kernels are pinned
     #   against filter-duplication with asNondeterministic
-    "dedup_minhash_lsh": 13,
-    "dedup_lsh_verified": 13,
-    "dedup_minhash_error": 13,
-    "dedup_source_overlap": 13,
-    "dedup_incremental_lsh": 13,
-    "decontam_fuzzy_minhash": 13,
+    #   (those six bumped 13 -> 14 below: md5-branch repartition dropped)
     # - pigeonhole pair-dedup moved into the join condition
     #   (first_equal_chunk; the dropDuplicates exchange is gone) AND the
     #   signature is the map-side md5-exact Arrow kernel
@@ -116,6 +111,15 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     #   (factoryMode=NO_CODEGEN on their private cloned sessions)
     "prepared_dpp_partition_pruning": 14,
     "prepared_layout_point_lookup": 14,
+    # - the _minhash_sig md5 parity branch dropped its repartition (AQE
+    #   broadcasts the verify joins below the threshold; the partitioning
+    #   was never reused) — all six md5-branch consumers
+    "dedup_minhash_lsh": 14,
+    "dedup_lsh_verified": 14,
+    "dedup_minhash_error": 14,
+    "dedup_source_overlap": 14,
+    "dedup_incremental_lsh": 14,
+    "decontam_fuzzy_minhash": 14,
 }
 
 

@@ -706,11 +706,18 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
     # uses (_sketch_from_shingles).  The replaced pipeline paid one
     # word-level and one shingle-level doc_id exchange (positional
     # collect_list + the 33-column signature aggregation); the kernel
-    # relation, like the xxhash branch, is map-side — the
-    # repartition("doc_id") gives the cached relation the
-    # hashpartitioning(doc_id) its three downstream consumers join on
-    # (measured: without it the executed plan grows an Exchange over the
-    # InMemoryTableScan per verify side).  The element set is kept as
+    # relation, like the xxhash branch, is map-side.  UNLIKE the xxhash
+    # branch there is NO repartition("doc_id") here (r14, the r13
+    # verdict's open item 5): at this branch's size (<= the parity
+    # threshold by construction) AQE broadcasts every downstream verify
+    # join, so the hashpartitioning is never reused and the repartition
+    # was a pure extra exchange — dropping it measured a timing wash at
+    # sf0.1 (mins 0.91/0.93 with vs 0.99/1.02 without across alternating
+    # fresh-process runs, high dispersion) and shrinks dedup_lsh_verified's
+    # executed plan from 20 to 13 Exchange nodes.  The xxhash branch
+    # keeps its repartition: above the threshold the verify joins are
+    # shuffled equi-joins that DO reuse the partitioning (r12 evidence).
+    # The element set is kept as
     # h60 HASHES (8-byte longs), not strings: 3-4x less persist volume
     # and a far cheaper array_intersect in the verify, with the oracle
     # hashing identically (see _minhash_lsh_oracle).
@@ -731,8 +738,7 @@ def _minhash_sig(spark, sf_dir, *, num_hashes):
                 for i in range(num_hashes)
             ],
             F.col("k.elems").alias("elems"),
-        )
-        .repartition("doc_id"),
+        ),
         StorageLevel.MEMORY_AND_DISK,
     )
 
