@@ -67,7 +67,10 @@ _SEMANTICS_CHANGED_ROUND: dict[str, int] = {
     # r11: the scale branch is the Arrow span-hash kernel (md5 parity
     # branch byte-identical, oracle unchanged — ledger cannot see it);
     # r13 entry below: the switch moved to the plan-build-time footer gate
-    "dedup_semdedup": 8,  # r7 adaptive cells; r8 short-circuit (r10 via ledger)
+    # r14: the intra-cell pair stage is a grouped Arrow kernel (matmul
+    # prune + exact cumsum-fold dot; round/filter/keeper stay Spark-side)
+    # — snapshot byte-identical at 3 SFs, oracle unchanged
+    "dedup_semdedup": 14,  # r7 cells; r8 short-circuit; r14 pair kernel
     "anti_join_not_exists": 8,  # r8: date-windowed, non-vacuous form
     # r12: the MinHash family's word hash is adaptive (md5 parity branch
     # byte-identical at driver SFs, xxhash64 above _MINHASH_XX_MIN_DOCS)

@@ -1352,8 +1352,12 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
        window; cosine rounded to 4dp before ranking so cross-engine float
        last-ulp noise cannot flip the argmax, tie -> lowest cell id).
        No shuffle of the corpus — a broadcast nested-loop over k rows.
-    3. Intra-cell pairs: equi-join on (assigned cell, LSH sub-bucket) —
-       never all-pairs.  With FIXED cells, cell density grows linearly
+    3. Intra-cell pairs: one grouped Arrow kernel over (assigned cell,
+       LSH sub-bucket) groups — never all-pairs, and since r14 never a
+       vector-carrying self-join either (one exchange of the assigned
+       relation; matmul prune + exact-fold dot per group, with round /
+       threshold / keeper logic staying Spark-side — see the pair-stage
+       comment below).  With FIXED cells, cell density grows linearly
        with the corpus and intra-cell pair work quadratically: the r7
        two-decade probe measured exactly that (alpha/decade 1.06, 135 s
        at ~sf1).  Real SemDeDup keeps cell size constant by growing k
@@ -1474,21 +1478,95 @@ def dedup_semdedup(spark, sf_dir, *, threshold: float = 0.3):
         .withColumn("sub", sub_bits.cast("long"))
         .select("vec_id", "cell", "sub", "cc", "v", "nv")
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cell") == F.col("b.cell"))
-        & (F.col("a.sub") == F.col("b.sub"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # Intra-cell pair stage (r14): ONE grouped Arrow kernel instead of the
+    # (cell, sub) self-JOIN + per-pair interpreted-HOF cosines.  The join
+    # form shuffled the vector-carrying assigned relation TWICE (both join
+    # sides) and evaluated dot() — Catalyst `aggregate(zip_with(...))`,
+    # CodegenFallback, so an interpreted lambda per element — once per
+    # candidate pair (22.9M pairs x 64 elements = 1.5B lambda steps at the
+    # sf10 tier, the stage's measured dominator; skew is NOT the problem:
+    # the sf10 (cell, sub) histogram is med 131 / p99 492 / max 961, the
+    # hottest group only 2% of total pair work, so the pinned-density
+    # design already holds and the r13 verdict's sub-bucket/cap remedy has
+    # nothing to bite on).  The kernel ships the assigned relation through
+    # ONE groupBy(cell, sub) exchange, prunes candidate pairs per group
+    # with a numpy matmul (approximate, margin-guarded — pure pruning),
+    # and emits the EXACT dot for survivors via a cumsum left fold that is
+    # bitwise-identical to the SQL fold (each cumsum partial sum is the
+    # same sequence of IEEE additions; pinned on adversarial
+    # mixed-magnitude vectors in tests/test_semdedup_pair_kernel.py).
+    # round / threshold filter / keeper CASE / distinct stay Spark-side,
+    # so every surviving value is computed by the same expressions as
+    # before — drop sets verified set-equal at sf0.001/0.01/0.1/sf10 and
+    # digests snapshot-identical at the driver SFs.  Measured pair+drops
+    # stage: sf10 17.6 -> 3.98 s (best-of-3 each), sf0.1 1.19 -> 0.70 s,
+    # sf0.001 0.46 -> 0.56 s (python-worker fixed cost; trivial absolute).
+    import numpy as np
+    import pandas as pd
+
+    # Safe pre-prune bound: survivors must satisfy round(cs, 4) >=
+    # threshold, i.e. cs >= threshold - 5e-5 (HALF_UP midpoint); the
+    # matmul approximation differs from the exact fold by O(64 eps)
+    # relative — 1e-6 absolute margin is orders of magnitude beyond it.
+    lo_bound = threshold - 5e-5 - 1e-6
+    # i-block width for the per-group pair enumeration: bounds the
+    # kernel's temporaries at O(block x group) regardless of how skewed a
+    # (cell, sub) group gets (the r14 kernel-memory discipline).
+    blk = 1024
+
+    def _pair_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["cell", "va", "vb", "cca", "ccb", "cs_raw"]
+        g = len(pdf)
+        if g < 2:
+            return pd.DataFrame({c: [] for c in cols})
+        order = np.argsort(pdf["vec_id"].to_numpy(), kind="stable")
+        vid = pdf["vec_id"].to_numpy()[order]
+        cc = pdf["cc"].to_numpy()[order]
+        nv = pdf["nv"].to_numpy()[order]
+        V = np.stack(pdf["v"].to_numpy()[order])
+        out_i: list = []
+        out_j: list = []
+        out_d: list = []
+        for i0 in range(0, g - 1, blk):
+            i1 = min(i0 + blk, g - 1)
+            G = V[i0:i1] @ V.T  # (block, g) approximate dots
+            ii, jj = np.nonzero(
+                G >= (np.outer(nv[i0:i1], nv) * lo_bound)
+            )
+            keep = jj > (ii + i0)  # vec_id-ordered upper triangle
+            ii, jj = ii[keep] + i0, jj[keep]
+            if not len(ii):
+                continue
+            # exact left-fold dot, bitwise == aggregate(zip_with(...))
+            d = np.cumsum(V[ii] * V[jj], axis=1)[:, -1]
+            out_i.append(ii)
+            out_j.append(jj)
+            out_d.append(d)
+        if not out_i:
+            return pd.DataFrame({c: [] for c in cols})
+        ii = np.concatenate(out_i)
+        jj = np.concatenate(out_j)
+        d = np.concatenate(out_d)
+        return pd.DataFrame(
+            {
+                "cell": pdf["cell"].iloc[0],
+                "va": vid[ii],
+                "vb": vid[jj],
+                "cca": cc[ii],
+                "ccb": cc[jj],
+                "cs_raw": d / (nv[ii] * nv[jj]),
+            }
+        )
+
+    pairs = assigned.select("vec_id", "cell", "sub", "cc", "v", "nv").groupBy(
+        "cell", "sub"
+    ).applyInPandas(
+        _pair_kernel,
+        "cell bigint, va bigint, vb bigint, cca double, ccb double, "
+        "cs_raw double",
     ).select(
-        F.col("a.cell").alias("cell"),
-        F.col("a.vec_id").alias("va"),
-        F.col("b.vec_id").alias("vb"),
-        F.col("a.cc").alias("cca"),
-        F.col("b.cc").alias("ccb"),
-        F.round(
-            dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 4
-        ).alias("cs"),
+        "cell", "va", "vb", "cca", "ccb",
+        F.round(F.col("cs_raw"), 4).alias("cs"),
     )
     drops = (
         pairs.filter(F.col("cs") >= threshold)
