@@ -596,13 +596,23 @@ def similarity_lsh_topk(spark, sf_dir, *, k: int = 5):
             & (F.col("vec_id") != F.col("q_id")),
         )
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        # Pin the re-rank's parallelism AND dedup through ONE exchange
+        # (r14, guide §2.4): the keyed numbered repartition hash-
+        # partitions the raw candidate pairs on exactly the dedup keys,
+        # so the dropDuplicates aggregate on top reuses that partitioning
+        # instead of adding its own Exchange — the r13 form paid a
+        # dedup-aggregate exchange AND a round-robin repartition of the
+        # same relation (two candidate-sized shuffles; at scale the
+        # candidate stream is the operator's largest relation).  A
+        # numbered repartition is exempt from AQE coalescing, so the
+        # downstream cosine re-rank keeps its parallelism (the PPJoin
+        # lesson, dedup.py); (q_id, neighbor_id) has ~|pairs| distinct
+        # values, far above the partition count, so the hash spreads
+        # evenly (§2.5).
+        .repartition(
+            spark.sparkContext.defaultParallelism, "q_id", "neighbor_id"
+        )
         .dropDuplicates(["q_id", "neighbor_id"])
-        # Pin the re-rank's parallelism: the id-pair relation is tiny in
-        # BYTES, so AQE's byte-based coalescing shrinks its shuffle read
-        # to ~1 partition and the downstream cosine re-rank serializes
-        # onto that read (the PPJoin lesson, dedup.py) — a numbered
-        # repartition is exempt from AQE coalescing.
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     qv = corpus.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
